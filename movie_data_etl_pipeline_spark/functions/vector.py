@@ -1,0 +1,50 @@
+"""Column-level vector math over ``array<float>`` embedding columns
+(north-star similarity-search surface, SURVEY.md §2.9).
+
+All dense math is expressed with ``zip_with`` / ``aggregate`` higher-order
+functions — evaluated JVM-side per row inside codegen, with the
+accumulator in DOUBLE for deterministic left-to-right summation (the same
+fold order every engine uses for a single row's array, so results are
+reproducible and oracle-comparable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            _c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                _c(a), _c(b), lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )

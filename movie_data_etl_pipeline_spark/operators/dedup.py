@@ -1,0 +1,309 @@
+"""Deduplication operators (SURVEY.md §2.6 O6, §2.5 A6, plus the
+north-star near-duplicate family: MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine).
+
+Reference semantics being generalized:
+
+* ``dedupe_by_tmdb_id`` (``/root/reference/02_etl.py:224-231``) — dict
+  overwrite keyed by id, "preserving the latest occurrence": **last-wins
+  keyed dedup**. A bare ``dropDuplicates`` is NOT equivalent (it keeps an
+  arbitrary row); the faithful rendering is an order-aware window.
+* ``print_duplicate_movie_ids`` (``02_etl.py:233-244``) — report keys
+  appearing more than once in a batch.
+
+Scale posture: every operator here is a single hash shuffle on the key
+(window or groupBy) with map-side partial aggregation where applicable;
+the near-dup operators generate candidates by *token/band bucket joins*,
+never by cross join, so candidate count scales with bucket collisions
+(near-linear for natural corpora) instead of O(n²).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.functions.text import shingles
+
+# ---------------------------------------------------------------------------
+# Exact / keyed dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_last_wins(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+) -> DataFrame:
+    """Keep, per key, the row that is *latest* under ``order_cols``
+    (pass e.g. ``[F.desc("ts"), F.desc("event_id")]`` — highest wins;
+    include a unique tiebreaker for determinism).
+
+    Faithful generalization of ``dedupe_by_tmdb_id``
+    (``02_etl.py:224-231``): the reference's dict-overwrite keeps the
+    latest arrival; here "arrival order" is made explicit as columns.
+    One shuffle on the key; no driver involvement.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact(df: DataFrame, on: Sequence[str], keep_min_of: str) -> DataFrame:
+    """Exact-duplicate removal over content columns ``on``, keeping the
+    row with the smallest ``keep_min_of`` (deterministic canonical
+    representative — unlike ``dropDuplicates``)."""
+    return dedup_last_wins(df, on, [F.asc(keep_min_of)])
+
+
+def duplicate_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Keys occurring more than once, with their multiplicity
+    (``print_duplicate_movie_ids``, ``02_etl.py:233-244``). Map-side
+    partial count then one shuffle; post-agg filter is evaluated after
+    the final HashAggregate."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate: n-gram Jaccard (exact similarity, bucket-join candidates)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All document pairs with exact n-gram-shingle Jaccard ≥ threshold.
+
+    Candidate generation is an *inverted-index self-join on shingles*
+    (explode → join on shingle → count shared), never a crossJoin: a pair
+    is only materialized if it shares ≥1 shingle, and the shared-shingle
+    count arrives from the join group sizes. This is the scalable exact
+    path; MinHash/LSH below trades exactness for fewer candidates.
+
+    Output: (a_id, b_id, jaccard) with a_id < b_id.
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .withColumn("sh", F.array_distinct("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+    )
+    sizes = sh.select("id", "n_sh")
+    exploded = sh.select("id", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("a_n"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    return (
+        shared.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("a_n") + F.col("b_n") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate: MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Per-document MinHash signature (array of ``num_hashes`` min-values).
+
+    Hash family: ``xxhash64(seed_i, shingle)`` — Spark's 64-bit
+    xxHash with the per-function seed mixed in as a literal first
+    argument. Deterministic across runs/executors (no Python in the hot
+    path; whole-stage codegen applies).
+
+    Plan shape: explode shingles → per (doc, seed) min-aggregate. The
+    seeds are expanded with ``posexplode`` of a literal array so the agg
+    is a single shuffle keyed by (doc, seed).
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .withColumn("shingle", F.explode(F.array_distinct("sh")))
+        .select("id", "shingle")
+    )
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    hashed = sh.select(
+        "id",
+        F.posexplode(seeds).alias("pos", "seed"),
+        F.col("shingle"),
+    ).select(
+        "id", "pos", F.xxhash64(F.col("seed"), F.col("shingle")).alias("h")
+    )
+    return (
+        hashed.groupBy("id", "pos")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mh"))).alias("s"))
+        .select("id", F.transform("s", lambda x: x["mh"]).alias("signature"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding: signature → ``bands``
+    bands of ``num_hashes/bands`` rows each → bucket-join on (band,
+    band-hash) → candidate pairs → verified with exact n-gram Jaccard.
+
+    This is the 100 TB path: candidates come from equality joins on band
+    buckets (shuffle on a well-distributed hash), and only candidates pay
+    the exact-verification cost. Output matches ``ngram_jaccard_pairs``
+    restricted to LSH-recalled pairs: (a_id, b_id, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.array(*[F.lit(b) for b in range(bands)]),
+                lambda b: F.xxhash64(
+                    F.slice("signature", b * rows_per_band + 1, rows_per_band), b
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold=0.0)
+    return (
+        candidates.join(exact, ["a_id", "b_id"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate: SimHash (hamming-distance buckets)
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from token hashes.
+
+    For each bit position, sum +1/-1 votes of every token's hash bit and
+    take the sign. Expressed as: explode tokens → token hash → per-(doc,
+    bit) vote aggregate → bit-pack. All JVM-side built-ins.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bit_positions = F.array(*[F.lit(i) for i in range(bits)])
+    votes = (
+        toks.withColumn("h", F.xxhash64("tok"))
+        .select("id", "h", F.explode(bit_positions).alias("bit"))
+        # column-valued shift counts need the SQL form (the pyspark
+        # shiftright/shiftleft wrappers only take literal counts)
+        .withColumn(
+            "vote",
+            F.when(F.expr("shiftright(h, bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidate generation by the pigeonhole trick: split the 64-bit hash
+    into ``chunks`` chunks; any pair within distance < chunks must agree
+    on ≥1 chunk → equality-join per chunk, then exact hamming verify via
+    ``bit_count(xor)``. Equality joins only — no cross join.
+    """
+    hashed = simhash(docs, id_col, text_col)
+    chunk_bits = 64 // chunks
+    mask = (1 << chunk_bits) - 1
+    chunked = hashed.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", i * chunk_bits).bitwiseAND(F.lit(mask))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

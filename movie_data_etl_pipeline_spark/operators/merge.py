@@ -1,0 +1,97 @@
+"""Upsert / merge operators (SURVEY.md §2.6 O8/O9) — the reference's
+idempotency contract ("safe to rerun", ``/root/reference/README.md:81``)
+re-expressed for an immutable columnar store.
+
+Reference semantics:
+
+* **update-on-conflict** (O8): ``INSERT .. ON CONFLICT (key) DO UPDATE``
+  for genres/movies/actors/movie_actor
+  (``/root/reference/02_etl.py:37-42,84-101,158-166,189-196``). The
+  movies variant deliberately EXCLUDES ``runtime_minutes`` from the
+  update list (``02_etl.py:92-100``) so a previously backfilled value
+  survives re-ingest — the "preserve columns" option below.
+* **insert-if-absent** (O9): ``ON CONFLICT DO NOTHING`` for the
+  movie_genre junction (``02_etl.py:123-128``).
+
+Spark has no in-place mutation on plain Parquet, so both become
+anti-join / outer-join set algebra producing the *new table state*; on a
+MERGE-capable backend (Delta/Iceberg) the same call sites would emit
+``MERGE INTO`` — the operator is kept backend-agnostic by returning a
+DataFrame and leaving the write to the caller.
+
+Scale posture: one shuffle on the key for the join; with the target
+partitioned by key range, a real deployment rewrites only partitions that
+contain incoming keys (partition-scoped read-modify-write) instead of the
+whole table. ``upsert`` assumes ``updates`` is itself key-unique —
+dedup first (``dedup.dedup_last_wins``) if the batch may carry dupes,
+exactly as the reference dedups before loading (``02_etl.py:260``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    preserve_cols: Sequence[str] = (),
+) -> DataFrame:
+    """New table state: rows from ``updates`` replace same-key rows in
+    ``target``; unmatched target rows pass through; unmatched update rows
+    are inserts.
+
+    ``preserve_cols`` reproduces the ``runtime_minutes`` trap
+    (``02_etl.py:92-100``): for those columns the OLD value wins when it
+    is non-null (``coalesce(old, new)``); all other non-key columns take
+    the incoming value.
+
+    Without ``preserve_cols`` this is the cheap plan — union + left-anti,
+    a single hash join keyed on ``key_cols``. With them, matched rows
+    need both sides' values, so a full-outer join computes per-column
+    coalesce.
+    """
+    keys = list(key_cols)
+    if not preserve_cols:
+        return updates.unionByName(target.join(updates, keys, "left_anti"))
+
+    preserve = set(preserve_cols)
+    t = target.alias("t")
+    u = updates.alias("u")
+    merged = t.join(u, keys, "full_outer")
+    out_cols = []
+    for name in target.columns:
+        if name in keys:
+            # full_outer on key list coalesces join keys automatically
+            out_cols.append(F.col(name))
+        elif name in preserve:
+            out_cols.append(F.coalesce(F.col(f"t.{name}"), F.col(f"u.{name}")).alias(name))
+        else:
+            # incoming wins when the key matched; old value only for
+            # target-only rows (updates side entirely null). Keys are
+            # NOT NULL in every reference table, so a null updates-side
+            # key means "no match".
+            out_cols.append(
+                F.when(F.col(f"u.{keys[0]}").isNotNull(), F.col(f"u.{name}"))
+                .otherwise(F.col(f"t.{name}"))
+                .alias(name)
+            )
+    return merged.select(*out_cols)
+
+
+def insert_if_absent(
+    target: DataFrame, incoming: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """ON CONFLICT DO NOTHING (``02_etl.py:123-128``): append only rows
+    whose key is not already present; existing rows untouched. Incoming
+    is also self-deduped on the key (first occurrence by all-column
+    order) so a batch with internal dupes stays key-unique — matching
+    the junction PK the reference relies on
+    (``/root/reference/sql/01_schema.sql:45``)."""
+    keys = list(key_cols)
+    fresh = incoming.dropDuplicates(keys).join(target, keys, "left_anti")
+    return target.unionByName(fresh)

@@ -1,0 +1,97 @@
+"""Document-level text-analysis operators (north-star extension,
+SURVEY.md §2.9) over the ``documents`` table: token statistics, token
+frequency, language distribution, quality scoring, language ID,
+fingerprinting. All composed from the codegen'd expressions in
+``functions.text`` — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.functions import text as TX
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics: token count, distinct-token count,
+    type-token ratio, mean token length."""
+    toks = TX.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
+            / F.size(toks),
+            6,
+        ).alias("mean_token_len"),
+        "n_chars",
+    )
+
+
+def token_frequency(docs: DataFrame, top_k: int = 100) -> DataFrame:
+    """Corpus-wide token frequency, top-k by count (ties broken by token
+    asc so the cut is deterministic). Explode → map-side partial count →
+    single shuffle; the top-k is TakeOrderedAndProject, not a full sort."""
+    return (
+        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
+def lang_distribution(docs: DataFrame) -> DataFrame:
+    """Corpus profile by declared language: doc count, source count,
+    char-length stats. (Reference shape A3 applied to documents.)"""
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            # unrounded exact-int division: deterministic across engines
+            # (round(avg) on knife-edge values is not; functions.scalar)
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("lang"))
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-document heuristic quality: composite score plus the
+    underlying signals (stopword ratio, punctuation ratio)."""
+    return docs.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-heuristic language prediction vs the declared label."""
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        TX.lang_id("text").alias("predicted_lang"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Canonical md5 content fingerprint per document (exact-dedup key)."""
+    return docs.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents: the
+    fingerprint duplicate report (A6 generalized to content keys)."""
+    return (
+        fingerprints(docs)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n") > 1)
+    )

@@ -1,0 +1,829 @@
+"""The oracle-checked query surface: every operator from SURVEY.md §2
+(reference parity) and §2.9 (north-star extensions), expressed on the
+driver fixture tables with a paired DuckDB oracle SQL where the
+semantics are ANSI-expressible.
+
+Role mapping (FIXTURES.md §C): supplier≈actors, nation≈genres,
+orders/lineitem≈movies/junctions. Each Spark query mirrors the exact
+plan shape of the corresponding reference view/operator (cited per
+function); the oracle string computes the same result in DuckDB.
+
+Determinism rules applied throughout (the driver hashes values
+order-insensitively but exactly):
+* every computed column aliased identically on both sides;
+* counts/sizes cast to BIGINT on both sides (DuckDB sums are HUGEINT,
+  Spark sizes are INT — both normalized);
+* doubles only after ROUND(x, n) of deterministically-identical inputs
+  (same per-row IEEE ops; aggregation orders avoided or exact);
+* timestamps rendered as 'yyyy-MM-dd HH:mm:ss' strings (UTC session TZ
+  pinned in session.py; DuckDB is UTC-naive);
+* window/dedup orderings are total (unique tiebreaker column last).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.functions import scalar as SC
+from movie_data_etl_pipeline_spark.functions import text as TX
+from movie_data_etl_pipeline_spark.operators import (
+    dedup,
+    merge,
+    multimodal,
+    similarity,
+    text_analysis,
+    topn,
+)
+from movie_data_etl_pipeline_spark.sources import load_table
+from movie_data_etl_pipeline_spark.streaming import windows as SW
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_DATE = "yyyy-MM-dd"
+_TS = "yyyy-MM-dd HH:mm:ss"
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity views V1–V4 (SURVEY.md §2.8; /root/reference/sql/03_views.sql)
+# ---------------------------------------------------------------------------
+
+
+def v1_top_actors(spark: SparkSession, sf: str) -> DataFrame:
+    """V1 ``v_top_actors`` (``sql/03_views.sql:4-13``): J1+A1+T1 —
+    supplier≈actor, lineitem≈movie_actor, order≈movie."""
+    supplier = load_table(spark, sf, "supplier")
+    lineitem = load_table(spark, sf, "lineitem").select("l_suppkey", "l_orderkey")
+    return (
+        supplier.join(lineitem, supplier.s_suppkey == lineitem.l_suppkey, "inner")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.countDistinct("l_orderkey").alias("movie_count"))
+        .orderBy(F.desc("movie_count"), F.asc("s_name"))
+    )
+
+
+_V1_SQL = """
+SELECT s_suppkey, s_name, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS movie_count
+FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY movie_count DESC, s_name ASC
+"""
+
+
+def v2_top_genres(spark: SparkSession, sf: str) -> DataFrame:
+    """V2 ``v_top_genres`` (``sql/03_views.sql:17-26``): J2+A2+T2 —
+    nation≈genre (small dim, explicitly broadcast), customer≈junction."""
+    nation = load_table(spark, sf, "nation")
+    customer = load_table(spark, sf, "customer").select("c_nationkey", "c_custkey")
+    return (
+        F.broadcast(nation)
+        .join(customer, nation.n_nationkey == customer.c_nationkey, "inner")
+        .groupBy("n_nationkey", F.col("n_name").alias("genre_name"))
+        .agg(F.countDistinct("c_custkey").alias("movie_count"))
+        .orderBy(F.desc("movie_count"), F.asc("genre_name"))
+    )
+
+
+_V2_SQL = """
+SELECT n_nationkey, n_name AS genre_name,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS movie_count
+FROM nation JOIN customer ON c_nationkey = n_nationkey
+GROUP BY n_nationkey, n_name
+ORDER BY movie_count DESC, genre_name
+"""
+
+
+def v3_genre_ratings(spark: SparkSession, sf: str) -> DataFrame:
+    """V3 ``v_genre_ratings`` (``sql/03_views.sql:30-43``): J3+A3+P8+T3 —
+    3-way chain nation⋈customer⋈orders with multi-aggregate + ROUND."""
+    nation = load_table(spark, sf, "nation")
+    customer = load_table(spark, sf, "customer").select("c_nationkey", "c_custkey", "c_acctbal")
+    orders = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        F.broadcast(nation)
+        .join(customer, nation.n_nationkey == customer.c_nationkey, "inner")
+        .join(orders, customer.c_custkey == orders.o_custkey, "inner")
+        .withColumn("__opc", SC.cents("o_totalprice"))
+        .withColumn("__acc", SC.cents("c_acctbal"))
+        .groupBy("n_nationkey", F.col("n_name").alias("genre_name"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("movies_in_genre"),
+            SC.avg_money(F.sum("__opc"), F.count(F.lit(1))).alias("avg_rating"),
+            SC.money_from_cents(F.sum("__opc")).alias("total_votes"),
+            SC.avg_money(F.sum("__acc"), F.count(F.lit(1))).alias("avg_popularity"),
+        )
+        .orderBy(F.desc("avg_rating"), F.desc("movies_in_genre"))
+    )
+
+
+_V3_SQL = """
+SELECT n_nationkey, n_name AS genre_name,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS movies_in_genre,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0 AS avg_rating,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_votes,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0 AS avg_popularity
+FROM nation
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+GROUP BY n_nationkey, n_name
+ORDER BY avg_rating DESC, movies_in_genre DESC
+"""
+
+
+def v4_top_actors_by_rating(spark: SparkSession, sf: str) -> DataFrame:
+    """V4 ``v_top_actors_by_rating`` (``sql/03_views.sql:47-61``):
+    J4+A4+A5+P8+T4 — HAVING becomes a post-agg filter on the alias."""
+    supplier = load_table(spark, sf, "supplier")
+    lineitem = load_table(spark, sf, "lineitem").select("l_suppkey", "l_orderkey", "l_quantity")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return (
+        supplier.join(lineitem, supplier.s_suppkey == lineitem.l_suppkey, "inner")
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .withColumn("__opc", SC.cents("o_totalprice"))
+        .groupBy("s_suppkey", F.col("s_name").alias("actor_name"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("movie_count"),
+            SC.avg_money(F.sum("__opc"), F.count(F.lit(1))).alias("avg_movie_rating"),
+            F.sum("l_quantity").cast("long").alias("total_votes"),
+        )
+        .filter(F.col("movie_count") >= 3)
+        .orderBy(F.desc("avg_movie_rating"), F.desc("movie_count"), F.desc("total_votes"))
+    )
+
+
+_V4_SQL = """
+SELECT s_suppkey, s_name AS actor_name,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS movie_count,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0 AS avg_movie_rating,
+       CAST(SUM(l_quantity) AS BIGINT) AS total_votes
+FROM supplier
+JOIN lineitem ON l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY s_suppkey, s_name
+HAVING COUNT(DISTINCT l_orderkey) >= 3
+ORDER BY avg_movie_rating DESC, movie_count DESC, total_votes DESC
+"""
+
+
+def t5_top20(spark: SparkSession, sf: str) -> DataFrame:
+    """T5 (``README.md:106``): ``SELECT * FROM v_top_actors LIMIT 20`` —
+    compiles to TakeOrderedAndProject (true top-k, no global sort). The
+    ordering is total (s_name unique) so the cut is deterministic."""
+    return v1_top_actors(spark, sf).limit(20)
+
+
+_T5_SQL = f"SELECT * FROM ({_V1_SQL.strip().rstrip()}) v LIMIT 20"
+
+
+# ---------------------------------------------------------------------------
+# Flatten / projection / coercion parity (SURVEY.md §2.2–2.3)
+# ---------------------------------------------------------------------------
+
+
+def f1_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """F1 array explode (``02_etl.py:112-117``: genre_ids → rows),
+    rendered as token explode over documents."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+
+
+_F1_SQL = """
+SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+FROM documents
+"""
+
+
+def f2_json_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    """F2/P4: nested-JSON field extraction with missing-key→NULL
+    (``02_etl.py:73-80,213``) via ``from_json`` with declared schema."""
+    events = load_table(spark, sf, "events")
+    parsed = F.from_json("props", "k INT, missing STRING")
+    return events.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        parsed.getField("missing").alias("missing_prop"),
+    )
+
+
+_F2_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       json_extract_string(props, '$.missing') AS missing_prop
+FROM events
+"""
+
+
+def p3_scalar_coercions(spark: SparkSession, sf: str) -> DataFrame:
+    """P3 empty-string→NULL (``02_etl.py:76``) + P8 ROUND + date cast:
+    the reference's entire scalar-expression surface in one projection."""
+    events = load_table(spark, sf, "events")
+    return events.select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("")).alias("event_type_nn"),
+        F.date_format("ts", _DATE).alias("event_date"),
+        F.round("value", 2).alias("value_r"),
+    )
+
+
+_P3_SQL = """
+SELECT event_id,
+       NULLIF(event_type, '') AS event_type_nn,
+       strftime(ts, '%Y-%m-%d') AS event_date,
+       ROUND(value, 2) AS value_r
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup / top-N / report parity (SURVEY.md §2.5–2.6)
+# ---------------------------------------------------------------------------
+
+
+def o6_dedup_last_wins(spark: SparkSession, sf: str) -> DataFrame:
+    """O6 last-wins keyed dedup (``02_etl.py:224-231``): latest event
+    per user survives; explicit arrival order (ts, event_id)."""
+    events = load_table(spark, sf, "events")
+    out = dedup.dedup_last_wins(
+        events, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    )
+    return out.select(
+        "user_id", "event_id", F.date_format("ts", _TS).alias("ts"), "event_type", "value"
+    )
+
+
+_O6_SQL = """
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def o7_top_n_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """O7 per-group top-N (``02_etl.py:172-184``, cast[:15]): first 3
+    lineitems per order. Ordering made total with (linenumber, partkey,
+    suppkey) — (orderkey, linenumber) alone is NOT unique in the fixture."""
+    lineitem = load_table(spark, sf, "lineitem")
+    out = topn.top_n_per_group(
+        lineitem,
+        ["l_orderkey"],
+        [F.asc("l_linenumber"), F.asc("l_partkey"), F.asc("l_suppkey")],
+        n=3,
+        rank_col="cast_rank",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        F.col("cast_rank").cast("long").alias("cast_rank"),
+    )
+
+
+_O7_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       row_number() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, l_partkey, l_suppkey) AS cast_rank
+FROM lineitem
+QUALIFY cast_rank <= 3
+"""
+
+
+def a6_duplicate_report(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 duplicate detection (``02_etl.py:233-244``): composite keys
+    appearing more than once."""
+    events = load_table(spark, sf, "events")
+    return dedup.duplicate_report(events, ["user_id", "event_type"])
+
+
+_A6_SQL = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Upsert / merge parity (SURVEY.md §2.6 O8/O9)
+# ---------------------------------------------------------------------------
+
+
+def _orders_str_date(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.date_format("o_orderdate", _DATE).alias("o_orderdate"), "o_orderpriority",
+    )
+
+
+def o8_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """O8 update-on-conflict (``02_etl.py:84-101``): a synthetic rerun —
+    target = orders with key%4≠0; updates = modified orders with key%2=0
+    (so half the updates match, half are inserts). Incoming wins."""
+    ord_ = _orders_str_date(spark, sf)
+    target = ord_.filter(F.col("o_orderkey") % 4 != 0)
+    updates = ord_.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        SC.money_from_cents(SC.cents("o_totalprice") + 750).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+    )
+    return merge.upsert(target, updates, ["o_orderkey"])
+
+
+_O8_SQL = """
+WITH ord AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+  FROM orders
+),
+target AS (SELECT * FROM ord WHERE o_orderkey % 4 <> 0),
+updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) + 750 AS DOUBLE) / 100.0
+           AS o_totalprice, o_orderdate, o_orderpriority
+  FROM ord WHERE o_orderkey % 2 = 0
+)
+SELECT * FROM updates
+UNION ALL
+SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+"""
+
+
+def o8_upsert_preserve(spark: SparkSession, sf: str) -> DataFrame:
+    """O8, the ``runtime_minutes`` trap (``02_etl.py:92-100``): the
+    o_orderpriority column is EXCLUDED from the update — old non-null
+    values survive; update rows carry NULL there."""
+    ord_ = _orders_str_date(spark, sf)
+    target = ord_.filter(F.col("o_orderkey") % 4 != 0)
+    updates = ord_.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        SC.money_from_cents(SC.cents("o_totalprice") + 750).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit(None).cast("string").alias("o_orderpriority"),
+    )
+    return merge.upsert(target, updates, ["o_orderkey"], preserve_cols=["o_orderpriority"])
+
+
+_O8P_SQL = """
+WITH ord AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+  FROM orders
+),
+target AS (SELECT * FROM ord WHERE o_orderkey % 4 <> 0),
+updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) + 750 AS DOUBLE) / 100.0
+           AS o_totalprice, o_orderdate,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM ord WHERE o_orderkey % 2 = 0
+)
+SELECT COALESCE(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE t.o_custkey END AS o_custkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+       COALESCE(t.o_orderpriority, u.o_orderpriority) AS o_orderpriority
+FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+"""
+
+
+def o9_insert_if_absent(spark: SparkSession, sf: str) -> DataFrame:
+    """O9 insert-if-absent (``02_etl.py:123-128``, junction ON CONFLICT
+    DO NOTHING): existing junction = (part, supp) pairs from even orders;
+    incoming = pairs from odd orders (with dupes — self-deduped)."""
+    li = load_table(spark, sf, "lineitem")
+    target = li.filter(F.col("l_orderkey") % 2 == 0).select("l_partkey", "l_suppkey").distinct()
+    incoming = li.filter(F.col("l_orderkey") % 2 == 1).select("l_partkey", "l_suppkey")
+    return merge.insert_if_absent(target, incoming, ["l_partkey", "l_suppkey"])
+
+
+_O9_SQL = "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis extensions (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB fragments: tokens exactly as functions.text.tokens().
+_D_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def tx_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    out = text_analysis.token_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "ttr", "mean_token_len", "n_chars",
+    )
+
+
+_TX_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, n_chars, {_D_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       ROUND(len(list_distinct(toks)) / len(toks), 6) AS ttr,
+       ROUND(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+             / len(toks), 6) AS mean_token_len,
+       n_chars
+FROM t
+"""
+
+
+def tx_token_frequency(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.token_frequency(docs, top_k=100)
+
+
+_TX_FREQ_SQL = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest({_D_TOKS}) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+"""
+
+
+def tx_lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.lang_distribution(docs)
+
+
+_TX_LANG_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents GROUP BY lang ORDER BY n_docs DESC, lang ASC
+"""
+
+
+def tx_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.quality_scores(docs)
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in TX.STOPWORDS)
+
+_TX_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_D_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, text, toks,
+         CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+           / len(toks) AS mean_len,
+         len(list_distinct(toks)) / len(toks) AS ttr,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text) AS punct
+  FROM t
+)
+SELECT doc_id,
+       ROUND(0.4 * (1.0 - LEAST(ABS(mean_len - 5.0) / 5.0, 1.0))
+             + 0.4 * ttr
+             + 0.2 * (1.0 - LEAST(punct * 5.0, 1.0)), 6) AS quality,
+       ROUND(len(list_filter(toks, x -> list_contains([{_STOP_LIST}], lower(x))))
+             / len(toks), 6) AS stopword_ratio,
+       ROUND(punct, 6) AS punct_ratio
+FROM m
+"""
+
+
+def tx_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.language_id(docs)
+
+
+_TX_LANGID_SQL = """
+SELECT doc_id, lang AS declared_lang,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN regexp_matches(text, '[äöüßÄÖÜ]|\\b(der|die|das|und|nicht|ist)\\b') THEN 'de'
+            WHEN regexp_matches(text, '[àâçéèêëîïôùûœ]|\\b(le|la|les|est|dans|pour)\\b') THEN 'fr'
+            WHEN regexp_matches(text, '[áéíóúñ¿¡]|\\b(el|los|las|es|para|como)\\b') THEN 'es'
+            ELSE 'en' END AS predicted_lang
+FROM documents
+"""
+
+
+def tx_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.fingerprints(docs)
+
+
+_TX_FP_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup extensions: exact groups, n-gram Jaccard, MinHash LSH, SimHash
+# ---------------------------------------------------------------------------
+
+
+def _dup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ an uppercased copy with offset ids — a corpus with
+    known exact duplicates (modulo the fingerprint normalization) for
+    exercising dedup, since the fixture has no byte-identical texts."""
+    docs = load_table(spark, sf, "documents")
+    copy = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.unionByName(copy)
+
+
+def dd_exact_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicate groups by normalized fingerprint (A6 generalized
+    to content keys; the case-variant copies collide by design)."""
+    return text_analysis.exact_dup_groups(_dup_corpus(spark, sf))
+
+
+_DD_EXACT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, upper(text) AS text FROM documents
+)
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(doc_id) AS canonical_doc_id
+FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5) —
+    the fixture generator plants real near-duplicates, so this finds
+    non-trivial pairs. Candidates via inverted-index join, no crossJoin."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+_DD_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       ROUND(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+"""
+
+
+def dd_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (banded signatures → bucket join →
+    exact verify). Approximate recall → rows-only check; the exact
+    Jaccard twin above is the oracle-checked ground truth."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(docs, n=3, num_hashes=64, bands=16, threshold=0.5)
+
+
+def dd_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (pigeonhole chunk join + exact hamming
+    verify). Hash-function-dependent output → rows-only check."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=6, chunks=4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search extensions
+# ---------------------------------------------------------------------------
+
+
+def sim_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 50) against the
+    full corpus — the correctness baseline for ANN variants."""
+    emb = load_table(spark, sf, "embeddings")
+    out = similarity.knn_bruteforce(emb.filter(F.col("vec_id") < 50), emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_SIM_KNN_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 50),
+s AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         list_dot_product(qe, v.e)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(v.e, v.e))) AS raw
+  FROM q, v WHERE v.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, ROUND(raw, 6) AS score,
+       row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id ASC) AS rank
+FROM s
+QUALIFY rank <= 5
+"""
+
+
+def sim_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-5 self-join via random-hyperplane LSH buckets +
+    exact re-rank — the 100 TB path (no crossJoin). Approximate recall →
+    rows-only check; ``sim_knn_bruteforce`` is the exact twin."""
+    emb = load_table(spark, sf, "embeddings")
+    out = similarity.knn_lsh(emb, dim=64, k=5, n_planes=10, n_tables=6)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def sim_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH candidates + exact
+    verify at threshold 0.9). Rows-only check (approximate recall)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, dim=64, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Streaming extensions — batch-form window aggregations (oracle-checkable;
+# the readStream + watermark variants live in streaming.windows and tests)
+# ---------------------------------------------------------------------------
+
+
+def st_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    return SW.tumbling_counts(events, width="1 hour")
+
+
+_ST_TUMBLING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0 AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+def st_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    return SW.sliding_counts(events, width="1 hour", slide="30 minutes")
+
+
+# Every event falls in exactly width/slide = 2 windows; replicate Spark's
+# internal window expansion with an explicit offset cross join.
+_ST_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT e.*, time_bucket(INTERVAL '30 minutes', ts) - k.k * INTERVAL '30 minutes' AS w_start
+  FROM events e CROSS JOIN (VALUES (0), (1)) AS k(k)
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(w_start + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM expanded GROUP BY 1, 2, 3 ORDER BY window_start, event_type
+"""
+
+
+def st_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    return SW.sessionize(events, gap_minutes=30)
+
+
+_ST_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS nf
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+s AS (
+  SELECT *, CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM e
+)
+SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS session_value
+FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal extensions
+# ---------------------------------------------------------------------------
+
+
+def mm_asset_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only size profile over the synthesized asset table —
+    the cheap pre-decode scan path."""
+    assets = multimodal.synthesize_assets(load_table(spark, sf, "documents"))
+    return mm_cast(multimodal.asset_stats(assets))
+
+
+def mm_cast(df: DataFrame) -> DataFrame:
+    return df.select(
+        "media_type",
+        F.col("n_assets").cast("long").alias("n_assets"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        "avg_bytes",
+        F.col("max_bytes").cast("long").alias("max_bytes"),
+    )
+
+
+_MM_STATS_SQL = """
+SELECT 'image' AS media_type, CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS DOUBLE) / COUNT(*) AS avg_bytes,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+"""
+
+
+def mm_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched feature extraction (mapInPandas over binary
+    payloads) reduced to a checkable profile. The decode kernel is the
+    deterministic fake (sha256 expansion) — rows-only check."""
+    assets = multimodal.synthesize_assets(load_table(spark, sf, "documents"))
+    feats = multimodal.extract_features(assets, dim=16)
+    return feats.select(
+        "asset_id",
+        F.col("feat_dim").cast("long").alias("feat_dim"),
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")), 6).alias(
+            "feat_sum"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "v1_top_actors": v1_top_actors,
+    "v2_top_genres": v2_top_genres,
+    "v3_genre_ratings": v3_genre_ratings,
+    "v4_top_actors_by_rating": v4_top_actors_by_rating,
+    "t5_top20": t5_top20,
+    "f1_explode": f1_explode,
+    "f2_json_flatten": f2_json_flatten,
+    "p3_scalar_coercions": p3_scalar_coercions,
+    "o6_dedup_last_wins": o6_dedup_last_wins,
+    "o7_top_n_per_group": o7_top_n_per_group,
+    "a6_duplicate_report": a6_duplicate_report,
+    "o8_upsert": o8_upsert,
+    "o8_upsert_preserve": o8_upsert_preserve,
+    "o9_insert_if_absent": o9_insert_if_absent,
+    "tx_token_stats": tx_token_stats,
+    "tx_token_frequency": tx_token_frequency,
+    "tx_lang_distribution": tx_lang_distribution,
+    "tx_quality_scores": tx_quality_scores,
+    "tx_language_id": tx_language_id,
+    "tx_fingerprints": tx_fingerprints,
+    "dd_exact_dup_groups": dd_exact_dup_groups,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_simhash": dd_simhash,
+    "sim_knn_bruteforce": sim_knn_bruteforce,
+    "sim_knn_lsh": sim_knn_lsh,
+    "sim_embedding_near_dup": sim_embedding_near_dup,
+    "st_tumbling": st_tumbling,
+    "st_sliding": st_sliding,
+    "st_sessionize": st_sessionize,
+    "mm_asset_stats": mm_asset_stats,
+    "mm_features": mm_features,
+}
+
+ORACLES: dict[str, str] = {
+    "v1_top_actors": _V1_SQL,
+    "v2_top_genres": _V2_SQL,
+    "v3_genre_ratings": _V3_SQL,
+    "v4_top_actors_by_rating": _V4_SQL,
+    "t5_top20": _T5_SQL,
+    "f1_explode": _F1_SQL,
+    "f2_json_flatten": _F2_SQL,
+    "p3_scalar_coercions": _P3_SQL,
+    "o6_dedup_last_wins": _O6_SQL,
+    "o7_top_n_per_group": _O7_SQL,
+    "a6_duplicate_report": _A6_SQL,
+    "o8_upsert": _O8_SQL,
+    "o8_upsert_preserve": _O8P_SQL,
+    "o9_insert_if_absent": _O9_SQL,
+    "tx_token_stats": _TX_STATS_SQL,
+    "tx_token_frequency": _TX_FREQ_SQL,
+    "tx_lang_distribution": _TX_LANG_SQL,
+    "tx_quality_scores": _TX_QUALITY_SQL,
+    "tx_language_id": _TX_LANGID_SQL,
+    "tx_fingerprints": _TX_FP_SQL,
+    "dd_exact_dup_groups": _DD_EXACT_SQL,
+    "dd_ngram_jaccard": _DD_JACCARD_SQL,
+    "sim_knn_bruteforce": _SIM_KNN_SQL,
+    "st_tumbling": _ST_TUMBLING_SQL,
+    "st_sliding": _ST_SLIDING_SQL,
+    "st_sessionize": _ST_SESSION_SQL,
+    "mm_asset_stats": _MM_STATS_SQL,
+    # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
+    # dd_simhash, sim_knn_lsh, sim_embedding_near_dup, mm_features
+}

@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode is a single JVM (``local[N]``); the configs below are chosen so
+the *same* logical plans scale to a multi-executor cluster: AQE enabled
+(runtime partition coalescing, skew-join splitting, dynamic join
+selection), UTC session timezone (parity with the DuckDB oracle, which is
+UTC-naive), Arrow transfer for the pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "movie_data_etl_pipeline_spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or return) the SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count — at cluster
+    scale you would instead size it to ~2-3× total executor cores, or
+    simply rely on AQE's coalescing (enabled here) to right-size every
+    exchange at runtime.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # the events fixture stores ts as TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; read as raw int64 nanos and convert
+        # in sources.parquet (ns→µs truncation, matching DuckDB)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,3 @@
+from movie_data_etl_pipeline_spark.sources.parquet import load_table, load_tables, register_views
+
+__all__ = ["load_table", "load_tables", "register_views"]

@@ -1,0 +1,47 @@
+"""Parquet table sources (SURVEY.md §2.1 S5/S7 → Spark rendering).
+
+The reference bootstraps fixed DDL (``/root/reference/sql/01_schema.sql``)
+and loads via batched inserts; the Spark-native equivalent is
+schema-declared Parquet scans. Reading with an explicit schema keeps the
+scan prunable (ReadSchema contains only referenced columns once Catalyst
+prunes) and removes the footer-sampling inference step — which matters
+when "the table" is 100k files on object storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.schemas import EVENTS_RAW, FIXTURE_SCHEMAS
+
+TABLES = tuple(FIXTURE_SCHEMAS)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from ``{sf_dir}/{name}.parquet``."""
+    if name not in FIXTURE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(FIXTURE_SCHEMAS)}")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) on disk (unsupported by the vectorized
+        # reader as a timestamp): read int64 nanos, truncate to µs —
+        # byte-identical to DuckDB's nanosecond-parquet handling.
+        raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; all tables when none named."""
+    use = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register each table as a temp view so the SQL surface works
+    (``spark.sql("SELECT ... FROM lineitem")``) — the Spark rendering of
+    the reference's always-present base tables."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)

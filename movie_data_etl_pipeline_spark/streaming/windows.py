@@ -1,0 +1,176 @@
+"""Event-time windowing over the ``events`` stream (north-star
+extension, SURVEY.md §2.9): tumbling / sliding / session windows, in both
+batch form (oracle-checkable — ``F.window`` works identically on static
+DataFrames) and Structured-Streaming form (``readStream`` + watermark,
+late data dropped past the watermark horizon).
+
+The batch functions return the window start/end as formatted strings —
+timestamp rendering is pinned to ``yyyy-MM-dd HH:mm:ss`` so the DuckDB
+oracle (UTC-naive timestamps) compares byte-identically.
+
+Scale posture: windowed aggregation shuffles on (window, group-key) with
+map-side partial aggregation; state in the streaming case is bounded by
+the watermark (eviction after ``delay`` past max event time), which is
+the only thing that makes 100 TB/day streams possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.functions.scalar import avg_money, cents, money_from_cents
+from movie_data_etl_pipeline_spark.schemas import EVENTS_RAW
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _fmt(col) -> F.Column:
+    return F.date_format(col, _FMT)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per (tumbling window, event_type): count + value sum/avg.
+    ``value`` is money-like → aggregated in exact integer cents
+    (functions.scalar) so results are deterministic at any parallelism."""
+    return (
+        events.withColumn("__vc", cents("value"))
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_from_cents(F.sum("__vc")).alias("total_value"),
+            avg_money(F.sum("__vc"), F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(
+            _fmt("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Per (sliding window, event_type) count: each event lands in
+    width/slide overlapping windows (Spark expands via its internal
+    window generator — no self-union needed)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            _fmt("w.start").alias("window_start"),
+            _fmt("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when the
+    gap since the previous event exceeds ``gap_minutes``.
+
+    Implemented with lag + cumulative-sum windows (the classic batch
+    sessionization), which is deterministic and oracle-expressible —
+    unlike ``session_window``'s struct output this also ports 1:1 to the
+    DuckDB oracle. Streaming uses native ``session_window`` below; the
+    two agree on session boundaries for gap semantics.
+    """
+    by_user = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_s = gap_minutes * 60
+    with_flag = events.withColumn(
+        "__new_session",
+        F.when(
+            F.lag("ts").over(by_user).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(by_user))
+                > gap_s
+            ),
+            1,
+        ).otherwise(0),
+    )
+    with_sid = with_flag.withColumn(
+        "session_seq",
+        F.sum("__new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_sid.withColumn("__vc", cents("value"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _fmt(F.min("ts")).alias("session_start"),
+            _fmt(F.max("ts")).alias("session_end"),
+            money_from_cents(F.sum("__vc")).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming surface — same aggregations with watermarks.
+# ---------------------------------------------------------------------------
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a bounded stream (parquet file source): the
+    local stand-in for a Kafka topic. ``maxFilesPerTrigger`` would
+    throttle a production backfill; the schema is declared (streaming
+    sources require it — no inference pass)."""
+    raw = spark.readStream.schema(EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling aggregation: events later than ``watermark``
+    behind max event time are dropped and their window state evicted —
+    the bounded-state contract. Append output mode emits each window once
+    it is final."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def streaming_session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native streaming sessionization: ``session_window`` merges
+    events within ``gap`` into one growing window; watermark closes
+    sessions and evicts state."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame, name: str) -> DataFrame:
+    """Drive a (bounded) streaming query to completion into an in-memory
+    sink and return the result table — the local test/verify harness for
+    the streaming surface."""
+    q = (
+        streaming_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
