@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"v1_top_actors": <sec>, ...}, "sf": "<dir>"}
+
+Each query is forced end-to-end with the noop sink (full materialization
+of every output row — no pruning shortcut a ``count()`` might allow).
+A small warmup query first absorbs JVM/codegen startup so per-query
+numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from movie_data_etl_pipeline_spark.plans import fixture_queries as FQ
+from movie_data_etl_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "v1_top_actors",
+    "v2_top_genres",
+    "v3_genre_ratings",
+    "v4_top_actors_by_rating",
+    "t5_top20",
+    "f1_explode",
+    "o6_dedup_last_wins",
+    "o7_top_n_per_group",
+    "o8_upsert",
+    "o9_insert_if_absent",
+    "tx_token_stats",
+    "tx_token_frequency",
+    "tx_quality_scores",
+    "dd_exact_dup_groups",
+    "dd_ngram_jaccard",
+    "dd_minhash_lsh",
+    "sim_knn_lsh",
+    "st_tumbling",
+    "st_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+
+    # warmup: JVM + codegen + parquet footer caches
+    FQ.QUERIES["v2_top_genres"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = FQ.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -40,16 +40,30 @@ def token_count(text: Column | str) -> Column:
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as strings: ``sequence`` over start offsets +
-    ``slice`` + ``concat_ws``, all codegen'd array expressions. Documents
-    shorter than ``n`` tokens yield an empty array."""
+    """Word n-gram shingles as strings, built by ``zip_with`` over
+    shifted slices of the token array.
+
+    Why not ``transform(sequence(...), i -> slice(t, i, n))``: an outer
+    expression referenced *inside* a higher-order-function lambda is
+    re-evaluated per element (Catalyst substitutes, it doesn't bind), so
+    the tokenizing split would run O(len) times per row — measured ~10×
+    slowdown on the dedup pipeline. ``zip_with`` arguments are evaluated
+    once per row and the lambda works on the bound arrays, keeping the
+    whole expression O(len). Null padding from the shorter slice marks
+    incomplete windows; they're filtered at the end (documents shorter
+    than ``n`` tokens therefore yield an empty array)."""
     t = tokens(text)
-    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    out = t
+    for i in range(1, n):
+        shifted = F.slice(t, i + 1, F.greatest(F.size(t) - i, F.lit(0)))
+        out = F.zip_with(
+            out,
+            shifted,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), F.lit(None).cast("string")
+            ).otherwise(F.concat_ws(" ", a, b)),
         )
-    )
+    return F.filter(out, lambda x: x.isNotNull())
 
 
 def type_token_ratio(text: Column | str) -> Column:

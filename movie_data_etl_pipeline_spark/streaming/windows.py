@@ -121,7 +121,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     local stand-in for a Kafka topic. ``maxFilesPerTrigger`` would
     throttle a production backfill; the schema is declared (streaming
     sources require it — no inference pass)."""
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        # the file-stream source requires a directory; glob-filter to the
+        # events table only
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

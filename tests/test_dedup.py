@@ -1,0 +1,97 @@
+"""Dedup semantics (SURVEY.md §2.6 O6 / §2.5 A6 / near-dup family).
+
+The last-wins test reproduces the reference's contract exactly: a batch
+with duplicate keys differing in payload must keep the LATEST occurrence
+(``/root/reference/02_etl.py:224-231`` docstring: "preserving the latest
+occurrence"), which bare ``dropDuplicates`` does not guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.operators import dedup
+
+
+def test_last_wins_keeps_latest_payload(spark):
+    rows = [
+        (1, 0, "first"),
+        (1, 1, "middle"),
+        (1, 2, "latest"),
+        (2, 0, "only"),
+        (3, 5, "newer"),
+        (3, 4, "older"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, seq INT, payload STRING")
+    out = dedup.dedup_last_wins(df, ["id"], [F.desc("seq")])
+    got = {r["id"]: r["payload"] for r in out.collect()}
+    assert got == {1: "latest", 2: "only", 3: "newer"}
+
+
+def test_last_wins_deterministic_on_rerun(spark):
+    rows = [(i % 10, i, f"p{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id INT, seq INT, payload STRING").repartition(7)
+    a = sorted(map(tuple, dedup.dedup_last_wins(df, ["id"], [F.desc("seq")]).collect()))
+    b = sorted(map(tuple, dedup.dedup_last_wins(df, ["id"], [F.desc("seq")]).collect()))
+    assert a == b
+    assert all(seq == 990 + id_ for id_, seq, _ in a)
+
+
+def test_dedup_exact_keeps_min_key(spark):
+    df = spark.createDataFrame(
+        [(10, "x"), (3, "x"), (7, "y")], "doc_id INT, text STRING"
+    )
+    out = dedup.dedup_exact(df, ["text"], keep_min_of="doc_id")
+    got = {r["text"]: r["doc_id"] for r in out.collect()}
+    assert got == {"x": 3, "y": 7}
+
+
+def test_duplicate_report(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a")], "k INT, t STRING"
+    )
+    out = {(r["k"], r["t"]): r["n"] for r in dedup.duplicate_report(df, ["k", "t"]).collect()}
+    assert out == {(1, "a"): 2}
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    other = "completely different words about spark engines and columnar formats"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id LONG, text STRING"
+    )
+
+
+def test_ngram_jaccard_finds_near_dup_pair(spark):
+    out = dedup.ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in out}
+    assert pairs == {(1, 2)}
+    j = out[0]["jaccard"]
+    # 13 tokens → 11 shingles each; one end-token differs → 10 shared,
+    # union 12 → J = 10/12
+    assert abs(j - 10 / 12) < 1e-6
+
+
+def test_minhash_lsh_recalls_exact_pairs(spark):
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5).collect()
+    }
+    approx = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_lsh_pairs(
+            _docs(spark), n=3, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    # high-similarity pair must be recalled at 32 bands (2 rows/band)
+    assert exact <= approx or approx == exact
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "x y z w")],
+        "doc_id LONG, text STRING",
+    )
+    out = dedup.simhash_near_dup_pairs(df, max_hamming=0, chunks=4).collect()
+    assert {(r["a_id"], r["b_id"], r["hamming"]) for r in out} == {(1, 2, 0)}

@@ -1,0 +1,83 @@
+"""Similarity search and multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from movie_data_etl_pipeline_spark.operators import multimodal, similarity
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # near 1
+        (3, [0.0, 1.0, 0.0]),   # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    return spark.createDataFrame(rows, VEC_SCHEMA)
+
+
+def test_knn_bruteforce_ranks(vecs):
+    out = similarity.knn_bruteforce(vecs, vecs, k=3)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"]) for r in out.collect()
+    }
+    assert got[(1, 1)][0] == 2
+    assert abs(got[(1, 1)][1] - 0.9 / math.sqrt(0.82)) < 1e-5
+    assert got[(1, 2)][0] == 3 and abs(got[(1, 2)][1]) < 1e-9
+    assert got[(1, 3)] == (4, -1.0)
+    # no self matches anywhere
+    assert all(r["query_id"] != r["neighbor_id"] for r in out.collect())
+
+
+def test_lsh_buckets_deterministic(spark, vecs):
+    a = sorted(map(tuple, similarity.lsh_bucket(vecs, dim=3, seed=11).collect()))
+    b = sorted(map(tuple, similarity.lsh_bucket(vecs, dim=3, seed=11).collect()))
+    assert a == b
+    c = sorted(map(tuple, similarity.lsh_bucket(vecs, dim=3, seed=12).collect()))
+    assert a != c  # different planes → different buckets (overwhelmingly)
+
+
+def test_embedding_near_dup_threshold(vecs):
+    out = similarity.embedding_near_dup_pairs(
+        vecs, dim=3, threshold=0.95, n_planes=4, n_tables=8, seed=3
+    ).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in out}
+    # only (1,2) has cosine ≥ 0.95 (≈0.9939); LSH with 8 tables of 4
+    # planes recalls it with near-certainty for near-parallel vectors
+    assert pairs == {(1, 2)}
+
+
+def test_multimodal_pipeline(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "s", 11), (2, "spark engine", "en", "s", 12)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    assets = multimodal.synthesize_assets(docs)
+    assert assets.schema["payload"].dataType.typeName() == "binary"
+    stats = multimodal.asset_stats(assets).collect()
+    assert stats[0]["n_assets"] == 2
+
+    feats = multimodal.extract_features(assets, dim=8)
+    rows = {r["asset_id"]: r["feature"] for r in feats.collect()}
+    assert all(len(v) == 8 for v in rows.values())
+    # deterministic: same payload → same feature on re-run
+    rows2 = {r["asset_id"]: r["feature"] for r in multimodal.extract_features(assets, dim=8).collect()}
+    assert rows == rows2
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"bytes", "jpeg")

@@ -1,0 +1,71 @@
+"""Structured-Streaming surface: the watermarked streaming aggregations
+must agree with their batch twins when the stream is bounded (replay
+equivalence — SURVEY.md §7 'Streaming state' test strategy)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.sources import load_table
+from movie_data_etl_pipeline_spark.streaming import windows as SW
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream = SW.read_events_stream(spark, sf_dir)
+    streamed = SW.run_stream_to_memory(
+        spark, SW.streaming_tumbling_counts(stream, "1 hour", "2 hours"), "t_tumble"
+    )
+    batch = load_table(spark, sf_dir, "events")
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    got = sorted(
+        (r["window_start"], r["event_type"], r["n_events"]) for r in streamed.collect()
+    )
+    want = sorted(
+        (r["window_start"], r["event_type"], r["n_events"]) for r in expected.collect()
+    )
+    # append mode emits a window only once the watermark passes it: the
+    # trailing windows (within watermark+width of max event time) stay
+    # open when a bounded stream ends. Everything emitted must match the
+    # batch result exactly; only tail windows may be withheld.
+    assert len(got) > 0
+    assert set(got) <= set(want)
+    import datetime as dt
+
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    horizon = max_ts - dt.timedelta(hours=2) - dt.timedelta(hours=1)
+    missing = set(want) - set(got)
+    assert all(w[0] >= horizon for w in missing)
+
+
+def test_streaming_session_window_runs(spark, sf_dir):
+    stream = SW.read_events_stream(spark, sf_dir)
+    out = SW.run_stream_to_memory(
+        spark, SW.streaming_session_counts(stream, "30 minutes", "2 hours"), "t_sess"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] > r["session_start"] for r in rows)
+
+
+def test_batch_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=10), 7, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=90), 7, "click", 1.0, "{}"),  # new session
+        (4, base, 8, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    out = SW.sessionize(df, gap_minutes=30).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert per_user == {7: [2, 1], 8: [1]}

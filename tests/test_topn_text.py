@@ -1,0 +1,61 @@
+"""Per-group top-N (O7) and the text-function surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.functions import text as TX
+from movie_data_etl_pipeline_spark.operators import topn
+
+
+def test_top_n_per_group_cap_and_order(spark):
+    rows = [(g, i, g * 100 + i) for g in (1, 2) for i in (5, 3, 1, 4, 2)]
+    df = spark.createDataFrame(rows, "g INT, ord INT, payload INT")
+    out = topn.top_n_per_group(df, ["g"], [F.asc("ord")], n=3, rank_col="r")
+    got = sorted((r["g"], r["ord"], r["r"]) for r in out.collect())
+    assert got == [(1, 1, 1), (1, 2, 2), (1, 3, 3), (2, 1, 1), (2, 2, 2), (2, 3, 3)]
+
+
+def test_top_cast_reference_shape(spark):
+    rows = [(10, p, p, f"char{p}") for p in range(20)]
+    df = spark.createDataFrame(
+        rows, "tmdb_movie_id INT, tmdb_person_id INT, cast_order INT, character_name STRING"
+    )
+    out = topn.top_cast(df, n=15)
+    assert out.count() == 15
+    assert out.agg(F.max("cast_order")).first()[0] == 14
+
+
+def _one(spark, expr):
+    return spark.range(1).select(expr.alias("x")).first()["x"]
+
+
+def test_shingles(spark):
+    e = TX.shingles(F.lit("a b c d e"), 3)
+    assert _one(spark, e) == ["a b c", "b c d", "c d e"]
+    assert _one(spark, TX.shingles(F.lit("a b"), 3)) == []
+    assert _one(spark, TX.shingles(F.lit("  a   b  c "), 2)) == ["a b", "b c"]
+
+
+def test_tokens_and_bpe(spark):
+    assert _one(spark, TX.tokens(F.lit(" foo  bar "))) == ["foo", "bar"]
+    assert _one(spark, TX.bpe_ish_tokens(F.lit("abc123,x!"))) == ["abc", "123", ",", "x", "!"]
+
+
+def test_fingerprint_normalizes(spark):
+    a = _one(spark, TX.fingerprint(F.lit("Hello   World")))
+    b = _one(spark, TX.fingerprint(F.lit("hello world ")))
+    assert a == b
+
+
+def test_lang_id_markers(spark):
+    assert _one(spark, TX.lang_id(F.lit("der hund ist hier"))) == "de"
+    assert _one(spark, TX.lang_id(F.lit("el niño es pequeño"))) == "es"
+    assert _one(spark, TX.lang_id(F.lit("just plain words"))) == "en"
+    assert _one(spark, TX.lang_id(F.lit("这是中文"))) == "zh"
+
+
+def test_rolling_hash_window(spark):
+    out = _one(spark, TX.rolling_hash(F.lit("abcdefghij"), 8))
+    assert len(out) == 3  # 10 - 8 + 1
+    assert _one(spark, TX.rolling_hash(F.lit("short"), 8)) == []
