@@ -245,6 +245,22 @@ TMDB_PAGE_ENVELOPE = T.StructType(
     ]
 )
 
+TMDB_GENRE_LIST = T.StructType(
+    [
+        T.StructField(
+            "genres",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.IntegerType()),
+                        T.StructField("name", T.StringType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
 TMDB_CAST_MEMBER = T.StructType(
     [
         T.StructField("id", T.IntegerType()),
