@@ -758,6 +758,282 @@ def mm_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Engine surface beyond the reference (SURVEY.md §2.9 notes the reference
+# has no outer joins / windows / set ops / grouping sets — a complete
+# analytics engine needs them, so they are first-class, oracle-checked)
+# ---------------------------------------------------------------------------
+
+_BIG = 300_000.0  # "big order" threshold: makes outer/anti paths non-trivial
+
+
+def j5_left_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT OUTER join + aggregate with null-group semantics: big-order
+    count per customer, 0 for customers with none."""
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    big = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > _BIG)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+        .orderBy(F.desc("n_big_orders"), F.asc("c_custkey"))
+    )
+
+
+_J5_SQL = f"""
+SELECT c_custkey, c_name, CAST(COUNT(o_orderkey) AS BIGINT) AS n_big_orders
+FROM customer LEFT OUTER JOIN (
+  SELECT * FROM orders WHERE o_totalprice > {_BIG}
+) big ON big.o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY n_big_orders DESC, c_custkey ASC
+"""
+
+
+def j6_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no big orders — the moral
+    half of the reference's ON CONFLICT test (SURVEY.md §2.4 note)."""
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    big = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > _BIG)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).orderBy("c_custkey")
+
+
+_J6_SQL = f"""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > {_BIG}
+)
+ORDER BY c_custkey
+"""
+
+
+def j7_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers with at least one big order."""
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    big = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > _BIG)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).orderBy("c_custkey")
+
+
+_J7_SQL = f"""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > {_BIG}
+)
+ORDER BY c_custkey
+"""
+
+
+def w1_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Running-sum window (ROWS UNBOUNDED PRECEDING) per supplier over a
+    total order — cumulative shipped quantity. Quantities are
+    integer-valued so the running sum is emitted exactly as BIGINT."""
+    li = load_table(spark, sf, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.date_format("l_shipdate", _DATE).alias("ship_date"),
+        F.sum("l_quantity").over(w).cast("long").alias("run_qty"),
+    )
+
+
+_W1_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+       CAST(SUM(l_quantity) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_qty
+FROM lineitem
+"""
+
+
+def w2_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """lag() window: per-user value delta between consecutive events
+    (exact cents subtraction; NULL for each user's first event)."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    vc = SC.cents("value")
+    return ev.select(
+        "user_id",
+        "event_id",
+        ((vc - F.lag(vc).over(w)).cast("double") / F.lit(100.0)).alias("delta"),
+    )
+
+
+_W2_SQL = """
+SELECT user_id, event_id,
+       CAST(CAST(ROUND(value * 100) AS BIGINT)
+            - lag(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS DOUBLE)
+         / 100.0 AS delta
+FROM events
+"""
+
+
+def g1_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets over (returnflag, linestatus): subtotals and
+    grand total with NULL markers."""
+    li = load_table(spark, sf, "lineitem").withColumn("__epc", SC.cents("l_extendedprice"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            SC.money_from_cents(F.sum("__epc")).alias("revenue"),
+        )
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+_G1_SQL = """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def g2_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets over (orderstatus, orderpriority)."""
+    o = load_table(spark, sf, "orders").withColumn("__opc", SC.cents("o_totalprice"))
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            SC.money_from_cents(F.sum("__opc")).alias("total_value"),
+        )
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+_G2_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def pv_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: linestatus values to columns, summed quantity per
+    returnflag (values pinned so the output schema is static — the
+    scale-safe form; an unpinned pivot runs a distinct scan first)."""
+    li = load_table(spark, sf, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").cast("long").alias("qty_open"),
+        F.col("F").cast("long").alias("qty_finished"),
+    ).orderBy("l_returnflag")
+
+
+_PV_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS qty_open,
+       CAST(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS qty_finished
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def su_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT composition: customer keys classified
+    by two derived sets (big-order buyers vs high-balance accounts)."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    buyers = (
+        orders.filter(F.col("o_totalprice") > _BIG)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    both = buyers.intersect(rich).select("c_custkey", F.lit("both").alias("tag"))
+    only_buyer = buyers.subtract(rich).select("c_custkey", F.lit("only_buyer").alias("tag"))
+    only_rich = rich.subtract(buyers).select("c_custkey", F.lit("only_rich").alias("tag"))
+    return both.unionByName(only_buyer).unionByName(only_rich).orderBy("tag", "c_custkey")
+
+
+_SU_SQL = f"""
+WITH buyers AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > {_BIG}
+),
+rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT c_custkey, 'both' AS tag FROM (SELECT * FROM buyers INTERSECT SELECT * FROM rich)
+UNION ALL
+SELECT c_custkey, 'only_buyer' AS tag FROM (SELECT * FROM buyers EXCEPT SELECT * FROM rich)
+UNION ALL
+SELECT c_custkey, 'only_rich' AS tag FROM (SELECT * FROM rich EXCEPT SELECT * FROM buyers)
+ORDER BY tag, c_custkey
+"""
+
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary (the canonical scan-heavy
+    aggregation): filtered scan → 2-key groupBy → 6 aggregates. Money in
+    exact integer units: extendedprice in cents; the discounted price
+    needs 4 decimals → an exact integer in 1/10⁶ units, summed as
+    DECIMAL so it cannot wrap at large SF (a silent-overflow long sum is
+    exactly the kind of 100 TB bug this engine avoids)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    epc = SC.cents("l_extendedprice")
+    disc_pct = SC.cents("l_discount")  # discount in 1/100 units
+    li = li.withColumn("__epc", epc).withColumn(
+        "__disc",
+        (epc * (F.lit(10000).cast("long") - disc_pct * 100)).cast("decimal(30,0)"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            SC.money_from_cents(F.sum("__epc")).alias("sum_base_price"),
+            (F.sum("__disc").cast("double") / F.lit(1000000.0)).alias("sum_disc_price"),
+            (F.sum("l_quantity").cast("double") / n).alias("avg_qty"),
+            SC.avg_money(F.sum("__epc"), n).alias("avg_price"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+WITH li AS (
+  SELECT *, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS epc,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS dpc
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM(epc) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(epc * (10000 - dpc * 100)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+       CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(epc) AS DOUBLE) / COUNT(*) / 100.0 AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM li
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -794,6 +1070,16 @@ QUERIES: dict[str, QueryFn] = {
     "st_sessionize": st_sessionize,
     "mm_asset_stats": mm_asset_stats,
     "mm_features": mm_features,
+    "j5_left_join_agg": j5_left_join_agg,
+    "j6_anti_join": j6_anti_join,
+    "j7_semi_join": j7_semi_join,
+    "w1_running_total": w1_running_total,
+    "w2_lag_delta": w2_lag_delta,
+    "g1_rollup": g1_rollup,
+    "g2_cube": g2_cube,
+    "pv_pivot_status": pv_pivot_status,
+    "su_set_ops": su_set_ops,
+    "q1_pricing_summary": q1_pricing_summary,
 }
 
 ORACLES: dict[str, str] = {
@@ -824,6 +1110,16 @@ ORACLES: dict[str, str] = {
     "st_sliding": _ST_SLIDING_SQL,
     "st_sessionize": _ST_SESSION_SQL,
     "mm_asset_stats": _MM_STATS_SQL,
+    "j5_left_join_agg": _J5_SQL,
+    "j6_anti_join": _J6_SQL,
+    "j7_semi_join": _J7_SQL,
+    "w1_running_total": _W1_SQL,
+    "w2_lag_delta": _W2_SQL,
+    "g1_rollup": _G1_SQL,
+    "g2_cube": _G2_SQL,
+    "pv_pivot_status": _PV_SQL,
+    "su_set_ops": _SU_SQL,
+    "q1_pricing_summary": _Q1_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_embedding_near_dup, mm_features
 }
