@@ -45,3 +45,48 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     the reference's always-present base tables."""
     for name, df in load_tables(spark, sf_dir, *names).items():
         df.createOrReplaceTempView(name)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    bucket_by: tuple[int, tuple[str, ...]] | None = None,
+    table_name: str | None = None,
+) -> None:
+    """Table sink (SURVEY.md §2.1 S5 — the reference's batched
+    ``execute_values`` INSERT, ``02_etl.py:44-45`` etc., becomes a
+    columnar write).
+
+    Scale knobs surfaced explicitly because they ARE the 100 TB story:
+
+    * ``partition_by`` — hive-style directory partitioning; downstream
+      filters on these columns become partition pruning (no file even
+      opened). Use low-cardinality keys (date, region).
+    * ``bucket_by`` — ``(n_buckets, cols)``: pre-shuffles rows into a
+      fixed hash layout so later joins/aggs on those columns skip their
+      exchange entirely. Requires a saveAsTable (bucket metadata lives
+      in the catalog), hence ``table_name``.
+
+    Upsert semantics are deliberately NOT here — compose
+    ``operators.merge`` first, then write the merged state (on
+    Delta/Iceberg backends the same merge call sites become MERGE INTO).
+    """
+    if bucket_by is not None:
+        n, cols = bucket_by
+        if not table_name:
+            raise ValueError("bucket_by requires table_name (catalog metadata)")
+        (
+            df.write.mode(mode)
+            .option("path", path)
+            .bucketBy(n, *cols)
+            .sortBy(*cols)
+            .format("parquet")
+            .saveAsTable(table_name)
+        )
+        return
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
