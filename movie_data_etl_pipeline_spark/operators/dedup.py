@@ -81,10 +81,23 @@ def duplicate_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
 def _shingle_sets(
     docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, sh: distinct shingle array, n_sh) per document."""
+    """(id, sh: distinct 64-bit-hashed shingle array, n_sh) per document.
+
+    Shingles are hashed to int64 immediately: every downstream set
+    operation (prefix explode+join, ``array_intersect`` verify) then
+    runs on fixed-width longs instead of ~n-token strings — identical
+    Jaccard values (a 64-bit collision inside one document's ~10³
+    shingles has probability ~1e-13) at a fraction of the shuffle bytes
+    and comparison cost."""
     return (
-        docs.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-        .withColumn("sh", F.array_distinct("sh"))
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
+                )
+            ).alias("sh"),
+        )
         .withColumn("n_sh", F.size("sh"))
         .filter(F.col("n_sh") > 0)
     )
@@ -151,13 +164,21 @@ def ngram_jaccard_pairs(
         .select(
             "id",
             "n_sh",
-            F.explode(F.slice(F.transform("ordered", lambda s: s["shingle"]), 1, F.col("k"))).alias(
-                "shingle"
-            ),
+            F.posexplode(
+                F.slice(F.transform("ordered", lambda s: s["shingle"]), 1, F.col("k"))
+            ).alias("pos", "shingle"),
         )
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # positional filter (PPJoin): a match at 0-based prefix positions
+    # (i, j) bounds the overlap by min(|A|-i, |B|-j); Jaccard ≥ t needs
+    # overlap ≥ t/(1+t)·(|A|+|B|). The earliest match per pair gives the
+    # loosest bound, so filtering per matched row then distinct-ing
+    # prunes only pairs whose BEST bound fails — no false negatives.
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
     candidates = (
         a.join(
             b,
@@ -166,7 +187,13 @@ def ngram_jaccard_pairs(
             # length filter: t·max(|A|,|B|) ≤ min(|A|,|B|) is implied by
             # t·|A| ≤ |B| and t·|B| ≤ |A|
             & (F.lit(threshold) * F.col("a.n_sh") <= F.col("b.n_sh"))
-            & (F.lit(threshold) * F.col("b.n_sh") <= F.col("a.n_sh")),
+            & (F.lit(threshold) * F.col("b.n_sh") <= F.col("a.n_sh"))
+            & (
+                F.least(
+                    F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
+                )
+                >= min_overlap
+            ),
         )
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
@@ -188,34 +215,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature (array of ``num_hashes`` min-values).
 
-    Hash family: ``xxhash64(seed_i, shingle)`` — Spark's 64-bit
-    xxHash with the per-function seed mixed in as a literal first
-    argument. Deterministic across runs/executors (no Python in the hot
-    path; whole-stage codegen applies).
+    Hash family: ``xxhash64(seed_i, shingle_hash)`` — Spark's 64-bit
+    xxHash with the per-function seed mixed in as the first argument.
+    Deterministic across runs/executors (no Python in the hot path;
+    whole-stage codegen applies).
 
-    Plan shape: explode shingles → per (doc, seed) min-aggregate. The
-    seeds are expanded with ``posexplode`` of a literal array so the agg
-    is a single shuffle keyed by (doc, seed).
+    Plan shape: **zero shuffles** — each signature slot is
+    ``array_min(transform(sh, h -> xxhash64(seed, h)))`` evaluated
+    per-document inside one projection. The naive alternative (explode
+    shingles × seeds, then a (doc, seed)-keyed min-aggregate) pushes
+    |shingles|·num_hashes rows through an exchange; this form does the
+    same multiplications with no exchange at all, which is the
+    difference between a map-only stage and a 100-billion-row shuffle
+    at corpus scale.
     """
-    sh = (
-        docs.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-        .withColumn("shingle", F.explode(F.array_distinct("sh")))
-        .select("id", "shingle")
-    )
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    hashed = sh.select(
+    sh = _shingle_sets(docs, id_col, text_col, n)
+    return sh.select(
         "id",
-        F.posexplode(seeds).alias("pos", "seed"),
-        F.col("shingle"),
-    ).select(
-        "id", "pos", F.xxhash64(F.col("seed"), F.col("shingle")).alias("h")
-    )
-    return (
-        hashed.groupBy("id", "pos")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mh"))).alias("s"))
-        .select("id", F.transform("s", lambda x: x["mh"]).alias("signature"))
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda seed: F.array_min(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(seed, s))
+            ),
+        ).alias("signature"),
     )
 
 
@@ -238,7 +260,18 @@ def minhash_lsh_pairs(
     restricted to LSH-recalled pairs: (a_id, b_id, jaccard).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    # one persisted shingle-set relation feeds BOTH the signatures and
+    # the exact verification — the corpus is tokenized exactly once
+    sh = _shingle_sets(docs, id_col, text_col, n).persist()
+    sigs = sh.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda seed: F.array_min(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(seed, s))
+            ),
+        ).alias("signature"),
+    )
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -264,7 +297,6 @@ def minhash_lsh_pairs(
     )
     # exact verification on candidates ONLY — the whole point of LSH is
     # that the expensive comparison never touches non-colliding pairs
-    sh = _shingle_sets(docs, id_col, text_col, n).persist()
     return _verify_pairs(candidates, sh, threshold)
 
 

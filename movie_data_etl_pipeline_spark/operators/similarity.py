@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from movie_data_etl_pipeline_spark.functions.vector import cosine, dot
+from movie_data_etl_pipeline_spark.functions.vector import cosine, dot, norm, normalized
 
 
 def knn_bruteforce(
@@ -79,27 +79,46 @@ def lsh_bucket(
 ) -> DataFrame:
     """Assign each vector a sign-pattern bucket id per hash table.
 
-    Output: (id, table, bucket) — one row per (vector, table). The bucket
-    is the integer whose bit ``p`` is the sign of ``v · plane_p``. All
-    arithmetic is codegen'd array math over literal plane arrays.
+    Output: (id, table, bucket) — one row per (vector, table). The
+    bucket folds the signs of ``v · plane_p`` into an integer.
+
+    The planes ship as a **broadcast 6-row DataFrame** (one row per
+    table, planes as a nested-array value), not as literal expression
+    trees: embedding n_tables·n_planes·dim literals in the plan made
+    Catalyst analysis/codegen the dominant cost (seconds per query,
+    regardless of data size). A broadcast-nested-loop join against a
+    handful of rows keeps the expression tree O(1), adds zero shuffles,
+    and the per-row arithmetic is the same codegen'd higher-order fold.
     """
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
-    per_table = []
-    for t, table in enumerate(planes):
-        bucket = F.lit(0).cast("long")
-        for p, plane in enumerate(table):
-            plane_col = F.array(*[F.lit(float(x)) for x in plane])
-            proj = F.aggregate(
-                F.zip_with(F.col(vec_col), plane_col, lambda a, b: a.cast("double") * b),
+    spark = df.sparkSession
+    planes_df = spark.createDataFrame(
+        [(t, planes[t]) for t in range(n_tables)],
+        "table int, planes array<array<double>>",
+    )
+    bucket = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc * 2
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__v"),
+                    F.element_at(F.col("planes"), p + 1),
+                    lambda a, b: a.cast("double") * b,
+                ),
                 F.lit(0.0),
-                lambda acc, x: acc + x,
+                lambda s, x: s + x,
             )
-            bucket = bucket + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        per_table.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(*per_table)).alias("tb"),
-    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+            >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(planes_df))
+        .select("id", "table", bucket.alias("bucket"))
+    )
 
 
 def knn_lsh(
@@ -118,7 +137,7 @@ def knn_lsh(
     Same output shape as ``knn_bruteforce``; recall < 1 by construction
     (the judge-visible trade: at 100 TB the crossJoin is impossible,
     bucket joins are linear-ish in collisions)."""
-    buckets = lsh_bucket(vectors, dim, id_col, vec_col, n_planes, n_tables, seed)
+    buckets = lsh_bucket(vectors, dim, id_col, vec_col, n_planes, n_tables, seed).persist()
     cand = (
         buckets.alias("a")
         .join(
@@ -130,11 +149,16 @@ def knn_lsh(
         .select(F.col("a.id").alias("query_id"), F.col("b.id").alias("neighbor_id"))
         .distinct()
     )
-    vecs = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # normalize once per vector so the per-candidate cosine is ONE dot fold
+    vecs = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("__n", norm("v"))
+        .select("id", normalized("v", "__n").alias("v"))
+    )
     scored = (
         cand.join(vecs.select(F.col("id").alias("query_id"), F.col("v").alias("__qv")), "query_id")
         .join(vecs.select(F.col("id").alias("neighbor_id"), F.col("v").alias("__cv")), "neighbor_id")
-        .select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("score"))
+        .select("query_id", "neighbor_id", dot("__qv", "__cv").alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -157,7 +181,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (a_id < b_id, cosine ≥
     threshold), LSH-candidates + exact verify — the embedding analogue of
     ``dedup.minhash_lsh_pairs``."""
-    buckets = lsh_bucket(vectors, dim, id_col, vec_col, n_planes, n_tables, seed)
+    buckets = lsh_bucket(vectors, dim, id_col, vec_col, n_planes, n_tables, seed).persist()
     cand = (
         buckets.alias("a")
         .join(
@@ -169,10 +193,14 @@ def embedding_near_dup_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
     )
-    vecs = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    vecs = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("__n", norm("v"))
+        .select("id", normalized("v", "__n").alias("v"))
+    )
     return (
         cand.join(vecs.select(F.col("id").alias("a_id"), F.col("v").alias("__av")), "a_id")
         .join(vecs.select(F.col("id").alias("b_id"), F.col("v").alias("__bv")), "b_id")
-        .select("a_id", "b_id", F.round(cosine("__av", "__bv"), 6).alias("cosine"))
+        .select("a_id", "b_id", F.round(dot("__av", "__bv"), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -641,9 +641,17 @@ def sim_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def sim_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH candidates + exact
-    verify at threshold 0.9). Rows-only check (approximate recall)."""
+    verify). Rows-only check (approximate recall).
+
+    Threshold 0.45 with 6 planes × 12 tables: the fixture embeddings'
+    max pairwise cosine is ~0.51 (measured), so a production-style 0.9
+    threshold matches nothing — the query is tuned to the regime the
+    data actually has (per-plane collision prob at cos 0.45 ≈ 0.65 →
+    table hit ≈ 0.65⁶ ≈ 0.08 → 12-table recall ≈ 1-(1-0.08)¹² ≈ 0.63)."""
     emb = load_table(spark, sf, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, dim=64, threshold=0.9)
+    return similarity.embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.45, n_planes=6, n_tables=12
+    )
 
 
 # ---------------------------------------------------------------------------
