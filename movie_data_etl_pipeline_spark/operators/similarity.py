@@ -168,6 +168,101 @@ def knn_lsh(
     )
 
 
+def knn_ivf(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 32,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_sample_fraction: float | None = None,
+) -> DataFrame:
+    """Approximate top-k self-join via IVF (inverted-file) partitioning —
+    the second scale path alongside ``knn_lsh``.
+
+    1. **Train** a coarse quantizer: seeded MLlib KMeans over the
+       vectors (or a sample — at 100 TB pass ``fit_sample_fraction``;
+       centroid quality needs only a representative sample, not the
+       corpus).
+    2. **Assign** every vector to its nearest centroid (one map-side
+       model.transform — the "inverted file" is just a cell column, and
+       on disk it would be the partition key).
+    3. **Probe**: each query ranks the ``n_cells`` centroids (broadcast,
+       tiny) and searches only its ``n_probe`` nearest cells.
+    4. **Re-rank** candidates exactly with a single-fold dot over
+       pre-normalized vectors.
+
+    Same output shape as ``knn_bruteforce``. Recall < 1 at cell
+    boundaries (the IVF trade); the ``n_probe``/``n_cells`` ratio is the
+    recall/cost dial. Candidate volume ≈ n·(n_probe/n_cells)·n — at
+    n_probe=4, n_cells=32 that is 1/8 of the crossJoin, and the ratio is
+    controlled, not data-dependent like LSH bucket skew.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    fit_on = v.sample(fit_sample_fraction, seed=seed) if fit_sample_fraction else v
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__fv", predictionCol="__cell"
+    ).fit(fit_on.withColumn("__fv", array_to_vector("__v")))
+    assigned = (
+        model.transform(v.withColumn("__fv", array_to_vector("__v")))
+        .select("id", "__v", F.col("__cell").alias("cell"))
+        .persist()
+    )
+    spark = vectors.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        assigned.select("id", "__v")
+        .crossJoin(F.broadcast(centroids))
+        .select("id", "cell", dist2.alias("d2"))
+        .withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= n_probe)
+        .select(F.col("id").alias("query_id"), "cell")
+    )
+    cand = (
+        probes.join(assigned.select(F.col("id").alias("neighbor_id"), "cell"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = (
+        v.withColumn("__n", norm("__v"))
+        .select("id", normalized("__v", "__n").alias("vn"))
+    )
+    scored = (
+        cand.join(
+            vecs.select(F.col("id").alias("query_id"), F.col("vn").alias("__qv")),
+            "query_id",
+        )
+        .join(
+            vecs.select(F.col("id").alias("neighbor_id"), F.col("vn").alias("__cv")),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", dot("__qv", "__cv").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     dim: int,

@@ -31,6 +31,7 @@ from movie_data_etl_pipeline_spark.functions import scalar as SC
 from movie_data_etl_pipeline_spark.functions import text as TX
 from movie_data_etl_pipeline_spark.operators import (
     dedup,
+    joins,
     merge,
     multimodal,
     similarity,
@@ -654,6 +655,90 @@ def sim_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sim_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-5 self-join via IVF coarse quantization (seeded
+    KMeans cells, 5-of-16 probe) + exact re-rank — the second scale path
+    beside LSH. Centroid-dependent output → rows-only check;
+    ``sim_knn_bruteforce`` is the exact twin (recall asserted in
+    tests)."""
+    emb = load_table(spark, sf, "embeddings")
+    out = similarity.knn_ivf(emb, dim=64, k=5, n_cells=16, n_probe=5)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-equi joins — as-of (temporal) and range (band) joins
+# ---------------------------------------------------------------------------
+
+
+def aj_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join: every click event annotated with the latest
+    preceding error event of the same user (union-tag + window plan —
+    one shuffle, no range-join row blowup; ``operators/joins.asof_join``).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    events = load_table(spark, sf, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    errors = events.filter(F.col("event_type") == "error")
+    out = joins.asof_join(
+        clicks, errors, on=["user_id"], left_ts="ts", right_ts="ts", right_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("value_r").alias("err_value"),
+        (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("gap_us"),
+    )
+
+
+_AJ_SQL = """
+SELECT c.event_id, c.user_id, e.value AS err_value,
+       CAST(epoch_us(c.ts) - epoch_us(e.ts) AS BIGINT) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+_VALUE_BANDS = [
+    ("micro", 0.0, 5.0),
+    ("small", 5.0, 20.0),
+    ("medium", 20.0, 60.0),
+    ("large", 60.0, 150.0),
+    ("huge", 150.0, 500.0),
+]
+
+
+def rj_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (band) join: events bucketed into non-uniform value bands
+    via the binned equality pre-join (``operators/joins.range_join_binned``,
+    bin width 20) — no nested-loop join in the plan. Exact money math in
+    cents."""
+    events = load_table(spark, sf, "events")
+    bands = spark.createDataFrame(_VALUE_BANDS, "band string, lo double, hi double")
+    joined = joins.range_join_binned(events, bands, "value", "lo", "hi", bin_width=20.0)
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            SC.money_from_cents(F.sum(SC.cents("value"))).alias("total_value"),
+        )
+        .orderBy("band")
+    )
+
+
+_RJ_SQL = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('micro', 0.0, 5.0), ('small', 5.0, 20.0), ('medium', 20.0, 60.0),
+  ('large', 60.0, 150.0), ('huge', 150.0, 500.0))
+SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band ORDER BY b.band
+"""
+
+
 # ---------------------------------------------------------------------------
 # Streaming extensions — batch-form window aggregations (oracle-checkable;
 # the readStream + watermark variants live in streaming.windows and tests)
@@ -1072,7 +1157,10 @@ QUERIES: dict[str, QueryFn] = {
     "dd_simhash": dd_simhash,
     "sim_knn_bruteforce": sim_knn_bruteforce,
     "sim_knn_lsh": sim_knn_lsh,
+    "sim_knn_ivf": sim_knn_ivf,
     "sim_embedding_near_dup": sim_embedding_near_dup,
+    "aj_asof_join": aj_asof_join,
+    "rj_range_join": rj_range_join,
     "st_tumbling": st_tumbling,
     "st_sliding": st_sliding,
     "st_sessionize": st_sessionize,
@@ -1114,6 +1202,8 @@ ORACLES: dict[str, str] = {
     "dd_exact_dup_groups": _DD_EXACT_SQL,
     "dd_ngram_jaccard": _DD_JACCARD_SQL,
     "sim_knn_bruteforce": _SIM_KNN_SQL,
+    "aj_asof_join": _AJ_SQL,
+    "rj_range_join": _RJ_SQL,
     "st_tumbling": _ST_TUMBLING_SQL,
     "st_sliding": _ST_SLIDING_SQL,
     "st_sessionize": _ST_SESSION_SQL,
@@ -1129,5 +1219,6 @@ ORACLES: dict[str, str] = {
     "su_set_ops": _SU_SQL,
     "q1_pricing_summary": _Q1_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
-    # dd_simhash, sim_knn_lsh, sim_embedding_near_dup, mm_features
+    # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup,
+    # mm_features
 }

@@ -165,12 +165,17 @@ def streaming_session_counts(
     )
 
 
-def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame, name: str) -> DataFrame:
+def run_stream_to_memory(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+) -> DataFrame:
     """Drive a (bounded) streaming query to completion into an in-memory
     sink and return the result table — the local test/verify harness for
     the streaming surface."""
     q = (
-        streaming_df.writeStream.outputMode("append")
+        streaming_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
