@@ -1,0 +1,68 @@
+"""Physical-plan assertions — the 100 TB posture, checked.
+
+Correctness says the operator works at sf0.01; these tests pin the
+*plan shapes* that make it work at 1000 executors: dimension joins must
+broadcast (no shuffle of the big side), scans must prune columns and
+push predicates into the parquet reader, top-k must compile to
+TakeOrderedAndProject (no global sort), per-group top-N must insert the
+pre-shuffle WindowGroupLimit, and the range join must never fall back
+to a nested-loop/cartesian plan."""
+
+from __future__ import annotations
+
+import re
+
+from movie_data_etl_pipeline_spark.plans.fixture_queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "v1_top_actors")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan  # dim side must not shuffle-sort
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "v1_top_actors")
+    # the lineitem scan must read exactly the join + agg keys, none of
+    # the 14 other columns
+    scans = [l for l in plan.split("\n") if "lineitem.parquet" in l]
+    assert scans and re.search(r"FileScan parquet \[l_orderkey#\d+L?,l_suppkey#\d+L?\]", scans[0]), scans
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "t5_top20")
+    assert "TakeOrderedAndProject(limit=20" in plan, plan
+    assert "rangepartitioning" not in plan  # LIMIT must avoid the global sort
+
+
+def test_per_group_topn_has_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "o7_top_n_per_group")
+    # Spark 3.5+/4.x WindowGroupLimit: partial top-N before the shuffle
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_range_join_never_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "rj_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_asof_join_is_single_window_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "aj_asof_join")
+    # the as-of join must be union+window, not a join at all
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1
+
+
+def test_agg_has_partial_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "st_tumbling")
+    # map-side combine: two HashAggregates around one exchange
+    assert plan.count("HashAggregate") >= 2, plan
