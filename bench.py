@@ -42,6 +42,9 @@ HEADLINE = [
     "dd_ngram_jaccard",
     "dd_minhash_lsh",
     "sim_knn_lsh",
+    "sim_knn_ivf",
+    "aj_asof_join",
+    "rj_range_join",
     "st_tumbling",
     "st_sessionize",
 ]
@@ -60,6 +63,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # drop persisted intermediates so no query pays a predecessor's
+        # cache-eviction/GC bill
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

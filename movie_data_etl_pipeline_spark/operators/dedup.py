@@ -168,7 +168,7 @@ def ngram_jaccard_pairs(
                 F.slice(F.transform("ordered", lambda s: s["shingle"]), 1, F.col("k"))
             ).alias("pos", "shingle"),
         )
-    )
+    ).persist()  # consumed by both sides of the candidate self-join
     a = prefix.alias("a")
     b = prefix.alias("b")
     # positional filter (PPJoin): a match at 0-based prefix positions
@@ -282,7 +282,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band", "bucket"),
-    )
+    ).persist()  # both sides of the self-join read this — hash the corpus once
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
