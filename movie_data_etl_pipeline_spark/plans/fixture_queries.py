@@ -805,6 +805,61 @@ FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
 
 
 # ---------------------------------------------------------------------------
+# Sketch / approximate aggregates
+# ---------------------------------------------------------------------------
+
+
+def ap_exact_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated quantiles per event type, computed over
+    integer cents so the interpolation arithmetic (binary-exact .25/.5
+    fractions of longs) is engine-independent — the oracle-checkable
+    twin of the sketch query below."""
+    events = load_table(spark, sf, "events")
+    pc = F.percentile(SC.cents("value"), F.array(F.lit(0.5), F.lit(0.95)))
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pc.alias("__pc"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.element_at("__pc", 1) / 100.0, 2).alias("p50"),
+            F.round(F.element_at("__pc", 2) / 100.0, 2).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_AP_QUANT_SQL = """
+WITH c AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(vc, 0.5) / 100.0, 2) AS p50,
+       ROUND(quantile_cont(vc, 0.95) / 100.0, 2) AS p95
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+def ap_approx_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch aggregates — HyperLogLog++ distinct users and a
+    quantile-sketch median per event type. Sketch outputs are
+    implementation-defined → rows-only check; error bounds vs the exact
+    twins are asserted in tests (``test_sketches.py``). At 100 TB these
+    are THE way to profile: fixed-size state, one pass, mergeable
+    across partitions."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal extensions
 # ---------------------------------------------------------------------------
 
@@ -1164,6 +1219,8 @@ QUERIES: dict[str, QueryFn] = {
     "st_tumbling": st_tumbling,
     "st_sliding": st_sliding,
     "st_sessionize": st_sessionize,
+    "ap_exact_quantiles": ap_exact_quantiles,
+    "ap_approx_stats": ap_approx_stats,
     "mm_asset_stats": mm_asset_stats,
     "mm_features": mm_features,
     "j5_left_join_agg": j5_left_join_agg,
@@ -1207,6 +1264,7 @@ ORACLES: dict[str, str] = {
     "st_tumbling": _ST_TUMBLING_SQL,
     "st_sliding": _ST_SLIDING_SQL,
     "st_sessionize": _ST_SESSION_SQL,
+    "ap_exact_quantiles": _AP_QUANT_SQL,
     "mm_asset_stats": _MM_STATS_SQL,
     "j5_left_join_agg": _J5_SQL,
     "j6_anti_join": _J6_SQL,
