@@ -111,3 +111,35 @@ def test_stateful_running_totals_equals_batch(spark, sf_dir):
         for r in expected.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_upsert_sink_idempotent(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "user_state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = SW.read_events_stream(spark, sf_dir)
+    totals = ST.streaming_running_user_totals(stream)
+    q = ST.stream_upsert_to_parquet(totals, target, ckpt, key_cols=["user_id"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(target)
+    events = load_table(spark, sf_dir, "events")
+    expected = ST.batch_running_user_totals(events)
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in got.collect()}
+    w = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in expected.collect()}
+    assert g == w and len(g) > 0
+    # restart from the checkpoint with no new data: a no-op, state unchanged
+    stream2 = SW.read_events_stream(spark, sf_dir)
+    q2 = ST.stream_upsert_to_parquet(
+        ST.streaming_running_user_totals(stream2), target, ckpt, key_cols=["user_id"]
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == w
