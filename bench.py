@@ -47,6 +47,8 @@ HEADLINE = [
     "rj_range_join",
     "st_tumbling",
     "st_sessionize",
+    "q1_pricing_summary",
+    "ap_exact_quantiles",
 ]
 
 

@@ -56,6 +56,7 @@ def synthesize_assets(docs: DataFrame, media_type: str = "image") -> DataFrame:
     for ``spark.read.format("binaryFile")`` over an object store, which
     is the real ingestion path at scale."""
     payload = F.encode(F.col("text"), "utf-8")
+    is_video = media_type == "video"
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         payload.alias("payload"),
@@ -64,7 +65,13 @@ def synthesize_assets(docs: DataFrame, media_type: str = "image") -> DataFrame:
             F.lit("fake").alias("format"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            # video assets get a deterministic duration derived from the
+            # payload size (10 ms per byte) so time-based operators have
+            # real metadata to work against
+            (
+                (F.length(payload).cast("long") * 10) if is_video
+                else F.lit(None).cast("long")
+            ).alias("duration_ms"),
             F.length(payload).cast("long").alias("size_bytes"),
         ).alias("meta"),
     )
@@ -121,6 +128,63 @@ def extract_features(assets: DataFrame, dim: int = 16, batch_size_hint: int = 10
             )
 
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling as metadata-driven row expansion — no decode in
+    the plan: one row per sampled timestamp via
+    ``explode(sequence(0, duration_ms, every_ms))``, all JVM-side.
+    The per-frame pixel extraction (the codec kernel) happens *after*
+    this, on the already-expanded rows, via the same ``mapInPandas``
+    shape as ``extract_features`` — so the expensive stage sees exactly
+    the frames it must decode and nothing else. At 100 TB, sampling
+    before decoding is the difference between decoding 1% and 100% of
+    the corpus."""
+    return assets.filter(F.col("meta.media_type") == "video").select(
+        "asset_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("meta.duration_ms"),
+                F.lit(every_ms).cast("long"),
+            )
+        ).alias("frame_ts_ms"),
+    )
+
+
+def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: Arrow-batched ``mapInPandas`` that rewrites the
+    payload to the target decoded-size budget (``width·height·3``
+    bytes, deterministic truncate/pad stand-in — a real deployment
+    swaps in the Pillow kernel of ``decode_real``) and updates the
+    metadata struct so downstream size accounting stays truthful."""
+    target = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                else:
+                    b = bytes(p)
+                    out.append((b * (target // max(len(b), 1) + 1))[:target])
+            meta = []
+            for i, m in enumerate(pdf["meta"]):
+                if m is None:
+                    meta.append(None)
+                    continue
+                # Arrow hands struct columns to pandas as plain dicts
+                updated = dict(m)
+                updated["width"] = width
+                updated["height"] = height
+                updated["size_bytes"] = target if out[i] is not None else None
+                meta.append(updated)
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "payload": out, "meta": meta}
+            )
+
+    return assets.mapInPandas(run, schema=ASSET_SCHEMA)
 
 
 def asset_stats(assets: DataFrame) -> DataFrame:

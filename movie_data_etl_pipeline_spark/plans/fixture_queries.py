@@ -905,6 +905,32 @@ def mm_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame sampling: metadata-driven explode into per-frame
+    rows (1 frame/s over a 10 ms-per-byte synthetic duration), profiled
+    per asset. Pure JVM arithmetic → exact DuckDB oracle via
+    generate_series."""
+    assets = multimodal.synthesize_assets(load_table(spark, sf, "documents"), media_type="video")
+    frames = multimodal.sample_frames(assets, every_ms=1000)
+    return (
+        frames.groupBy("asset_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_ts_ms").alias("last_frame_ms"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+_MM_FRAMES_SQL = """
+WITH v AS (SELECT doc_id AS asset_id, strlen(text) * 10 AS dur FROM documents),
+f AS (SELECT asset_id, unnest(generate_series(0, dur, 1000)) AS frame_ts_ms FROM v)
+SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(MAX(frame_ts_ms) AS BIGINT) AS last_frame_ms
+FROM f GROUP BY asset_id ORDER BY asset_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine surface beyond the reference (SURVEY.md §2.9 notes the reference
 # has no outer joins / windows / set ops / grouping sets — a complete
@@ -1223,6 +1249,7 @@ QUERIES: dict[str, QueryFn] = {
     "ap_approx_stats": ap_approx_stats,
     "mm_asset_stats": mm_asset_stats,
     "mm_features": mm_features,
+    "mm_frame_sample": mm_frame_sample,
     "j5_left_join_agg": j5_left_join_agg,
     "j6_anti_join": j6_anti_join,
     "j7_semi_join": j7_semi_join,
@@ -1266,6 +1293,7 @@ ORACLES: dict[str, str] = {
     "st_sessionize": _ST_SESSION_SQL,
     "ap_exact_quantiles": _AP_QUANT_SQL,
     "mm_asset_stats": _MM_STATS_SQL,
+    "mm_frame_sample": _MM_FRAMES_SQL,
     "j5_left_join_agg": _J5_SQL,
     "j6_anti_join": _J6_SQL,
     "j7_semi_join": _J7_SQL,

@@ -81,3 +81,30 @@ def test_multimodal_pipeline(spark):
 def test_decode_real_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"bytes", "jpeg")
+
+
+def test_resize_assets_rewrites_payload_and_meta(spark, sf_dir):
+    from movie_data_etl_pipeline_spark.operators import multimodal as MM
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    assets = MM.synthesize_assets(load_table(spark, sf_dir, "documents").limit(20))
+    resized = MM.resize_assets(assets, width=4, height=4)
+    rows = resized.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["payload"]) == 4 * 4 * 3
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+        assert r["meta"]["size_bytes"] == 4 * 4 * 3
+        assert r["meta"]["media_type"] == "image"  # untouched fields survive
+
+
+def test_sample_frames_counts(spark, sf_dir):
+    from movie_data_etl_pipeline_spark.operators import multimodal as MM
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    assets = MM.synthesize_assets(docs, media_type="video")
+    frames = MM.sample_frames(assets, every_ms=1000)
+    got = {r["asset_id"]: r["n"] for r in frames.groupBy("asset_id").count().withColumnRenamed("count", "n").collect()}
+    for a in assets.select("asset_id", "meta.duration_ms").collect():
+        assert got[a["asset_id"]] == a["duration_ms"] // 1000 + 1
