@@ -48,6 +48,7 @@ HEADLINE = [
     "st_tumbling",
     "st_sessionize",
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "ap_exact_quantiles",
 ]
 

@@ -1054,6 +1054,79 @@ FROM events
 """
 
 
+def w3_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile() window: customers bucketed into account-balance
+    quartiles within their nation (rank-style window beyond
+    row_number/lag), with a per-quartile profile."""
+    cust = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            SC.money_from_cents(F.sum(SC.cents("c_acctbal"))).alias("total_balance"),
+        )
+        .orderBy("c_nationkey", "quartile")
+    )
+
+
+_W3_SQL = """
+WITH q AS (
+  SELECT c_nationkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+         ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+  FROM customer
+)
+SELECT c_nationkey, CAST(quartile AS INT) AS quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS total_balance
+FROM q GROUP BY c_nationkey, quartile ORDER BY c_nationkey, quartile
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both fact sides + 3-way
+    join + grouped revenue + top-10 — the scan→broadcast-join→agg→
+    TakeOrdered spine under predicate pushdown (both date filters reach
+    the parquet scans; see test_plans)."""
+    cutoff = "1998-01-01"
+    cust = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+    rev_c = SC.cents("l_extendedprice") * (F.lit(100) - SC.cents("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_c).cast("double") / F.lit(10000.0)).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", _DATE).alias("o_orderdate"),
+            "o_orderpriority",
+            F.round("revenue", 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
 def g1_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP grouping sets over (returnflag, linestatus): subtotals and
     grand total with NULL markers."""
@@ -1255,6 +1328,8 @@ QUERIES: dict[str, QueryFn] = {
     "j7_semi_join": j7_semi_join,
     "w1_running_total": w1_running_total,
     "w2_lag_delta": w2_lag_delta,
+    "w3_ntile_quartiles": w3_ntile_quartiles,
+    "q3_shipping_priority": q3_shipping_priority,
     "g1_rollup": g1_rollup,
     "g2_cube": g2_cube,
     "pv_pivot_status": pv_pivot_status,
@@ -1299,6 +1374,8 @@ ORACLES: dict[str, str] = {
     "j7_semi_join": _J7_SQL,
     "w1_running_total": _W1_SQL,
     "w2_lag_delta": _W2_SQL,
+    "w3_ntile_quartiles": _W3_SQL,
+    "q3_shipping_priority": _Q3_SQL,
     "g1_rollup": _G1_SQL,
     "g2_cube": _G2_SQL,
     "pv_pivot_status": _PV_SQL,
