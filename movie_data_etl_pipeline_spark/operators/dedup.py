@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from movie_data_etl_pipeline_spark.functions.text import shingles
+from movie_data_etl_pipeline_spark.sources.parquet import ensure_min_partitions
 
 # ---------------------------------------------------------------------------
 # Exact / keyed dedup
@@ -90,8 +91,9 @@ def _shingle_sets(
     shingles has probability ~1e-13) at a fraction of the shuffle bytes
     and comparison cost."""
     return (
-        docs.select(
-            F.col(id_col).alias("id"),
+        ensure_min_partitions(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select(
+            "id",
             F.array_sort(
                 F.array_distinct(
                     F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
@@ -312,10 +314,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     take the sign. Expressed as: explode tokens → token hash → per-(doc,
     bit) vote aggregate → bit-pack. All JVM-side built-ins.
     """
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    toks = (
+        ensure_min_partitions(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
     bit_positions = F.array(*[F.lit(i) for i in range(bits)])
     votes = (
         toks.withColumn("h", F.xxhash64("tok"))

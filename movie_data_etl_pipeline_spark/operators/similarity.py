@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from movie_data_etl_pipeline_spark.functions.vector import cosine, dot, norm, normalized
+from movie_data_etl_pipeline_spark.sources.parquet import ensure_min_partitions
 
 
 def knn_bruteforce(
@@ -39,8 +40,10 @@ def knn_bruteforce(
     (same id) are excluded when queries and corpus share the id space.
     """
     score = {"cosine": cosine, "dot": dot}[metric]
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    # parallelism of the O(n·m) scoring stage = partitions of the stream
+    # (left) side; spread it when the scan is a single split
+    q = ensure_min_partitions(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
@@ -114,8 +117,12 @@ def lsh_bucket(
             F.lit(1).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
+    # the n_planes·dim multiply-fold per row is the CPU-dominant stage:
+    # spread a coarse (single-row-group) input across cores first
     return (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        ensure_min_partitions(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        )
         .crossJoin(F.broadcast(planes_df))
         .select("id", "table", bucket.alias("bucket"))
     )
@@ -125,8 +132,11 @@ def _normalized_vecs(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame
     """(id, vn): unit-normalized double vectors — normalize each vector
     ONCE so every downstream cosine is a plain dot product."""
     return (
-        vectors.select(
-            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        ensure_min_partitions(
+            vectors.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
         )
         .withColumn("__n", norm("v"))
         .select("id", normalized("v", "__n").alias("vn"))
@@ -274,6 +284,10 @@ def knn_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # deliberately NOT spread wider: the iterative KMeans fit re-passes
+    # this frame maxIter times, so extra partitions multiply per-task
+    # overhead — and unlike the one-shot map stages, the fit is the
+    # dominant cost here at small input widths
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("__v")
     )

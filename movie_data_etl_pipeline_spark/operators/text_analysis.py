@@ -11,13 +11,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from movie_data_etl_pipeline_spark.functions import text as TX
+from movie_data_etl_pipeline_spark.sources.parquet import ensure_min_partitions
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document token statistics: token count, distinct-token count,
     type-token ratio, mean token length."""
     toks = TX.tokens("text")
-    return docs.select(
+    # tokenization is the CPU-dominant map stage: spread the pruned
+    # projection so a coarse input (single row group) uses every core
+    return ensure_min_partitions(docs.select("doc_id", "text", "n_chars")).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
@@ -36,7 +39,8 @@ def token_frequency(docs: DataFrame, top_k: int = 100) -> DataFrame:
     asc so the cut is deterministic). Explode → map-side partial count →
     single shuffle; the top-k is TakeOrderedAndProject, not a full sort."""
     return (
-        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        ensure_min_partitions(docs.select("text"))
+        .select(F.explode(TX.tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
@@ -69,7 +73,9 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     each metric would re-run split+filter per sub-expression (Catalyst
     does not CSE across aggregate lambdas), a measured ~10× slowdown."""
     sw = F.array(*[F.lit(s) for s in TX.STOPWORDS])
-    toks = docs.select("doc_id", F.col("text"), TX.tokens("text").alias("t"))
+    toks = ensure_min_partitions(docs.select("doc_id", "text")).select(
+        "doc_id", F.col("text"), TX.tokens("text").alias("t")
+    )
     m = toks.select(
         "doc_id",
         (
@@ -99,7 +105,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
 def language_id(docs: DataFrame) -> DataFrame:
     """Marker-heuristic language prediction vs the declared label."""
-    return docs.select(
+    return ensure_min_partitions(docs.select("doc_id", "lang", "text")).select(
         "doc_id",
         F.col("lang").alias("declared_lang"),
         TX.lang_id("text").alias("predicted_lang"),
@@ -108,7 +114,9 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Canonical md5 content fingerprint per document (exact-dedup key)."""
-    return docs.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+    return ensure_min_partitions(docs.select("doc_id", "text")).select(
+        "doc_id", TX.fingerprint("text").alias("fingerprint")
+    )
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:

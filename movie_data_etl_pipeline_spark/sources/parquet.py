@@ -33,6 +33,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition iff ``df`` has fewer partitions than
+    ``target`` (default ``defaultParallelism``) — call it AFTER column
+    pruning, right before CPU-heavy per-row work (shingling, hashing,
+    vector folds), so the shuffle moves only the columns the operator
+    needs.
+
+    Why it exists: a small parquet table is a single row group, which
+    Spark cannot split — the scan yields ONE task and every downstream
+    expression runs on one core no matter how many are idle. On a real
+    cluster the same table arrives as thousands of splits and this is a
+    no-op (the partition check keeps the extra exchange out of the
+    100 TB path); the repartition only fires when the input is too
+    coarse for the machine, where one tiny shuffle buys full-width
+    parallelism for the expensive map stage.
+    """
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once; all tables when none named."""
     use = names or TABLES
