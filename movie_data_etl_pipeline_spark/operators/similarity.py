@@ -259,21 +259,28 @@ def knn_ivf(
     vec_col: str = "embedding",
     seed: int = 42,
     fit_sample_fraction: float | None = None,
+    fit_sample_cap: int = 65536,
 ) -> DataFrame:
     """Approximate top-k self-join via IVF (inverted-file) partitioning —
     the second scale path alongside ``knn_lsh``.
 
-    1. **Train** a coarse quantizer: seeded MLlib KMeans over the
-       vectors (or a sample — at 100 TB pass ``fit_sample_fraction``;
-       centroid quality needs only a representative sample, not the
-       corpus).
-    2. **Assign** every vector to its nearest centroid (one map-side
-       model.transform — the "inverted file" is just a cell column, and
-       on disk it would be the partition key).
-    3. **Probe**: each query ranks the ``n_cells`` centroids (broadcast,
-       tiny) and searches only its ``n_probe`` nearest cells.
-    4. **Re-rank** candidates exactly with a single-fold dot over
-       pre-normalized vectors.
+    1. **Train** a coarse quantizer driver-side: seeded Lloyd iterations
+       (NumPy) over a BOUNDED sample — at most ``fit_sample_cap`` rows
+       after ``fit_sample_fraction`` subsampling. Training the coarse
+       quantizer on a sample is the standard IVF recipe (centroid
+       quality needs representativeness, not the corpus), and a bounded
+       driver-side fit replaces an iterative distributed KMeans whose
+       per-pass scheduling dominates the fit at every scale: the
+       *corpus* never leaves the executors, only the capped sample does.
+    2. **Assign + probe** map-side in one Arrow-batched pass: a single
+       BLAS matmul against the (tiny, closure-shipped) centroid matrix
+       ranks every cell per vector; rank 1 is the owning cell
+       (inverted-file membership), ranks 1..n_probe are the probe list,
+       and the unit-normalized vector rides along — no shuffle, no
+       per-row Python, no separate normalization join. (An earlier
+       formulation window-ranked a row-per-(vector, cell) expansion,
+       which cost a shuffle for something each row computes alone.)
+    4. **Re-rank** candidates exactly with per-cell Arrow matmuls.
 
     Same output shape as ``knn_bruteforce``. Recall < 1 at cell
     boundaries (the IVF trade); the ``n_probe``/``n_cells`` ratio is the
@@ -281,52 +288,66 @@ def knn_ivf(
     n_probe=4, n_cells=32 that is 1/8 of the crossJoin, and the ratio is
     controlled, not data-dependent like LSH bucket skew.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # deliberately NOT spread wider: the iterative KMeans fit re-passes
-    # this frame maxIter times, so extra partitions multiply per-task
-    # overhead — and unlike the one-shot map stages, the fit is the
-    # dominant cost here at small input widths
-    v = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("__v")
+    # the distance folds below are the CPU-dominant map stage — spread a
+    # coarse (single-row-group) input across cores (no-op on real splits)
+    v = ensure_min_partitions(
+        vectors.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("__v")
+        )
     )
     fit_on = v.sample(fit_sample_fraction, seed=seed) if fit_sample_fraction else v
-    # coarse cells don't need converged clusters — random init + few
-    # iterations gives the same recall at a fraction of the fit cost
-    # (k-means|| init alone runs ~2·maxIter distributed passes)
-    model = KMeans(
-        k=n_cells,
-        seed=seed,
-        featuresCol="__fv",
-        predictionCol="__cell",
-        initMode="random",
-        maxIter=8,
-    ).fit(fit_on.withColumn("__fv", array_to_vector("__v")))
-    assigned = (
-        model.transform(v.withColumn("__fv", array_to_vector("__v")))
-        .select("id", "__v", F.col("__cell").alias("cell"))
-        .persist()
+    sample = np.array(
+        [r["__v"] for r in fit_on.select("__v").limit(fit_sample_cap).collect()]
     )
-    spark = vectors.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
-    )
-    dist2 = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wp = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell"))
-    probes = (
-        assigned.select("id", "__v")
-        .crossJoin(F.broadcast(centroids))
-        .select("id", "cell", dist2.alias("d2"))
-        .withColumn("__pr", F.row_number().over(wp))
-        .filter(F.col("__pr") <= n_probe)
-        .select(F.col("id").alias("query_id"), "cell")
-    )
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(sample))
+    cent = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(8):
+        # coarse cells don't need converged clusters — a few Lloyd
+        # rounds give the same recall as a converged fit
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        owner = d2.argmin(1)
+        for j in range(n_cells):
+            members = sample[owner == j]
+            if len(members):  # empty cell keeps its previous centroid
+                cent[j] = members.mean(0)
+
+    import pandas as pd
+
+    # assignment + probe ranking + normalization in ONE Arrow pass: per
+    # batch, a single BLAS ``-2·V@Cᵀ + ‖c‖²`` ranks every cell for every
+    # vector (relative order equals squared distance — the ‖v‖² term is
+    # constant per row), a stable argsort takes the ``n_probe`` nearest
+    # (ties → lowest cell id), and the unit-normalized vector rides
+    # along so the scoring stage needs no extra join. The centroid
+    # matrix is a closure constant (n_cells·dim floats — trivially
+    # broadcast with the task). rank 1 is the OWNING cell, so the
+    # inverted-file membership is just ``rank = 1``.
+    C = np.ascontiguousarray(cent)
+    half_c2 = (C**2).sum(1) / 2.0
+    n_probe = min(n_probe, n_cells)
+
+    def assign_probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["__v"].to_numpy())
+            S = V @ C.T - half_c2[None, :]  # argmax S == argmin d2
+            order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe]
+            vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), n_probe),
+                    "cell": order.reshape(-1).astype("int32"),
+                    "rank": np.tile(np.arange(1, n_probe + 1, dtype="int32"), n),
+                    "vn": list(np.repeat(vn, n_probe, axis=0)),
+                }
+            )
+
+    ranked = v.mapInPandas(
+        assign_probe, "id long, cell int, rank int, vn array<double>"
+    ).persist()
     # Per-cell scan as a cogrouped Arrow matmul: queries probing a cell
     # cogroup with the cell's members; one BLAS ``Q @ Mᵀ`` scores every
     # (query, member) pair in the cell and a deterministic local top-k
@@ -335,18 +356,10 @@ def knn_ivf(
     # multiplies — the classic IVF per-list scan + heap merge, and the
     # one place Python earns its keep (vectorized Arrow batches, never
     # per-row). At cluster scale each cell is a cogroup partition.
-    import numpy as np
-    import pandas as pd
-
-    vecs = (
-        v.withColumn("__n", norm("__v"))
-        .select("id", normalized("__v", "__n").alias("vn"))
+    probe_side = ranked.select(
+        "cell", F.col("id").alias("query_id"), F.col("vn").alias("qvn")
     )
-    probe_side = probes.join(
-        vecs.select(F.col("id").alias("query_id"), F.col("vn").alias("qvn")),
-        "query_id",
-    ).select("cell", "query_id", "qvn")
-    member_side = assigned.join(vecs, "id").select(
+    member_side = ranked.filter(F.col("rank") == 1).select(
         "cell", F.col("id").alias("neighbor_id"), F.col("vn").alias("mvn")
     )
 
