@@ -49,6 +49,9 @@ HEADLINE = [
     "st_sessionize",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "sa_stratified_sample",
+    "dd_incremental",
     "ap_exact_quantiles",
 ]
 

@@ -390,3 +390,27 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen: DataFrame,
+    key_cols: Sequence[str],
+    keep_min_of: str,
+) -> DataFrame:
+    """Cross-run exact dedup: rows of ``batch`` whose ``key_cols`` have
+    never been ingested (are absent from ``seen``), deduplicated within
+    the batch itself (deterministic min-``keep_min_of`` representative).
+
+    This is the reference's rerun-safe insert-if-absent
+    (``02_etl.py:123-128``) lifted to content keys and a persistent
+    corpus: each ingest round deduplicates the new batch internally,
+    anti-joins against the already-seen key set, and appends both the
+    rows and their keys. At 100 TB the ``seen`` side is a narrow
+    key-only table (e.g. fingerprints), the anti-join shuffles on the
+    key hash, and AQE picks broadcast when a small batch meets a
+    pre-partitioned corpus; a Bloom-filter pre-pass on the batch side
+    can cut the shuffle further (left to the storage layer).
+    """
+    fresh = dedup_exact(batch, key_cols, keep_min_of)
+    return fresh.join(seen.select(*key_cols), list(key_cols), "left_anti")

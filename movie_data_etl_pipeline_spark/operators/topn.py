@@ -49,3 +49,33 @@ def top_cast(movie_actor: DataFrame, n: int = 15) -> DataFrame:
         rank_col="billing_rank",
         keep_rank=False,
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    salt_col: str,
+) -> DataFrame:
+    """Exact per-stratum quota sample: keep exactly
+    ``min(n_per_stratum, |stratum|)`` rows per stratum, chosen by a
+    content-derived pseudo-random order — the per-language /
+    per-source quota cut a training-data pipeline applies before
+    expensive downstream stages (dedup, similarity, decoding).
+
+    Unlike ``df.sampleBy`` (Bernoulli per row: quota only in
+    expectation, different rows every run), the rank window gives a
+    *hard* quota and a *reproducible* pick: rows are ordered by
+    ``md5(salt_col)`` — effectively uniform, engine-independent, and
+    stable across reruns — with the raw key as tiebreaker. One shuffle
+    on the strata key; at scale this is the same plan as any per-group
+    top-N (pre-shuffle WindowGroupLimit applies).
+    """
+    key = F.md5(F.col(salt_col).cast("string"))
+    return top_n_per_group(
+        df,
+        strata_cols,
+        [F.asc(key), F.asc(salt_col)],
+        n_per_stratum,
+        keep_rank=False,
+    )

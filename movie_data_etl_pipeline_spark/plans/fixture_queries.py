@@ -1284,6 +1284,128 @@ ORDER BY l_returnflag, l_linestatus
 # Registry
 # ---------------------------------------------------------------------------
 
+def dd_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-run ingest dedup: the corpus-so-far is every third document
+    of the dup corpus; the incoming batch is the rest. The batch is
+    deduped within itself (min-doc_id representative per fingerprint)
+    then anti-joined against the corpus fingerprints — the reference's
+    rerun-safe insert-if-absent (``02_etl.py:123-128``) lifted to
+    content keys and a persistent corpus
+    (``operators/dedup.incremental_dedup``)."""
+    fp = _dup_corpus(spark, sf).withColumn("fingerprint", TX.fingerprint("text"))
+    seen = fp.filter(F.col("doc_id") % 3 == 0)
+    batch = fp.filter(F.col("doc_id") % 3 != 0)
+    out = dedup.incremental_dedup(batch, seen, ["fingerprint"], keep_min_of="doc_id")
+    return out.select("doc_id", "fingerprint", "lang")
+
+
+_DD_INCR_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, upper(text) AS text, lang FROM documents
+),
+fp AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM corpus
+),
+batch AS (SELECT * FROM fp WHERE doc_id % 3 <> 0),
+fresh AS (
+  SELECT doc_id, fingerprint, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+    FROM batch
+  ) WHERE rn = 1
+)
+SELECT doc_id, fingerprint, lang FROM fresh
+WHERE NOT EXISTS (
+  SELECT 1 FROM fp seen WHERE seen.doc_id % 3 = 0 AND seen.fingerprint = fresh.fingerprint
+)
+"""
+
+
+def sa_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-language quota sample (20 docs/lang) picked by
+    md5(doc_id) order — a hard, reproducible, engine-independent quota
+    (``operators/topn.stratified_sample_exact``), vs ``sampleBy``'s
+    Bernoulli expectation. The per-corpus-slice balancing cut of a
+    training-data pipeline."""
+    docs = load_table(spark, sf, "documents")
+    return topn.stratified_sample_exact(docs, ["lang"], 20, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+_SA_STRAT_SQL = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (region→nation→supplier + customer→
+    orders→lineitem, with the local-supplier equality c_nationkey =
+    s_nationkey) + per-nation revenue. The widest join tree in the
+    suite: three dimension sides broadcast (region/nation/supplier),
+    the orders date filter pushed to the scan, and one fact-fact
+    shuffle on orderkey — the plan shape that must hold at 100 TB."""
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    supplier = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_c = SC.cents("l_extendedprice") * (F.lit(100) - SC.cents("l_discount"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(rev_c).cast("double") / F.lit(10000.0)).alias("rev"))
+        .select("n_name", F.round("rev", 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "v1_top_actors": v1_top_actors,
     "v2_top_genres": v2_top_genres,
@@ -1306,6 +1428,9 @@ QUERIES: dict[str, QueryFn] = {
     "tx_language_id": tx_language_id,
     "tx_fingerprints": tx_fingerprints,
     "dd_exact_dup_groups": dd_exact_dup_groups,
+    "dd_incremental": dd_incremental,
+    "sa_stratified_sample": sa_stratified_sample,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_simhash": dd_simhash,
@@ -1359,6 +1484,9 @@ ORACLES: dict[str, str] = {
     "tx_language_id": _TX_LANGID_SQL,
     "tx_fingerprints": _TX_FP_SQL,
     "dd_exact_dup_groups": _DD_EXACT_SQL,
+    "dd_incremental": _DD_INCR_SQL,
+    "sa_stratified_sample": _SA_STRAT_SQL,
+    "q5_local_supplier_volume": _Q5_SQL,
     "dd_ngram_jaccard": _DD_JACCARD_SQL,
     "sim_knn_bruteforce": _SIM_KNN_SQL,
     "aj_asof_join": _AJ_SQL,

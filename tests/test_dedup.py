@@ -95,3 +95,17 @@ def test_simhash_identical_docs_distance_zero(spark):
     )
     out = dedup.simhash_near_dup_pairs(df, max_hamming=0, chunks=4).collect()
     assert {(r["a_id"], r["b_id"], r["hamming"]) for r in out} == {(1, 2, 0)}
+
+
+def test_incremental_dedup_fresh_only_and_idempotent(spark):
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id long, fp string"
+    )
+    seen = spark.createDataFrame([("b",), ("d",)], "fp string")
+    out = dedup.incremental_dedup(batch, seen, ["fp"], keep_min_of="id")
+    rows = {(r["id"], r["fp"]) for r in out.collect()}
+    # within-batch dup "a" keeps min id; "b" already seen; "c" fresh
+    assert rows == {(1, "a"), (4, "c")}
+    # rerun against a corpus that now contains the emitted keys → empty
+    seen2 = seen.unionByName(out.select("fp"))
+    assert dedup.incremental_dedup(batch, seen2, ["fp"], keep_min_of="id").count() == 0

@@ -59,3 +59,18 @@ def test_rolling_hash_window(spark):
     out = _one(spark, TX.rolling_hash(F.lit("abcdefghij"), 8))
     assert len(out) == 3  # 10 - 8 + 1
     assert _one(spark, TX.rolling_hash(F.lit("short"), 8)) == []
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark, sf_dir):
+    from movie_data_etl_pipeline_spark.operators.topn import stratified_sample_exact
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample_exact(docs, ["lang"], 5, "doc_id")
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert per == {lang: min(5, n) for lang, n in sizes.items()}
+    # hard quota + content-derived order → identical rerun
+    a = {tuple(r) for r in out.select("doc_id").collect()}
+    b = {tuple(r) for r in stratified_sample_exact(docs, ["lang"], 5, "doc_id").select("doc_id").collect()}
+    assert a == b
