@@ -128,3 +128,15 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("canonical_doc_id"))
         .filter(F.col("n") > 1)
     )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace-word vs BPE-ish-pre-tokenizer counts per document —
+    the cheap size signals a token-budgeted corpus pipeline tracks
+    (human-ish words vs model-ish tokens; ``functions.text.tokens`` /
+    ``bpe_ish_tokens``)."""
+    return ensure_min_partitions(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.size(TX.tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(TX.bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"),
+    )

@@ -1284,6 +1284,22 @@ ORDER BY l_returnflag, l_linestatus
 # Registry
 # ---------------------------------------------------------------------------
 
+def tx_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace vs BPE-ish-pre-tokenizer token counts per document
+    (``operators/text_analysis.token_counts``) — the size signals a
+    token-budgeted corpus pipeline tracks."""
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.token_counts(docs)
+
+
+_TX_COUNTS_SQL = f"""
+SELECT doc_id,
+       CAST(len({_D_TOKS}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9])', 1)) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def dd_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-run ingest dedup: the corpus-so-far is every third document
     of the dup corpus; the incoming batch is the rest. The batch is
@@ -1428,6 +1444,7 @@ QUERIES: dict[str, QueryFn] = {
     "tx_language_id": tx_language_id,
     "tx_fingerprints": tx_fingerprints,
     "dd_exact_dup_groups": dd_exact_dup_groups,
+    "tx_token_counts": tx_token_counts,
     "dd_incremental": dd_incremental,
     "sa_stratified_sample": sa_stratified_sample,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1484,6 +1501,7 @@ ORACLES: dict[str, str] = {
     "tx_language_id": _TX_LANGID_SQL,
     "tx_fingerprints": _TX_FP_SQL,
     "dd_exact_dup_groups": _DD_EXACT_SQL,
+    "tx_token_counts": _TX_COUNTS_SQL,
     "dd_incremental": _DD_INCR_SQL,
     "sa_stratified_sample": _SA_STRAT_SQL,
     "q5_local_supplier_volume": _Q5_SQL,

@@ -66,3 +66,12 @@ def test_agg_has_partial_phase(spark, sf_dir):
     plan = _plan(spark, sf_dir, "st_tumbling")
     # map-side combine: two HashAggregates around one exchange
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q5_broadcasts_dims_and_pushes_date(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    # region, nation, supplier (and customer at fixture sizes) broadcast;
+    # the only allowed shuffle join is the orders⋈lineitem fact side
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # the orders date-range filter must reach the parquet reader
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan, plan
