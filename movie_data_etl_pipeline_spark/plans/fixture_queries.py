@@ -1300,6 +1300,62 @@ FROM documents
 """
 
 
+def st_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join, batch twin: clicks ⋈ same-user
+    errors within the preceding two hours (``streaming/windows.
+    interval_join``; the watermarked streaming form is replay-tested in
+    test_streaming)."""
+    ev = load_table(spark, sf, "events")
+    return SW.interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+        interval_minutes=120,
+    )
+
+
+_ST_IJ_SQL = """
+SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+FROM events c
+JOIN events e ON c.user_id = e.user_id
+  AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 120 MINUTE
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+ORDER BY c.user_id, click_id, error_id
+"""
+
+
+def pv_unpivot_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (melt): the four lineitem measure columns become
+    (metric, val) rows — the inverse of ``pv_pivot_status``, a map-side
+    row generator (no shuffle at all)."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+_PV_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+"""
+
+
 def dd_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-run ingest dedup: the corpus-so-far is every third document
     of the dup corpus; the incoming batch is the rest. The batch is
@@ -1445,6 +1501,8 @@ QUERIES: dict[str, QueryFn] = {
     "tx_fingerprints": tx_fingerprints,
     "dd_exact_dup_groups": dd_exact_dup_groups,
     "tx_token_counts": tx_token_counts,
+    "st_interval_join": st_interval_join,
+    "pv_unpivot_lineitem": pv_unpivot_lineitem,
     "dd_incremental": dd_incremental,
     "sa_stratified_sample": sa_stratified_sample,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1502,6 +1560,8 @@ ORACLES: dict[str, str] = {
     "tx_fingerprints": _TX_FP_SQL,
     "dd_exact_dup_groups": _DD_EXACT_SQL,
     "tx_token_counts": _TX_COUNTS_SQL,
+    "st_interval_join": _ST_IJ_SQL,
+    "pv_unpivot_lineitem": _PV_UNPIVOT_SQL,
     "dd_incremental": _DD_INCR_SQL,
     "sa_stratified_sample": _SA_STRAT_SQL,
     "q5_local_supplier_volume": _Q5_SQL,

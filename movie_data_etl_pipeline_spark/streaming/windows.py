@@ -111,6 +111,78 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def interval_join(
+    clicks: DataFrame, errors: DataFrame, interval_minutes: int = 10
+) -> DataFrame:
+    """Batch form of the stream-stream interval join: each click paired
+    with the same user's error events from the preceding
+    ``interval_minutes``. An equi-join on the user key with the time
+    band as a post-join filter — one shuffle on user_id, no range-join
+    blowup; identical semantics to the streaming form below (which is
+    what bounds its state with watermarks)."""
+    c = clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    e = errors.select(
+        F.col("user_id").alias("__eu"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    band = (F.col("error_ts") <= F.col("click_ts")) & (
+        F.col("error_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {interval_minutes} MINUTES")
+    )
+    return (
+        c.join(e, (F.col("user_id") == F.col("__eu")) & band)
+        .select(
+            "user_id",
+            "click_id",
+            "error_id",
+            _fmt("click_ts").alias("click_ts"),
+            _fmt("error_ts").alias("error_ts"),
+        )
+        .orderBy("user_id", "click_id", "error_id")
+    )
+
+
+def streaming_interval_join(
+    stream: DataFrame, interval_minutes: int = 10, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join with watermarks on BOTH sides and a
+    bounded time condition — the two things Structured Streaming
+    requires to evict join state (an unbounded stream-stream join would
+    buffer both sides forever). Clicks and errors are two filters of
+    the same source stream; at 100 TB/day each would be its own topic."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("__eu"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    band = (F.col("error_ts") <= F.col("click_ts")) & (
+        F.col("error_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {interval_minutes} MINUTES")
+    )
+    return (
+        clicks.join(errors, (F.col("user_id") == F.col("__eu")) & band, "inner")
+        .select(
+            "user_id",
+            "click_id",
+            "error_id",
+            _fmt("click_ts").alias("click_ts"),
+            _fmt("error_ts").alias("error_ts"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming surface — same aggregations with watermarks.
 # ---------------------------------------------------------------------------

@@ -69,3 +69,22 @@ def test_batch_sessionize_gap_semantics(spark):
     for r in out:
         per_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert per_user == {7: [2, 1], 8: [1]}
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir):
+    # the watermarked stream-stream join must replay to exactly the
+    # batch interval join (the whole bounded file fits inside the
+    # watermark horizon, so no pair is dropped)
+    stream = SW.read_events_stream(spark, sf_dir)
+    streamed = SW.run_stream_to_memory(
+        spark, SW.streaming_interval_join(stream, 10, watermark="100 hours"), "t_ij"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    batch = SW.interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+        10,
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
