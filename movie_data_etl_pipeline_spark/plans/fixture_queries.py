@@ -1356,6 +1356,132 @@ SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
 """
 
 
+def q6_revenue_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecast-revenue-change: a pure filter+sum over
+    the fact table — the canonical predicate-pushdown showcase (all
+    three predicates reach the parquet reader; see
+    test_plans.test_q6_all_filters_pushed). Revenue = Σ extendedprice ·
+    discount computed in exact integer cent·(1/100-discount) units, so
+    the sum is order-independent (IEEE double summation is not)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= F.lit(0.02))
+        & (F.col("l_discount") <= F.lit(0.06))
+        & (F.col("l_quantity") < F.lit(24))
+    )
+    rev_units = SC.cents("l_extendedprice") * SC.cents("l_discount")
+    return li.agg(
+        (F.sum(rev_units).cast("decimal(30,0)").cast("double") / F.lit(10000.0)).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def sq_min_price_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H-Q2 moral: "suppliers charging
+    the minimum price for each part"). The idiomatic Spark rendering is
+    the *decorrelated* form — a per-part min window and an equality
+    filter, one shuffle on the correlation key instead of a re-executed
+    subquery per row (exactly the rewrite Catalyst applies to the SQL
+    form). Price compared in exact cents; ties all surface (same as the
+    correlated SQL)."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", SC.cents("l_extendedprice").alias("__epc")
+    )
+    supplier = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy("l_partkey")
+    best = (
+        li.withColumn("__min_epc", F.min("__epc").over(w))
+        .filter(F.col("__epc") == F.col("__min_epc"))
+        .select("l_partkey", "l_suppkey", "__epc")
+        .distinct()
+    )
+    return (
+        best.join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            SC.money_from_cents(F.col("__epc")).alias("min_price"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+_SQ_MIN_SQL = """
+SELECT DISTINCT l_partkey AS p_partkey, s_suppkey, s_name,
+       CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DOUBLE) / 100.0 AS min_price
+FROM lineitem l JOIN supplier ON s_suppkey = l_suppkey
+WHERE CAST(ROUND(l_extendedprice * 100) AS BIGINT) = (
+    SELECT MIN(CAST(ROUND(l2.l_extendedprice * 100) AS BIGINT))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+ORDER BY p_partkey, s_suppkey
+"""
+
+
+def fn_scalar_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-function breadth in one shuffle-free projection: string
+    (upper/substring/concat_ws/length/regexp_extract), date parts +
+    datediff, integer math (modulo, floor), and CASE banding — the
+    engine-surface twin of the reference's informal "UDF layer"
+    (``02_etl.py:69-82``), every one a JVM Column expression inside a
+    single WholeStageCodegen span (no Python, no shuffle)."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_uc"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_digit"),
+        F.regexp_extract("o_orderpriority", "^\\d+-(\\w+)", 1).alias("pri_word"),
+        F.concat_ws("-", F.lit("C"), F.col("o_custkey").cast("string")).alias("cust_tag"),
+        F.length("o_orderpriority").cast("int").alias("pri_len"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_95"),
+        (F.col("o_orderkey") % F.lit(7)).alias("key_mod7"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+        .alias("price_band"),
+    )
+
+
+_FN_SCALAR_SQL = """
+SELECT o_orderkey,
+       UPPER(o_orderstatus) AS status_uc,
+       SUBSTRING(o_orderpriority, 1, 1) AS pri_digit,
+       REGEXP_EXTRACT(o_orderpriority, '^\\d+-(\\w+)', 1) AS pri_word,
+       CONCAT_WS('-', 'C', CAST(o_custkey AS VARCHAR)) AS cust_tag,
+       CAST(LENGTH(o_orderpriority) AS INTEGER) AS pri_len,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+       CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
+       o_orderkey % 7 AS key_mod7,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+       CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'high' END AS price_band
+FROM orders
+"""
+
+
 def dd_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-run ingest dedup: the corpus-so-far is every third document
     of the dup corpus; the incoming batch is the rest. The batch is
@@ -1503,6 +1629,9 @@ QUERIES: dict[str, QueryFn] = {
     "tx_token_counts": tx_token_counts,
     "st_interval_join": st_interval_join,
     "pv_unpivot_lineitem": pv_unpivot_lineitem,
+    "q6_revenue_delta": q6_revenue_delta,
+    "sq_min_price_supplier": sq_min_price_supplier,
+    "fn_scalar_surface": fn_scalar_surface,
     "dd_incremental": dd_incremental,
     "sa_stratified_sample": sa_stratified_sample,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1562,6 +1691,9 @@ ORACLES: dict[str, str] = {
     "tx_token_counts": _TX_COUNTS_SQL,
     "st_interval_join": _ST_IJ_SQL,
     "pv_unpivot_lineitem": _PV_UNPIVOT_SQL,
+    "q6_revenue_delta": _Q6_SQL,
+    "sq_min_price_supplier": _SQ_MIN_SQL,
+    "fn_scalar_surface": _FN_SCALAR_SQL,
     "dd_incremental": _DD_INCR_SQL,
     "sa_stratified_sample": _SA_STRAT_SQL,
     "q5_local_supplier_volume": _Q5_SQL,

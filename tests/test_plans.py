@@ -75,3 +75,29 @@ def test_q5_broadcasts_dims_and_pushes_date(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     # the orders date-range filter must reach the parquet reader
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_q6_all_filters_pushed(spark, sf_dir):
+    # executedPlan().toString() truncates long scan descriptions, so use
+    # the formatted explain, which prints PushedFilters in full
+    qe = QUERIES["q6_revenue_delta"](spark, sf_dir)._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = qe.explainString(mode)
+    # every predicate must reach the parquet reader — at 100 TB this is
+    # the difference between scanning a year and scanning the table
+    assert "PushedFilters: [" in plan, plan
+    for frag in [
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.02)",
+        "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24.0)",
+    ]:
+        assert frag in plan, (frag, plan)
+
+
+def test_scalar_surface_single_codegen_no_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fn_scalar_surface")
+    assert "Exchange" not in plan, plan  # pure projection: no shuffle
+    assert plan.lstrip().startswith("*(1)"), plan  # one codegen span covers it
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
