@@ -1,0 +1,89 @@
+"""Streaming ingest operators (north-star extension, SURVEY.md §2.9):
+exactly-once-flavored dedup and incremental upsert for a continuously
+arriving stream — the streaming rendering of the reference's idempotent
+load contract ("safe to rerun", ``/root/reference/README.md:81``;
+ON CONFLICT upserts, ``/root/reference/02_etl.py:84-101,123-128``).
+
+Scale posture:
+* ``streaming_dedup`` uses ``dropDuplicatesWithinWatermark`` — dedup
+  state is evicted once the watermark passes an event, so state is
+  bounded by (watermark horizon × arrival rate), not by stream history.
+  An unbounded ``dropDuplicates`` on a stream would grow state forever;
+  at 100 TB/day that distinction IS the operator.
+* ``start_upsert_sink`` applies the batch ``merge.upsert`` per
+  micro-batch via ``foreachBatch``. Re-delivered batches (at-least-once
+  sources, restarts) converge to the same table state because upsert is
+  idempotent on the key — the same fixed-point property
+  ``test_merge.py`` pins for the batch operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.operators import merge
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: Sequence[str] = ("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Emit each key once: duplicates arriving within the watermark
+    horizon of the first occurrence are dropped, and the key's dedup
+    state is evicted once the watermark passes it (late re-deliveries
+    beyond the horizon are the documented at-least-once residue — the
+    bounded-state trade every streaming dedup makes)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def start_upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    key_cols: Sequence[str],
+    order_col: str,
+    checkpoint_dir: str,
+):
+    """Continuous upsert into a parquet target: per micro-batch, dedup
+    the batch last-wins on ``order_col`` (a batch can carry several
+    versions of one key), read the current target, ``merge.upsert``, and
+    atomically swap via overwrite. Returns the started StreamingQuery.
+
+    On a transactional table format (Delta/Iceberg) the body becomes a
+    single ``MERGE INTO``; the read-modify-write here is the plain-
+    parquet rendering, kept partition-scoped at scale (write only the
+    partitions a batch touches — the same note as ``merge.upsert``)."""
+    spark = stream.sparkSession
+    keys = list(key_cols)
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from pyspark.sql.window import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        )
+        latest = batch.withColumn("__rn", rn).filter("__rn = 1").drop("__rn")
+        try:
+            target = spark.read.parquet(target_path)
+            new_state = merge.upsert(target, latest, keys)
+        except AnalysisException:  # first batch: target does not exist yet
+            new_state = latest
+        # materialize before overwriting the path being read
+        new_state.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
