@@ -53,6 +53,8 @@ HEADLINE = [
     "sa_stratified_sample",
     "dd_incremental",
     "ap_exact_quantiles",
+    "px_clean_corpus",
+    "q6_revenue_delta",
 ]
 
 

@@ -140,3 +140,44 @@ def token_counts(docs: DataFrame) -> DataFrame:
         F.size(TX.tokens("text")).cast("long").alias("n_ws_tokens"),
         F.size(TX.bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"),
     )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.35,
+    keep_langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """End-to-end corpus-cleaning manifest — the composite shape an LLM
+    training-data pipeline runs over raw web text (C4/Gopher-style):
+    language filter → heuristic-quality floor → exact dedup keeping the
+    canonical (lowest-id) copy.
+
+    All per-document signals (lang guess, quality, fingerprint, token
+    count) come out of ONE shuffle-free projection over a single scan —
+    running the standalone signal operators and joining them would scan
+    the corpus four times for no semantic difference. The only exchange
+    is the fingerprint window for canonical-copy selection; at 100 TB
+    that one shuffle IS the dedup, irreducibly.
+
+    Output: (doc_id, predicted_lang, quality, n_ws_tokens) for every
+    surviving document.
+    """
+    from pyspark.sql import Window
+
+    sig = ensure_min_partitions(docs.select("doc_id", "text")).select(
+        "doc_id",
+        TX.lang_id("text").alias("predicted_lang"),
+        TX.quality_score("text").alias("quality"),
+        TX.fingerprint("text").alias("fingerprint"),
+        F.size(TX.tokens("text")).cast("long").alias("n_ws_tokens"),
+    )
+    kept = sig.filter(
+        F.col("predicted_lang").isin(*keep_langs)
+        & (F.col("quality") >= F.lit(min_quality))
+    )
+    canon = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    return (
+        kept.withColumn("__canon", canon)
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .select("doc_id", "predicted_lang", "quality", "n_ws_tokens")
+    )

@@ -1356,6 +1356,51 @@ SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
 """
 
 
+def px_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship LLM-data composite: language filter → quality floor →
+    exact dedup (canonical copy wins) over the planted-duplicate corpus,
+    one scan + one shuffle (``text_analysis.clean_corpus``)."""
+    return text_analysis.clean_corpus(
+        _dup_corpus(spark, sf), min_quality=0.35, keep_langs=("en",)
+    )
+
+
+_PX_CLEAN_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, upper(text) AS text FROM documents
+),
+t AS (SELECT doc_id, text, {_D_TOKS} AS toks FROM corpus),
+m AS (
+  SELECT doc_id, text, toks,
+         CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+           / len(toks) AS mean_len,
+         len(list_distinct(toks)) / len(toks) AS ttr,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text) AS punct
+  FROM t
+),
+sig AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+              WHEN regexp_matches(text, '[äöüßÄÖÜ]|\\b(der|die|das|und|nicht|ist)\\b') THEN 'de'
+              WHEN regexp_matches(text, '[àâçéèêëîïôùûœ]|\\b(le|la|les|est|dans|pour)\\b') THEN 'fr'
+              WHEN regexp_matches(text, '[áéíóúñ¿¡]|\\b(el|los|las|es|para|como)\\b') THEN 'es'
+              ELSE 'en' END AS predicted_lang,
+         ROUND(0.4 * (1.0 - LEAST(ABS(mean_len - 5.0) / 5.0, 1.0))
+               + 0.4 * ttr
+               + 0.2 * (1.0 - LEAST(punct * 5.0, 1.0)), 6) AS quality,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         CAST(len(toks) AS BIGINT) AS n_ws_tokens
+  FROM m
+)
+SELECT doc_id, predicted_lang, quality, n_ws_tokens
+FROM sig
+WHERE predicted_lang = 'en' AND quality >= 0.35
+QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint)
+"""
+
+
 def q6_revenue_delta(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H-Q6-shaped forecast-revenue-change: a pure filter+sum over
     the fact table — the canonical predicate-pushdown showcase (all
@@ -1632,6 +1677,7 @@ QUERIES: dict[str, QueryFn] = {
     "q6_revenue_delta": q6_revenue_delta,
     "sq_min_price_supplier": sq_min_price_supplier,
     "fn_scalar_surface": fn_scalar_surface,
+    "px_clean_corpus": px_clean_corpus,
     "dd_incremental": dd_incremental,
     "sa_stratified_sample": sa_stratified_sample,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1694,6 +1740,7 @@ ORACLES: dict[str, str] = {
     "q6_revenue_delta": _Q6_SQL,
     "sq_min_price_supplier": _SQ_MIN_SQL,
     "fn_scalar_surface": _FN_SCALAR_SQL,
+    "px_clean_corpus": _PX_CLEAN_SQL,
     "dd_incremental": _DD_INCR_SQL,
     "sa_stratified_sample": _SA_STRAT_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
