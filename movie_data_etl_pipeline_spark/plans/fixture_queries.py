@@ -1356,6 +1356,51 @@ SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo-revenue share: date-filtered fact scan ⋈
+    broadcast part dimension, conditional aggregation (CASE inside SUM).
+    Discounted revenue in exact 1/10⁶-dollar integer units (see
+    ``q1_pricing_summary``) so both the numerator and denominator are
+    order-independent; the final share is one double division."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01"))
+    )
+    part = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    epc = SC.cents("l_extendedprice")
+    disc_units = (epc * (F.lit(10000).cast("long") - SC.cents("l_discount") * 100)).cast(
+        "decimal(30,0)"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc_units).otherwise(F.lit(0)))
+    total = F.sum(disc_units)
+    return j.agg(
+        F.round(F.lit(100.0) * promo.cast("double") / total.cast("double"), 6).alias(
+            "promo_revenue_pct"
+        ),
+        (promo.cast("double") / F.lit(1000000.0)).alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q14_SQL = """
+WITH j AS (
+  SELECT p_type,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (10000 - CAST(ROUND(l_discount * 100) AS BIGINT) * 100) AS disc_units
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
+)
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_units ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(disc_units) AS DOUBLE), 6) AS promo_revenue_pct,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_units ELSE 0 END) AS DOUBLE) / 1000000.0
+         AS promo_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM j
+"""
+
+
 def px_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship LLM-data composite: language filter → quality floor →
     exact dedup (canonical copy wins) over the planted-duplicate corpus,
@@ -1678,6 +1723,7 @@ QUERIES: dict[str, QueryFn] = {
     "sq_min_price_supplier": sq_min_price_supplier,
     "fn_scalar_surface": fn_scalar_surface,
     "px_clean_corpus": px_clean_corpus,
+    "q14_promo_revenue": q14_promo_revenue,
     "dd_incremental": dd_incremental,
     "sa_stratified_sample": sa_stratified_sample,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1741,6 +1787,7 @@ ORACLES: dict[str, str] = {
     "sq_min_price_supplier": _SQ_MIN_SQL,
     "fn_scalar_surface": _FN_SCALAR_SQL,
     "px_clean_corpus": _PX_CLEAN_SQL,
+    "q14_promo_revenue": _Q14_SQL,
     "dd_incremental": _DD_INCR_SQL,
     "sa_stratified_sample": _SA_STRAT_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
