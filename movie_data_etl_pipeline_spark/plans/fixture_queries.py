@@ -1356,6 +1356,38 @@ SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
 """
 
 
+def w4_trailing_7d(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window (vs w1's ROWS frame): per-user trailing-7-day
+    event value over event time. A RANGE frame is peer-inclusive — every
+    event at the same timestamp sees the same trailing sum, so the
+    result is deterministic without a unique tiebreaker (exactly where a
+    ROWS frame would be nondeterministic). Spark's rangeBetween needs a
+    numeric ordering key → epoch seconds; sums in exact cents."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return ev.withColumn("__vc", SC.cents("value")).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS).alias("event_ts"),
+        SC.money_from_cents(F.sum("__vc").over(w)).alias("trailing_7d_value"),
+    )
+
+
+_W4_SQL = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 100.0 AS trailing_7d_value
+FROM events
+"""
+
+
 def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H-Q14-shaped promo-revenue share: date-filtered fact scan ⋈
     broadcast part dimension, conditional aggregation (CASE inside SUM).
@@ -1724,6 +1756,7 @@ QUERIES: dict[str, QueryFn] = {
     "fn_scalar_surface": fn_scalar_surface,
     "px_clean_corpus": px_clean_corpus,
     "q14_promo_revenue": q14_promo_revenue,
+    "w4_trailing_7d": w4_trailing_7d,
     "dd_incremental": dd_incremental,
     "sa_stratified_sample": sa_stratified_sample,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1788,6 +1821,7 @@ ORACLES: dict[str, str] = {
     "fn_scalar_surface": _FN_SCALAR_SQL,
     "px_clean_corpus": _PX_CLEAN_SQL,
     "q14_promo_revenue": _Q14_SQL,
+    "w4_trailing_7d": _W4_SQL,
     "dd_incremental": _DD_INCR_SQL,
     "sa_stratified_sample": _SA_STRAT_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
