@@ -1356,6 +1356,47 @@ SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
 """
 
 
+def j8_full_outer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-outer join with coalesced key and zero-fill — per-nation
+    customer counts vs (deliberately sparse) supplier counts, so BOTH
+    unmatched sides genuinely occur. Two partial aggregates first, then
+    the join: at scale you join two small aggregated relations, never
+    the raw fact tables."""
+    cust = (
+        load_table(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_suppkey") < 20)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_J8_SQL = """
+WITH c AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+           FROM customer GROUP BY c_nationkey),
+s AS (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM supplier WHERE s_suppkey < 20 GROUP BY s_nationkey)
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+ORDER BY nationkey
+"""
+
+
 def w4_trailing_7d(spark: SparkSession, sf: str) -> DataFrame:
     """RANGE-frame window (vs w1's ROWS frame): per-user trailing-7-day
     event value over event time. A RANGE frame is peer-inclusive — every
@@ -1757,6 +1798,7 @@ QUERIES: dict[str, QueryFn] = {
     "px_clean_corpus": px_clean_corpus,
     "q14_promo_revenue": q14_promo_revenue,
     "w4_trailing_7d": w4_trailing_7d,
+    "j8_full_outer_nation": j8_full_outer_nation,
     "dd_incremental": dd_incremental,
     "sa_stratified_sample": sa_stratified_sample,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1822,6 +1864,7 @@ ORACLES: dict[str, str] = {
     "px_clean_corpus": _PX_CLEAN_SQL,
     "q14_promo_revenue": _Q14_SQL,
     "w4_trailing_7d": _W4_SQL,
+    "j8_full_outer_nation": _J8_SQL,
     "dd_incremental": _DD_INCR_SQL,
     "sa_stratified_sample": _SA_STRAT_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
