@@ -1356,6 +1356,48 @@ SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
 """
 
 
+def tx_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality filter): the
+    fraction of word-3-gram occurrences that are repeats of an earlier
+    3-gram in the same document. Pure per-row array expressions — zero
+    shuffles, and the shingle array is built once (``functions.text.
+    shingles``, the same zip-with construction the dedup family
+    uses)."""
+    docs = load_table(spark, sf, "documents")
+    sh = TX.shingles("text", 3)
+    return docs.select(
+        "doc_id",
+        F.size(sh).cast("long").alias("n_3grams"),
+        F.round(
+            F.when(
+                F.size(sh) > 0,
+                F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("repetition_ratio"),
+    )
+
+
+_TX_REP_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+              ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_3grams,
+       ROUND(CASE WHEN len(grams) > 0
+                  THEN 1.0 - len(list_distinct(grams)) / len(grams)
+                  ELSE 0.0 END, 6) AS repetition_ratio
+FROM sh
+"""
+
+
 def j8_full_outer_nation(spark: SparkSession, sf: str) -> DataFrame:
     """Full-outer join with coalesced key and zero-fill — per-nation
     customer counts vs (deliberately sparse) supplier counts, so BOTH
@@ -1799,6 +1841,7 @@ QUERIES: dict[str, QueryFn] = {
     "q14_promo_revenue": q14_promo_revenue,
     "w4_trailing_7d": w4_trailing_7d,
     "j8_full_outer_nation": j8_full_outer_nation,
+    "tx_repetition": tx_repetition,
     "dd_incremental": dd_incremental,
     "sa_stratified_sample": sa_stratified_sample,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1865,6 +1908,7 @@ ORACLES: dict[str, str] = {
     "q14_promo_revenue": _Q14_SQL,
     "w4_trailing_7d": _W4_SQL,
     "j8_full_outer_nation": _J8_SQL,
+    "tx_repetition": _TX_REP_SQL,
     "dd_incremental": _DD_INCR_SQL,
     "sa_stratified_sample": _SA_STRAT_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
