@@ -1356,6 +1356,44 @@ SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
 """
 
 
+def ag_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregate surface: sample stddev/variance, Pearson
+    correlation and sample covariance per group. These are inherently
+    floating-point (no exact-cents rendering exists for second moments);
+    ROUND(x, 4) leaves ~4 orders of magnitude between the rounding grid
+    and the ~1e-8 relative error double summation can introduce across
+    partition orders, so the oracle hash is stable at any parallelism."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            # + 0.0 canonicalizes IEEE negative zero (a tiny negative
+            # covariance rounds to -0.0, which renders differently)
+            (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
+                "covar_disc_tax"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_AG_STATS_SQL = """
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+       ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(COVAR_SAMP(l_discount, l_tax), 6) + 0.0 AS covar_disc_tax,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def tx_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Within-document repetition (Gopher-style quality filter): the
     fraction of word-3-gram occurrences that are repeats of an earlier
@@ -1842,6 +1880,7 @@ QUERIES: dict[str, QueryFn] = {
     "w4_trailing_7d": w4_trailing_7d,
     "j8_full_outer_nation": j8_full_outer_nation,
     "tx_repetition": tx_repetition,
+    "ag_stats_moments": ag_stats_moments,
     "dd_incremental": dd_incremental,
     "sa_stratified_sample": sa_stratified_sample,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1909,6 +1948,7 @@ ORACLES: dict[str, str] = {
     "w4_trailing_7d": _W4_SQL,
     "j8_full_outer_nation": _J8_SQL,
     "tx_repetition": _TX_REP_SQL,
+    "ag_stats_moments": _AG_STATS_SQL,
     "dd_incremental": _DD_INCR_SQL,
     "sa_stratified_sample": _SA_STRAT_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
