@@ -55,6 +55,11 @@ HEADLINE = [
     "ap_exact_quantiles",
     "px_clean_corpus",
     "q6_revenue_delta",
+    "q14_promo_revenue",
+    "w4_trailing_7d",
+    "j8_full_outer_nation",
+    "tx_repetition",
+    "ag_stats_moments",
 ]
 
 
