@@ -198,9 +198,14 @@ def ngram_jaccard_pairs(
             ),
         )
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .distinct()
     )
-    return _verify_pairs(candidates, sh, threshold)
+    # candidate pairs arrive once per shared prefix position (a few ×
+    # duplication); verifying the duplicates costs a handful of extra
+    # codegen'd array_intersects against broadcast shingle sets, while
+    # distinct-ing BEFORE verify costs a full shuffle of the candidate
+    # relation. Dedup after the threshold filter instead, where the
+    # relation has collapsed to the (tiny) true-pair set.
+    return _verify_pairs(candidates, sh, threshold).distinct()
 
 
 # ---------------------------------------------------------------------------
