@@ -1847,6 +1847,430 @@ ORDER BY revenue DESC, n_name ASC
 """
 
 
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated *inequality* — count
+    orders per priority that have at least one line item shipped after
+    the order date. Extends the reference's join-membership filtering
+    (``sql/03_views.sql:11``) to a conditional left-semi join whose
+    predicate references both sides. At 100 TB the semi join is the
+    right physical form: lineitem never materializes into the output,
+    and the o_orderdate range filter prunes the orders scan first."""
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q9_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-way join (part⋈lineitem⋈supplier⋈orders⋈
+    nation) + profit = revenue − cost, grouped by nation × order year.
+    The fixture has no partsupp, so cost is modeled as 80% of
+    p_retailprice per unit. All money math stays in integer 10^-4
+    dollars until the final division, so the sum is order-independent
+    and oracle-exact. Plan posture: part name filter prunes the part
+    side before its shuffle join with lineitem; supplier and nation
+    broadcast; the only big exchange is lineitem⋈orders on orderkey."""
+    part = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    supplier = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev_c4 = SC.cents("l_extendedprice") * (F.lit(100) - SC.cents("l_discount"))
+    cost_c4 = F.col("l_quantity").cast("bigint") * SC.cents("p_retailprice") * F.lit(80)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(rev_c4 - cost_c4).cast("double") / F.lit(10000.0), 2).alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    - CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(p_retailprice * 100) AS BIGINT) * 80) AS DOUBLE)
+             / 10000.0, 2) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in one quarter. customer⋈orders⋈lineitem⋈nation with two
+    scan-level filters (quarter on orders, returnflag on lineitem),
+    revenue in exact integer 10^-4 dollars, then a global top-k that
+    compiles to TakeOrderedAndProject (no full sort). c_custkey is in
+    the ordering so the limit boundary is deterministic."""
+    customer = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev_c4 = SC.cents("l_extendedprice") * (F.lit(100) - SC.cents("l_discount"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        # round-half-up done in integer space ((x+50) div 100): engines
+        # disagree on ROUND(double, 2) at exact .xx5 boundaries
+        .agg(
+            SC.money_from_cents(
+                F.floor((F.sum(rev_c4) + F.lit(50)) / F.lit(100)).cast("bigint")
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(CAST(FLOOR((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) / 100.0) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count — a
+    LEFT OUTER join (so zero-order customers survive with count 0)
+    followed by a second aggregation over the first's result. The
+    two-level groupBy is the new operator shape here: the first agg
+    shuffles on c_custkey, the second on the tiny count domain, which
+    AQE coalesces to a handful of partitions at any scale."""
+    customer = load_table(spark, sf, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity line items — the
+    correlated scalar-average subquery ``l_quantity < 0.2 * AVG(
+    l_quantity) per part``. Rewritten multiplication-only so it is
+    integer-exact across engines: ``5·qty·cnt < sum_qty``. Spark-first
+    decorrelation: the brand filter shrinks part to ~1% before a
+    broadcast join; the per-part average is a window over the already
+    tiny joined relation, so no second pass over lineitem and no
+    self-join — the classic Q17 double-scan disappears."""
+    part = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    qty = F.col("l_quantity").cast("bigint")
+    flagged = (
+        joined.withColumn("__cnt", F.count(F.lit(1)).over(w))
+        .withColumn("__sumq", F.sum(qty).over(w))
+        .filter(F.lit(5) * qty * F.col("__cnt") < F.col("__sumq"))
+    )
+    return flagged.agg(
+        F.round(
+            F.sum(SC.cents("l_extendedprice")).cast("double") / F.lit(100.0) / F.lit(7.0), 2
+        ).alias("avg_yearly")
+    )
+
+
+_Q17_SQL = """
+SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / 7.0, 2) AS avg_yearly
+FROM (
+  SELECT l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey,
+       LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT) AS sumq
+                FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey) s
+  WHERE p_brand = 'Brand#23'
+    AND 5 * CAST(l_quantity AS BIGINT) * s.cnt < s.sumq
+) t
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, with customer detail — aggregate-then-semijoin. The
+    lineitem groupBy produces the qualifying orderkey set *and* the
+    total_qty payload in one shuffle; orders then joins that small
+    aggregated side (broadcast after AQE sees its size), and customer
+    joins last. No HAVING-then-rejoin double scan of lineitem."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", _TS).alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count + balance of above-average
+    customers with no recent orders — an uncorrelated scalar subquery
+    (global positive-balance average) plus a NOT EXISTS anti-join.
+    The average is compared multiplication-only in integer cents
+    (``bal_cents · N > S``), so the threshold is bit-exact across
+    engines. The one-row aggregate is crossJoin-broadcast to every
+    partition; the anti-join shuffles on custkey — at 100 TB the
+    filtered orders side is date-pruned before that exchange."""
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    recent = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    thresh = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(SC.cents("c_acctbal")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    bal_c = SC.cents("c_acctbal")
+    return (
+        customer.crossJoin(F.broadcast(thresh))
+        .filter(bal_c * F.col("__n") > F.col("__s"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            SC.money_from_cents(F.sum(bal_c)).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_Q22_SQL = """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+FROM customer c, (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM customer WHERE c_acctbal > 0) t
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * t.n > t.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def w5_value_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-based window functions over a total order: first_value /
+    last_value (explicit full frame — the default frame stops at
+    CURRENT ROW, a classic trap), percent_rank, and cume_dist per
+    nation over suppliers ordered by (acctbal, suppkey). The
+    tiebreaker makes every rank deterministic; percent_rank and
+    cume_dist are exact rationals k/(n−1) and k/n so they compare
+    bit-identically across engines."""
+    supplier = load_table(spark, sf, "supplier").select("s_nationkey", "s_suppkey", "s_acctbal")
+    order = [F.asc("s_acctbal"), F.asc("s_suppkey")]
+    w = Window.partitionBy("s_nationkey").orderBy(*order)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return supplier.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.first("s_suppkey").over(w_full).alias("poorest_supp"),
+        F.last("s_suppkey").over(w_full).alias("richest_supp"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    ).orderBy("s_nationkey", "s_suppkey")
+
+
+_W5_SQL = """
+SELECT s_nationkey, s_suppkey, s_acctbal,
+       FIRST_VALUE(s_suppkey) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest_supp,
+       LAST_VALUE(s_suppkey)  OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest_supp,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey), 9) AS pct_rank,
+       ROUND(CUME_DIST()    OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey), 9) AS cume
+FROM supplier
+ORDER BY s_nationkey, s_suppkey
+"""
+
+
+def ts_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap fill (hypertable-style densification): per-user
+    daily event counts with missing days filled as 0 over each user's
+    observed [min_day, max_day] span. Spark-first: the day grid is
+    ``sequence(min, max, interval 1 day)`` exploded from the per-user
+    span aggregate — generated, never stored — then a left join back
+    onto the real per-day counts. Both sides are pre-aggregated before
+    the join, so the exchange carries one row per user-day, not one
+    per event; at 100 TB the grid side is trivially small and
+    broadcast-eligible."""
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", F.to_date("ts").alias("d"))
+    )
+    days = ev.groupBy("user_id", "d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = (
+        days.groupBy("user_id")
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("d"),
+        )
+    )
+    return (
+        grid.join(days, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.date_format("d", _DATE).alias("day"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+_TS_GAPFILL_SQL = """
+WITH days AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id < 50 GROUP BY user_id, CAST(ts AS DATE)
+), span AS (
+  SELECT user_id, MIN(d) AS mn, MAX(d) AS mx FROM days GROUP BY user_id
+), grid AS (
+  SELECT user_id, CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP),
+                                              CAST(mx AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+)
+SELECT g.user_id, STRFTIME(g.d, '%Y-%m-%d') AS day,
+       CAST(COALESCE(days.n, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN days ON g.user_id = days.user_id AND g.d = days.d
+ORDER BY g.user_id, day
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "v1_top_actors": v1_top_actors,
     "v2_top_genres": v2_top_genres,
@@ -1913,6 +2337,15 @@ QUERIES: dict[str, QueryFn] = {
     "pv_pivot_status": pv_pivot_status,
     "su_set_ops": su_set_ops,
     "q1_pricing_summary": q1_pricing_summary,
+    "q4_order_priority": q4_order_priority,
+    "q9_nation_profit": q9_nation_profit,
+    "q10_returned_items": q10_returned_items,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q22_idle_customers": q22_idle_customers,
+    "w5_value_windows": w5_value_windows,
+    "ts_gapfill": ts_gapfill,
 }
 
 ORACLES: dict[str, str] = {
@@ -1974,6 +2407,15 @@ ORACLES: dict[str, str] = {
     "pv_pivot_status": _PV_SQL,
     "su_set_ops": _SU_SQL,
     "q1_pricing_summary": _Q1_SQL,
+    "q4_order_priority": _Q4_SQL,
+    "q9_nation_profit": _Q9_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "q13_customer_distribution": _Q13_SQL,
+    "q17_small_quantity_revenue": _Q17_SQL,
+    "q18_large_orders": _Q18_SQL,
+    "q22_idle_customers": _Q22_SQL,
+    "w5_value_windows": _W5_SQL,
+    "ts_gapfill": _TS_GAPFILL_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup,
     # mm_features

@@ -101,3 +101,34 @@ def test_scalar_surface_single_codegen_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan, plan  # pure projection: no shuffle
     assert plan.lstrip().startswith("*(1)"), plan  # one codegen span covers it
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_order_priority")
+    # correlated EXISTS must become one semi join carrying the extra
+    # inequality — never a rewrite through distinct+inner join
+    assert "LeftSemi" in plan, plan
+    assert "l_shipdate" in plan and "o_orderdate" in plan
+    # the quarter filter prunes the orders scan before the join
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_q10_topk_and_returnflag_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject(limit=20" in plan, plan
+    assert "rangepartitioning" not in plan  # top-k, not a global sort
+    assert "EqualTo(l_returnflag,R)" in plan, plan  # filter reaches the scan
+
+
+def test_q18_agg_side_builds_hash_table(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_large_orders")
+    # the aggregated >threshold orderkey set is small: it must be the
+    # build side of a broadcast join, not force a sort-merge of orders
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject(limit=100" in plan, plan
+
+
+def test_ts_gapfill_generates_grid_without_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_gapfill")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate explode" in plan, plan  # the day grid is generated, not stored
