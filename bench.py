@@ -60,6 +60,19 @@ HEADLINE = [
     "j8_full_outer_nation",
     "tx_repetition",
     "ag_stats_moments",
+    "q4_order_priority",
+    "q9_nation_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "w5_value_windows",
+    "ts_gapfill",
+    "ev_funnel",
+    "ev_cohort_retention",
+    "ag_histogram",
+    "o10_scd2_history",
 ]
 
 

@@ -83,6 +83,64 @@ def upsert(
     return merged.select(*out_cols)
 
 
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    effective,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: the history-preserving
+    generalization of the reference's update-on-conflict upsert
+    (``/root/reference/02_etl.py:84-101``) — instead of overwriting the
+    matched row, the open version (``to_col`` IS NULL) is *closed* at
+    ``effective`` and a new open version is appended.
+
+    Change detection makes the operator idempotent (the reference's
+    "safe to rerun" contract, ``README.md:81``): a change row whose
+    ``tracked_cols`` are null-safe-equal to the current open version is
+    a no-op, so replaying the same batch yields a fixed point instead of
+    stacking duplicate versions.
+
+    ``changes`` carries ``key_cols + tracked_cols``; ``effective`` is a
+    Column (or literal) stamped as the new ``from_col`` / old ``to_col``.
+    Keys absent from ``current`` become inserts (open version only).
+
+    Scale posture: one shuffle on the key joins changes against only the
+    *open* slice of the dimension; closed history rows stream through
+    untouched (on a partitioned table: only the open partition is
+    rewritten). The changes side is typically CDC-sized — broadcast.
+    """
+    keys = list(key_cols)
+    eff = effective if not isinstance(effective, str) else F.lit(effective)
+    open_rows = current.filter(F.col(to_col).isNull())
+    closed_rows = current.filter(F.col(to_col).isNotNull())
+
+    cmp = changes.select(*keys, *tracked_cols)
+    j = cmp.alias("c").join(open_rows.alias("o"), keys, "left")
+    same = F.lit(True)
+    for t in tracked_cols:
+        same = same & F.col(f"c.{t}").eqNullSafe(F.col(f"o.{t}"))
+    # real change: no open version yet, or any tracked value differs
+    changed = j.filter(F.col(f"o.{from_col}").isNull() | ~same).select("c.*")
+
+    changed_keys = changed.select(*keys)
+    to_close = open_rows.join(changed_keys, keys, "left_semi").withColumn(to_col, eff)
+    untouched = open_rows.join(changed_keys, keys, "left_anti")
+    new_open = changed.withColumn(from_col, eff).withColumn(
+        to_col, F.lit(None).cast(open_rows.schema[to_col].dataType)
+    )
+    cols = current.columns
+    return (
+        closed_rows.select(cols)
+        .unionByName(to_close.select(cols))
+        .unionByName(untouched.select(cols))
+        .unionByName(new_open.select(cols))
+    )
+
+
 def insert_if_absent(
     target: DataFrame, incoming: DataFrame, key_cols: Sequence[str]
 ) -> DataFrame:

@@ -2271,6 +2271,158 @@ ORDER BY g.user_id, day
 """
 
 
+def ev_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered event funnel over the events stream: users who viewed,
+    then clicked strictly after their first view, then purchased
+    strictly after that first qualifying click. Each stage is a
+    per-user MIN-timestamp aggregate joined to the next stage's
+    filtered scan — the relation shrinks to one row per user *before*
+    every join, so at 100 TB each exchange carries user-count rows,
+    never event-count rows."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts")
+    first_view = (
+        ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        first_view.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+        .crossJoin(first_click.agg(F.count(F.lit(1)).cast("bigint").alias("n_click")))
+        .crossJoin(first_purchase.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase")))
+    )
+
+
+_EV_FUNNEL_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase
+"""
+
+
+def ev_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-ever event day,
+    counted on each subsequent day-offset they return (offsets 0–7).
+    Two aggregations with a join between them — the cohort assignment
+    is one row per user, so the join back onto per-user-day activity
+    broadcasts the cohort side at any realistic user count, and the
+    final agg shuffles on the tiny (cohort_day × offset) domain."""
+    ev = load_table(spark, sf, "events").select("user_id", F.to_date("ts").alias("d"))
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_d"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy(F.date_format("cohort_d", _DATE).alias("cohort_day"), "day_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+_EV_COHORT_SQL = """
+WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+cohort AS (SELECT user_id, MIN(d) AS cohort_d FROM ev GROUP BY user_id)
+SELECT STRFTIME(cohort_d, '%Y-%m-%d') AS cohort_day,
+       CAST(DATEDIFF('day', cohort_d, d) AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS users
+FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+WHERE DATEDIFF('day', cohort_d, d) <= 7
+GROUP BY cohort_d, DATEDIFF('day', cohort_d, d)
+ORDER BY cohort_day, day_offset
+"""
+
+
+def ag_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of order totals: 20 buckets of $25k over
+    [0, $500k], bucket id computed by integer division in exact cents
+    (a portable width_bucket — no engine-specific binning function, no
+    float edge ambiguity). One scan, one tiny-domain shuffle; bucket
+    edges are emitted as columns so the result is self-describing."""
+    width_c = 25_000 * 100
+    orders = load_table(spark, sf, "orders").select("o_totalprice")
+    bucket = F.least(
+        F.floor(SC.cents("o_totalprice") / F.lit(width_c)).cast("int"), F.lit(19)
+    ).alias("bucket")
+    return (
+        orders.select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .withColumn("lo", (F.col("bucket") * 25000.0).cast("double"))
+        .withColumn("hi", ((F.col("bucket") + 1) * 25000.0).cast("double"))
+        .select("bucket", "lo", "hi", "n_orders")
+        .orderBy("bucket")
+    )
+
+
+_AG_HIST_SQL = """
+SELECT bucket, CAST(bucket * 25000.0 AS DOUBLE) AS lo,
+       CAST((bucket + 1) * 25000.0 AS DOUBLE) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM (SELECT CAST(LEAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT) / 2500000), 19) AS INT) AS bucket
+      FROM orders) t
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def o10_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 merge (operators/merge.scd2_apply): history-preserving
+    generalization of the reference upsert (``02_etl.py:84-101``) —
+    matched open versions are closed at the effective date and a new
+    open version appended; no-op changes (tracked values unchanged) are
+    detected and skipped, which is what makes replays a fixed point.
+    Fixture scenario: every custkey≡0 (mod 3) gets +100 balance
+    effective 2021-01-01; custkey≡1 (mod 5) arrives as an unchanged
+    (no-op) change row and must NOT produce a version."""
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    current = customer.withColumn("valid_from", F.lit("2020-01-01")).withColumn(
+        "valid_to", F.lit(None).cast("string")
+    )
+    changes = (
+        customer.filter((F.col("c_custkey") % 3 == 0) | (F.col("c_custkey") % 5 == 1))
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+    )
+    return merge.scd2_apply(
+        current, changes, ["c_custkey"], ["c_acctbal"], F.lit("2021-01-01")
+    ).orderBy("c_custkey", "valid_from")
+
+
+_O10_SCD2_SQL = """
+SELECT c_custkey, c_acctbal, '2020-01-01' AS valid_from,
+       CASE WHEN c_custkey % 3 = 0 THEN '2021-01-01' ELSE NULL END AS valid_to
+FROM customer
+UNION ALL
+SELECT c_custkey, c_acctbal + 100, '2021-01-01', NULL
+FROM customer WHERE c_custkey % 3 = 0
+ORDER BY c_custkey, valid_from
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "v1_top_actors": v1_top_actors,
     "v2_top_genres": v2_top_genres,
@@ -2346,6 +2498,10 @@ QUERIES: dict[str, QueryFn] = {
     "q22_idle_customers": q22_idle_customers,
     "w5_value_windows": w5_value_windows,
     "ts_gapfill": ts_gapfill,
+    "ev_funnel": ev_funnel,
+    "ev_cohort_retention": ev_cohort_retention,
+    "ag_histogram": ag_histogram,
+    "o10_scd2_history": o10_scd2_history,
 }
 
 ORACLES: dict[str, str] = {
@@ -2416,6 +2572,10 @@ ORACLES: dict[str, str] = {
     "q22_idle_customers": _Q22_SQL,
     "w5_value_windows": _W5_SQL,
     "ts_gapfill": _TS_GAPFILL_SQL,
+    "ev_funnel": _EV_FUNNEL_SQL,
+    "ev_cohort_retention": _EV_COHORT_SQL,
+    "ag_histogram": _AG_HIST_SQL,
+    "o10_scd2_history": _O10_SCD2_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup,
     # mm_features

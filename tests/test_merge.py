@@ -62,3 +62,44 @@ def test_insert_if_absent_idempotent(spark):
     once = merge.insert_if_absent(target, incoming, ["k"])
     twice = merge.insert_if_absent(once, incoming, ["k"])
     assert _rows(once) == _rows(twice)
+
+
+def test_scd2_close_insert_and_noop(spark):
+    """Changed keys get the old version closed + a new open version;
+    no-op change rows (tracked value unchanged) produce nothing; new
+    keys insert an open version only."""
+    cur = spark.createDataFrame(
+        [(1, "a", "2020", None), (2, "b", "2020", None)],
+        "k INT, v STRING, valid_from STRING, valid_to STRING",
+    )
+    changes = spark.createDataFrame(
+        [(1, "a2"), (2, "b"), (3, "c")], "k INT, v STRING"
+    )
+    out = merge.scd2_apply(cur, changes, ["k"], ["v"], "2021")
+    assert _rows(out) == [
+        (1, "a", "2020", "2021"),
+        (1, "a2", "2021", None),
+        (2, "b", "2020", None),  # no-op: unchanged value, no new version
+        (3, "c", "2021", None),
+    ]
+
+
+def test_scd2_replay_fixed_point(spark):
+    """Applying the same change batch twice yields the same history —
+    the reference's rerun-safety contract lifted to versioned rows."""
+    cur = spark.createDataFrame(
+        [(1, "a", "2020", None)], "k INT, v STRING, valid_from STRING, valid_to STRING"
+    )
+    changes = spark.createDataFrame([(1, "a2")], "k INT, v STRING")
+    once = merge.scd2_apply(cur, changes, ["k"], ["v"], "2021")
+    twice = merge.scd2_apply(once, changes, ["k"], ["v"], "2021")
+    assert _rows(once) == _rows(twice)
+
+
+def test_scd2_null_tracked_values_compare_null_safe(spark):
+    cur = spark.createDataFrame(
+        [(1, None, "2020", None)], "k INT, v STRING, valid_from STRING, valid_to STRING"
+    )
+    noop = spark.createDataFrame([(1, None)], "k INT, v STRING")
+    out = merge.scd2_apply(cur, noop, ["k"], ["v"], "2021")
+    assert _rows(out) == [(1, None, "2020", None)]
