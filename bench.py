@@ -73,6 +73,9 @@ HEADLINE = [
     "ev_cohort_retention",
     "ag_histogram",
     "o10_scd2_history",
+    "q21_waiting_suppliers",
+    "tx_rare_tokens",
+    "sim_label_centroids",
 ]
 
 

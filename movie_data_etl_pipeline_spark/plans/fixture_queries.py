@@ -2423,6 +2423,141 @@ ORDER BY c_custkey, valid_from
 """
 
 
+def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape — the hardest subquery pattern in the suite:
+    per supplier, count multi-supplier orders where THIS supplier
+    shipped late (>60 days after order date) and NO other supplier
+    did. The textbook form is EXISTS + NOT EXISTS, both correlated to
+    the outer lineitem — two extra scans. Spark-first rewrite: one
+    lineitem⋈orders pass collapsed to (order, supplier, late) grain,
+    then two window aggregates over the order key answer both
+    existence tests at once; supplier names broadcast at the end. One
+    fact shuffle + one window sort instead of three fact scans."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    late = F.max(
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+        ).otherwise(0)
+    )
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late.alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        per.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+WITH os AS (
+  SELECT l_suppkey, l_orderkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_suppkey, l_orderkey
+), w AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+            SUM(late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM os
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM w JOIN supplier ON l_suppkey = s_suppkey
+WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+def tx_rare_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-relative token rarity — the CCNet-style quality signal a
+    training-data pipeline filters on: per document, total tokens,
+    tokens whose corpus frequency is ≤2 (hapax/dis legomena), tokens
+    outside the deterministic top-1000 vocabulary (ties broken by
+    token text), and the rare ratio. Two passes over the token
+    relation: the corpus frequency table is vocabulary-sized, so its
+    join back onto the token stream broadcasts at any corpus scale —
+    the pattern holds when documents is 100 TB because the vocab side
+    only grows with distinct tokens."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+    vocab = freq.withColumn("rk", rk)
+    return (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("cnt") <= 2, 1).otherwise(0)).cast("bigint").alias("n_rare"),
+            F.sum(F.when(F.col("rk") > 1000, 1).otherwise(0)).cast("bigint").alias("n_oov"),
+        )
+        .withColumn("rare_ratio", F.col("n_rare").cast("double") / F.col("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+_TX_RARE_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_D_TOKS}) AS token FROM documents),
+freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+vocab AS (SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rk FROM freq)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN rk > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_ratio
+FROM toks JOIN vocab USING (token)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def sim_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids via quantized-exact aggregation:
+    each float32 component scales by 2^20 (exact in double — 24-bit
+    mantissa + 20-bit shift < 53), rounds to integer, and the per-
+    (label, dim) sums are order-independent BIGINTs; the final divide
+    by count and unscale by a power of two are both exact IEEE steps,
+    so the centroid hashes identically on any engine and any partition
+    count. posexplode keeps the dim index JVM-side — no Python in the
+    path. The shuffle domain is labels × dims, independent of row
+    count — this is the aggregation shape for computing per-cluster
+    means over 100 TB of embeddings."""
+    emb = load_table(spark, sf, "embeddings").select("label", "embedding")
+    q = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("qv", F.round(F.col("v").cast("double") * F.lit(1048576)).cast("bigint"))
+    return (
+        q.groupBy("label", "dim")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim",
+            ((F.col("s").cast("double") / F.col("n")) / F.lit(1048576.0)).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+_SIM_CENTROID_SQL = """
+SELECT label, CAST(i AS INT) AS dim,
+       (CAST(SUM(CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+        / COUNT(*)) / 1048576.0 AS centroid
+FROM embeddings, (SELECT unnest(range(64)) AS i) dims
+GROUP BY label, i
+ORDER BY label, dim
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "v1_top_actors": v1_top_actors,
     "v2_top_genres": v2_top_genres,
@@ -2502,6 +2637,9 @@ QUERIES: dict[str, QueryFn] = {
     "ev_cohort_retention": ev_cohort_retention,
     "ag_histogram": ag_histogram,
     "o10_scd2_history": o10_scd2_history,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "tx_rare_tokens": tx_rare_tokens,
+    "sim_label_centroids": sim_label_centroids,
 }
 
 ORACLES: dict[str, str] = {
@@ -2576,6 +2714,9 @@ ORACLES: dict[str, str] = {
     "ev_cohort_retention": _EV_COHORT_SQL,
     "ag_histogram": _AG_HIST_SQL,
     "o10_scd2_history": _O10_SCD2_SQL,
+    "q21_waiting_suppliers": _Q21_SQL,
+    "tx_rare_tokens": _TX_RARE_SQL,
+    "sim_label_centroids": _SIM_CENTROID_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup,
     # mm_features

@@ -132,3 +132,18 @@ def test_ts_gapfill_generates_grid_without_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_gapfill")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert "Generate explode" in plan, plan  # the day grid is generated, not stored
+
+
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    # the EXISTS + NOT EXISTS pair is answered by window aggregates over
+    # one (order, supplier, late) relation — the textbook three scans of
+    # lineitem must collapse to exactly one
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "WindowExec" in plan or "Window" in plan, plan
+
+
+def test_centroid_aggregation_stays_jvm_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sim_label_centroids")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Generate posexplode" in plan, plan
