@@ -53,6 +53,28 @@ def read_format(
     return reader.format(fmt).options(**options).schema(schema).load(path)
 
 
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Raw text source: one row per line (``value: string``), or one row
+    per file when ``whole`` — the landing reader for unstructured
+    corpora before tokenization/dedup (the ``documents``-table shape).
+    Line mode splits across workers on block boundaries; whole-file mode
+    cannot split, so it is only for many-small-files layouts."""
+    return spark.read.text(path, wholetext=whole)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Binary-file source for multimodal assets (image/audio/video):
+    one row per file with ``(path, modificationTime, length, content:
+    binary)`` — the ingest edge feeding ``operators/multimodal``'s
+    decode/feature UDFs. Non-splittable by nature (a file is one blob);
+    parallelism comes from file count, so at scale assets should be
+    landed many-files-per-partition, never one giant archive. The glob
+    filter prunes at listing time — no bytes read for skipped files."""
+    return (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
+
+
 def write_format(
     df: DataFrame,
     path: str,

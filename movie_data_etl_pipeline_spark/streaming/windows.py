@@ -237,6 +237,19 @@ def streaming_session_counts(
     )
 
 
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension — no watermark needed because the static side holds
+    no state. Spark re-plans the static side per batch, so on a
+    broadcast-sized dimension every micro-batch gets a broadcast hash
+    join; this is THE pattern for decorating a 100 TB/day event firehose
+    with dimension attributes (the streaming analogue of the reference's
+    view joins, ``/root/reference/sql/03_views.sql:9-11``). Inner join:
+    events without a dimension row drop, mirroring the views'
+    join-membership filtering."""
+    return stream.join(F.broadcast(dim), on, "inner")
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     streaming_df: DataFrame,

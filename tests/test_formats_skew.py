@@ -59,3 +59,31 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         lineitem.withColumnRenamed("l_suppkey", "s_suppkey"), supplier, ["s_suppkey"], n_salts=8
     ).groupBy("s_name").agg(F.sum("l_quantity").alias("q"))
     assert _rows(salted, ["s_name", "q"]) == _rows(plain, ["s_name", "q"])
+
+
+def test_read_text_lines_and_whole(spark, tmp_path):
+    from movie_data_etl_pipeline_spark.sources.formats import read_text
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("alpha\nbeta\n")
+    (p / "b.txt").write_text("gamma\n")
+    lines = read_text(spark, str(p))
+    assert sorted(r.value for r in lines.collect()) == ["alpha", "beta", "gamma"]
+    whole = read_text(spark, str(p), whole=True)
+    assert sorted(r.value for r in whole.collect()) == ["alpha\nbeta\n", "gamma\n"]
+
+
+def test_read_binary_files_content_and_glob(spark, tmp_path):
+    from movie_data_etl_pipeline_spark.sources.formats import read_binary_files
+
+    p = tmp_path / "assets"
+    p.mkdir()
+    (p / "x.bin").write_bytes(b"\x00\x01\x02")
+    (p / "y.txt").write_bytes(b"skip me")
+    df = read_binary_files(spark, str(p), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].path.endswith("x.bin")
+    assert bytes(rows[0].content) == b"\x00\x01\x02"
+    assert rows[0].length == 3

@@ -139,3 +139,23 @@ def test_foreachbatch_upsert_sink_idempotent(spark, sf_dir, tmp_path):
     run(str(tmp_path / "ckpt2"))
     rows2 = {tuple(r) for r in spark.read.parquet(target).collect()}
     assert rows2 == rows1
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static join: every micro-batch joined against a static
+    dimension must produce exactly the batch join's result on a bounded
+    stream (no watermark, no withheld tail — the static side is
+    stateless)."""
+    batch = load_table(spark, sf_dir, "events")
+    dim = (
+        batch.select("user_id")
+        .distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    enriched = SW.stream_static_enrich(
+        SW.read_events_stream(spark, sf_dir), dim, "user_id"
+    )
+    per_tier = enriched.groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
+    got = SW.run_stream_to_memory(spark, per_tier, "t_enrich", output_mode="complete")
+    want = batch.join(dim, "user_id").groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
