@@ -76,6 +76,8 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "tx_rare_tokens",
     "sim_label_centroids",
+    "inc_rollup",
+    "g3_grouping_sets",
 ]
 
 

@@ -419,3 +419,73 @@ def incremental_dedup(
     """
     fresh = dedup_exact(batch, key_cols, keep_min_of)
     return fresh.join(seen.select(*key_cols), list(key_cols), "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate *pairs* into duplicate *groups*: the step
+    LSH/SimHash/Jaccard stop short of — dedup at corpus scale keeps one
+    representative per connected component of the similarity graph, not
+    per pair. Returns ``(id, component)`` with ``component`` = the
+    minimum id in the group (deterministic canonical representative,
+    the same convention as ``dedup_exact``'s min-representative).
+
+    Algorithm: min-label propagation — every vertex repeatedly takes
+    the minimum label among itself and its neighbors until a fixpoint.
+    Each round is one join + one groupBy (two key shuffles); rounds
+    needed = graph diameter, and near-dup graphs are overwhelmingly
+    tiny star-shaped clusters, so 2–4 rounds dominate in practice.
+    ``localCheckpoint`` truncates the plan lineage each round —
+    without it the iterated plan doubles per round and the driver
+    chokes on optimization long before 100 TB of data is the problem.
+    The convergence test (count of changed labels) is a cheap
+    aggregate, not a collect of labels.
+
+    This is the DataFrame rendering of the map-reduce CC algorithms
+    (Kiveris et al. "Connected Components in MapReduce and Beyond");
+    for graphs with continent-sized components, switch to the
+    large-star/small-star variant — same join primitives, fewer rounds.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    # materialize the edge list once: `pairs` is typically an expensive
+    # similarity computation, and without this every propagation round
+    # would re-execute it from scratch
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (F.col("component") != F.least("component", F.coalesce("nbr_min", F.col("component"))))
+                .cast("int")
+                .alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.agg(F.sum("changed")).first()[0] or 0
+        labels = new_labels.select("id", "component")
+        if changed == 0:
+            break
+    return labels

@@ -2558,6 +2558,160 @@ ORDER BY label, dim
 """
 
 
+def inc_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance
+    (operators/incremental.merge_agg_state): the monthly revenue rollup
+    is built from TWO partial aggregates (orders before/after 1998)
+    merged with the measures' merge functions — and the oracle recomputes
+    it directly from the base table, so the hash match *proves* the
+    incremental path equals full recomputation. COUNT/SUM merge by
+    addition in exact cents; MIN/MAX by min/max. At 100 TB only the
+    arriving batch is scanned; the state table lives at rollup grain."""
+    from movie_data_etl_pipeline_spark.operators.incremental import merge_agg_state
+
+    orders = load_table(spark, sf, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("month", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(SC.cents("o_totalprice")).alias("total_cents"),
+            F.min(SC.cents("o_totalprice")).alias("min_cents"),
+            F.max(SC.cents("o_totalprice")).alias("max_cents"),
+        )
+
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    state = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    batch = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = merge_agg_state(
+        state,
+        batch,
+        ["month", "o_orderstatus"],
+        sum_cols=["n_orders", "total_cents"],
+        min_cols=["min_cents"],
+        max_cols=["max_cents"],
+    )
+    return merged.select(
+        "month",
+        "o_orderstatus",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        SC.money_from_cents(F.col("total_cents")).alias("total_revenue"),
+        SC.money_from_cents(F.col("min_cents")).alias("min_price"),
+        SC.money_from_cents(F.col("max_cents")).alias("max_price"),
+    ).orderBy("month", "o_orderstatus")
+
+
+_INC_ROLLUP_SQL = """
+SELECT STRFTIME(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue,
+       CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_price,
+       CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_price
+FROM orders
+GROUP BY STRFTIME(o_orderdate, '%Y-%m'), o_orderstatus
+ORDER BY month, o_orderstatus
+"""
+
+
+def g3_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond g1 ROLLUP / g2 CUBE): the three
+    explicitly chosen levels (flag×status, flag, grand total) — one
+    Expand over the input feeding a single aggregate, not three scans.
+    The level indicator is derived portably from key nullness (both
+    grouping keys are NOT NULL in the data) instead of grouping_id(),
+    whose bit convention is engine-specific."""
+    li = load_table(spark, sf, "lineitem")
+    li.select("l_returnflag", "l_linestatus", "l_quantity").createOrReplaceTempView(
+        "__gs_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST((l_returnflag IS NULL) AS INT) * 2
+                 + CAST((l_linestatus IS NULL) AS INT) AS level,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY level, l_returnflag, l_linestatus
+        """
+    )
+
+
+_G3_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST((l_returnflag IS NULL) AS INT) * 2
+         + CAST((l_linestatus IS NULL) AS INT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY level, l_returnflag, l_linestatus
+"""
+
+
+def dd_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate pairs → duplicate GROUPS via connected components
+    (operators/dedup.connected_components): the exact n-gram Jaccard
+    pairs feed min-label propagation, and the output is one row per
+    component with its size and canonical (minimum) member — what a
+    dedup pass actually keeps. The oracle twin recomputes components
+    with a recursive CTE over the same pair relation, so the iterative
+    DataFrame algorithm is hash-verified against a declarative
+    fixpoint."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    comp = dedup.connected_components(pairs, "a_id", "b_id")
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy("component")
+    )
+
+
+_DD_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM shared
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.8
+),
+sym AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+walk AS (  -- reachability closure; components are tiny so this stays small
+  SELECT src AS id, dst AS reach FROM sym
+  UNION
+  SELECT walk.id, sym.dst FROM walk JOIN sym ON walk.reach = sym.src
+),
+comps AS (
+  SELECT id, LEAST(id, MIN(reach)) AS component FROM walk GROUP BY id
+)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM comps GROUP BY component ORDER BY component
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "v1_top_actors": v1_top_actors,
     "v2_top_genres": v2_top_genres,
@@ -2640,6 +2794,9 @@ QUERIES: dict[str, QueryFn] = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "tx_rare_tokens": tx_rare_tokens,
     "sim_label_centroids": sim_label_centroids,
+    "inc_rollup": inc_rollup,
+    "g3_grouping_sets": g3_grouping_sets,
+    "dd_dup_clusters": dd_dup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -2717,6 +2874,9 @@ ORACLES: dict[str, str] = {
     "q21_waiting_suppliers": _Q21_SQL,
     "tx_rare_tokens": _TX_RARE_SQL,
     "sim_label_centroids": _SIM_CENTROID_SQL,
+    "inc_rollup": _INC_ROLLUP_SQL,
+    "g3_grouping_sets": _G3_SQL,
+    "dd_dup_clusters": _DD_CLUSTERS_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup,
     # mm_features

@@ -109,3 +109,61 @@ def test_incremental_dedup_fresh_only_and_idempotent(spark):
     # rerun against a corpus that now contains the emitted keys → empty
     seen2 = seen.unionByName(out.select("fp"))
     assert dedup.incremental_dedup(batch, seen2, ["fp"], keep_min_of="id").count() == 0
+
+
+def test_connected_components_chain_and_star(spark):
+    """A 4-vertex chain (diameter 3 — needs multiple propagation
+    rounds), a star, and an isolated pair must each collapse to one
+    component labeled by its minimum id."""
+    from movie_data_etl_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (10, 12), (10, 13),  # star centered at 10
+         (20, 21)],                    # isolated pair
+        "a_id BIGINT, b_id BIGINT",
+    )
+    got = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10), (13, 10),
+            (20, 20), (21, 20)}
+    assert got == want
+
+
+def test_connected_components_matches_union_find(spark):
+    """Differential check vs a driver-side union-find on a pseudo-random
+    graph (deterministic seed)."""
+    import random
+
+    from movie_data_etl_pipeline_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min id in component
+    label = {}
+    for v in range(60):
+        r = find(v)
+        label.setdefault(r, []).append(v)
+    want = {(v, min(vs)) for r, vs in label.items() for v in vs
+            if any(v in e for e in edges)}
+    # only vertices that appear in an edge are in the operator's output
+    touched = {v for e in edges for v in e}
+    want = {(v, c) for v, c in want if v in touched}
+
+    pairs = spark.createDataFrame(edges, "a_id BIGINT, b_id BIGINT")
+    got = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    assert got == want
