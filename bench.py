@@ -78,6 +78,14 @@ HEADLINE = [
     "sim_label_centroids",
     "inc_rollup",
     "g3_grouping_sets",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q11_value_concentration",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q19_disjunctive_revenue",
+    "q20_concentrated_suppliers",
 ]
 
 

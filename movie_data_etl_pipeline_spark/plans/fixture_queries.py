@@ -2712,6 +2712,357 @@ FROM comps GROUP BY component ORDER BY component
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, both
+    directions, per ship year. The supplier-side and customer-side
+    nation lookups are independent broadcast joins onto the fact spine
+    (lineitem⋈orders is the only fact-fact shuffle); the disjunctive
+    nation-pair filter applies after both lookups. Revenue in exact
+    integer 10^-4 dollars."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supplier = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev_c4 = SC.cents("l_extendedprice") * (F.lit(100) - SC.cents("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), customer.c_nationkey == n2.c_nk)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(rev_c4).cast("double") / F.lit(10000.0)).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev) AS DOUBLE) / 10000.0 AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of widget revenue per order
+    year — a ratio of two conditional sums. Both sums stay exact
+    integers until the single final division, so the share is the same
+    double on every engine and partition count (no ROUND needed)."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev_c4 = SC.cents("l_extendedprice") * (F.lit(100) - SC.cents("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("n_name") == "NATION_3", rev_c4).otherwise(F.lit(0))).alias("__n"),
+            F.sum(rev_c4).alias("__d"),
+        )
+        .select(
+            "o_year",
+            (F.col("__n").cast("double") / F.col("__d")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN rev ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT o_orderdate, n_name,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) t
+GROUP BY EXTRACT(YEAR FROM o_orderdate)
+ORDER BY o_year
+"""
+
+
+def q11_value_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value exceeds a fraction of
+    the total — a HAVING against an uncorrelated scalar aggregate.
+    Compared multiplication-only in exact integers
+    (``part_value · 10000 > total``) and the one-row total is broadcast
+    by the cross join, so no engine-dependent threshold double ever
+    exists."""
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
+    per_part = li.groupBy("l_partkey").agg(F.sum(SC.cents("l_extendedprice")).alias("__v"))
+    total = per_part.agg(F.sum("__v").alias("__t"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__v") * F.lit(10000) > F.col("__t"))
+        .select("l_partkey", SC.money_from_cents(F.col("__v")).alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+_Q11_SQL = """
+SELECT l_partkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) * 10000 >
+       (SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) FROM lineitem)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: per line status, how many 1997-shipped line
+    items belong to high- vs low-priority orders — dual conditional
+    counts (CASE inside SUM) after a fact-fact join whose date filter
+    is pushed to the lineitem scan."""
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
+    a derived revenue relation consumed twice (once for the scalar MAX,
+    once for the equality filter), with ties surfacing exactly as the
+    SQL form does. Exact-cents equality makes the tie test portable.
+    The revenue aggregate is computed once and cached in the plan via
+    the self-consumed DataFrame, not recomputed per row."""
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    supplier = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    rev_c4 = SC.cents("l_extendedprice") * (F.lit(100) - SC.cents("l_discount"))
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev_c4).alias("__rev"))
+    top = revenue.agg(F.max("__rev").alias("__max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("__rev") == F.col("__max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("__rev").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) / 10000.0 AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT MAX(rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per brand, excluding an
+    unwanted supplier set via NOT IN → left-anti join (the reference's
+    insert-if-absent anti-join, ``02_etl.py:123-128``, used as a query
+    operator). The exclusion list is supplier-sized → broadcast anti
+    join; the distinct count shuffles once on (brand, suppkey)."""
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    excluded = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_name").endswith("7"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p_brand
+ORDER BY supplier_cnt DESC, p_brand ASC
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three brand×quantity
+    bands. The optimizer must extract the common ``partkey`` equality
+    so the join stays a hash join with the disjunction as a post-join
+    filter — never a nested-loop over the OR (plan-tested). One scalar
+    output row, exact integer sum until the final division."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    q = F.col("l_quantity")
+    bands = (
+        ((F.col("p_brand") == "Brand#12") & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#34") & (q >= 20) & (q <= 30))
+    )
+    rev_c4 = SC.cents("l_extendedprice") * (F.lit(100) - SC.cents("l_discount"))
+    return (
+        li.join(F.broadcast(part), (li.l_partkey == part.p_partkey) & bands)
+        .agg((F.sum(rev_c4).cast("double") / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q20_concentrated_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries — suppliers for whom some
+    widget part's 1996 shipments exceed half that part's all-time
+    shipments from them. Decorrelated Spark-first: one pass over the
+    widget-filtered lineitem computes both conditional sums per
+    (supplier, part) — no per-row subquery, no second lineitem scan —
+    then a semi join lifts qualifying suppliers. The half-threshold
+    compares ``2·qty96 > qty_total`` in integers."""
+    part = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    supplier = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    per_sp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in96, qty).otherwise(F.lit(0))).alias("q96"),
+            F.sum(qty).alias("qall"),
+        )
+    )
+    qualifying = per_sp.filter(F.lit(2) * F.col("q96") > F.col("qall")).select("l_suppkey")
+    return (
+        supplier.join(qualifying, supplier.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+  GROUP BY l_suppkey, l_partkey
+  HAVING 2 * SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+         > SUM(CAST(l_quantity AS BIGINT))
+)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "v1_top_actors": v1_top_actors,
     "v2_top_genres": v2_top_genres,
@@ -2797,6 +3148,14 @@ QUERIES: dict[str, QueryFn] = {
     "inc_rollup": inc_rollup,
     "g3_grouping_sets": g3_grouping_sets,
     "dd_dup_clusters": dd_dup_clusters,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q11_value_concentration": q11_value_concentration,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_diversity": q16_supplier_diversity,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q20_concentrated_suppliers": q20_concentrated_suppliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -2877,6 +3236,14 @@ ORACLES: dict[str, str] = {
     "inc_rollup": _INC_ROLLUP_SQL,
     "g3_grouping_sets": _G3_SQL,
     "dd_dup_clusters": _DD_CLUSTERS_SQL,
+    "q7_nation_volume": _Q7_SQL,
+    "q8_market_share": _Q8_SQL,
+    "q11_value_concentration": _Q11_SQL,
+    "q12_priority_shipping": _Q12_SQL,
+    "q15_top_supplier": _Q15_SQL,
+    "q16_supplier_diversity": _Q16_SQL,
+    "q19_disjunctive_revenue": _Q19_SQL,
+    "q20_concentrated_suppliers": _Q20_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup,
     # mm_features

@@ -147,3 +147,19 @@ def test_centroid_aggregation_stays_jvm_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim_label_centroids")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "Generate posexplode" in plan, plan
+
+
+def test_q19_disjunction_stays_hash_join(spark, sf_dir):
+    # the OR of brand×quantity bands shares a partkey equality — the
+    # optimizer must extract it and keep a hash join; a nested-loop
+    # here would be quadratic at scale
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_q20_single_lineitem_scan(spark, sf_dir):
+    # both nested aggregates (1996 qty, all-time qty) come from ONE
+    # conditional-sum pass — the correlated-subquery double scan is gone
+    plan = _plan(spark, sf_dir, "q20_concentrated_suppliers")
+    assert plan.count("lineitem.parquet") == 1, plan
