@@ -86,6 +86,8 @@ HEADLINE = [
     "q16_supplier_diversity",
     "q19_disjunctive_revenue",
     "q20_concentrated_suppliers",
+    "tx_tfidf_topk",
+    "ev_transitions",
 ]
 
 

@@ -3063,6 +3063,88 @@ ORDER BY s_suppkey
 """
 
 
+def tx_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 salient tokens per document by a TF·IDF-style score kept
+    in exact rational form: ``tf · N / df`` (term count × corpus size ÷
+    document frequency) — one integer product and one final division,
+    so no engine-varying logarithm enters the ranking. Ties break on
+    token text; the per-doc top-k is a WindowGroupLimit (partial top-N
+    before the shuffle). The document-frequency table is
+    vocabulary-sized → broadcast; the corpus size is a literal-free
+    scalar aggregate cross-joined in."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "token", F.col("rk").cast("int").alias("rk"), "score")
+        .orderBy("doc_id", "rk")
+    )
+
+
+_TX_TFIDF_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_D_TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token,
+         CAST(tf * n_docs AS DOUBLE) / df AS score
+  FROM tf JOIN dfreq USING (token), n
+), ranked AS (
+  SELECT doc_id, token, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, token, CAST(rk AS INT) AS rk, score
+FROM ranked WHERE rk <= 5
+ORDER BY doc_id, rk
+"""
+
+
+def ev_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-transition matrix: counts of (event_type → next event_type)
+    per user session stream, via a lag-1 window over (user, time). The
+    total order (ts, event_id) makes the successor deterministic even
+    under timestamp ties. One window sort shuffled on user_id, one
+    tiny-domain aggregation — the Markov-chain input for user-behavior
+    modeling, at any event volume."""
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+_EV_TRANS_SQL = """
+SELECT event_type AS from_type, next_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+) t
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "v1_top_actors": v1_top_actors,
     "v2_top_genres": v2_top_genres,
@@ -3156,6 +3238,8 @@ QUERIES: dict[str, QueryFn] = {
     "q16_supplier_diversity": q16_supplier_diversity,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q20_concentrated_suppliers": q20_concentrated_suppliers,
+    "tx_tfidf_topk": tx_tfidf_topk,
+    "ev_transitions": ev_transitions,
 }
 
 ORACLES: dict[str, str] = {
@@ -3244,6 +3328,8 @@ ORACLES: dict[str, str] = {
     "q16_supplier_diversity": _Q16_SQL,
     "q19_disjunctive_revenue": _Q19_SQL,
     "q20_concentrated_suppliers": _Q20_SQL,
+    "tx_tfidf_topk": _TX_TFIDF_SQL,
+    "ev_transitions": _EV_TRANS_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup,
     # mm_features
