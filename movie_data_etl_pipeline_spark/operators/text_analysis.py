@@ -181,3 +181,54 @@ def clean_corpus(
         .filter(F.col("doc_id") == F.col("__canon"))
         .select("doc_id", "predicted_lang", "quality", "n_ws_tokens")
     )
+
+
+@F.udtf(returnType="chunk_id: int, chunk: string, chunk_chars: int", useArrow=False)
+class ChunkText:
+    """UDTF: split one document into greedy whitespace-respecting chunks
+    of at most ``max_chars`` characters — the segmentation step that
+    turns arbitrarily long documents into bounded training examples.
+    A UDTF (not a UDF) because the output is a *relation* per input row
+    with its own cardinality; SQL surface: ``LATERAL chunk_text(text,
+    N)``. Tokens longer than the budget become their own oversized
+    chunk rather than being split mid-token (deterministic, lossless
+    modulo whitespace). Python-boundary operator by design — chunking
+    is a per-row generator, the exact shape UDTFs exist for; each task
+    streams rows, no driver involvement."""
+
+    def eval(self, text: str, max_chars: int):  # noqa: ANN001 - UDTF contract
+        if text is None:
+            return
+        words = [w for w in text.split() if w]
+        if not words:
+            return
+        chunk_id = 0
+        cur: list[str] = []
+        cur_len = 0
+        for w in words:
+            add = len(w) if not cur else len(w) + 1
+            if cur and cur_len + add > max_chars:
+                joined = " ".join(cur)
+                yield (chunk_id, joined, len(joined))
+                chunk_id += 1
+                cur, cur_len = [w], len(w)
+            else:
+                cur.append(w)
+                cur_len += add
+        joined = " ".join(cur)
+        yield (chunk_id, joined, len(joined))
+
+
+def chunk_documents(spark, docs: DataFrame, max_chars: int = 400) -> DataFrame:
+    """Apply the ChunkText UDTF laterally: one output row per chunk,
+    keyed (doc_id, chunk_id). At 100 TB this is a pure map stage — no
+    shuffle, parallelism = input partitions; the Python boundary is
+    per-partition generator streaming."""
+    spark.udtf.register("chunk_text", ChunkText)
+    docs.select("doc_id", "text").createOrReplaceTempView("__chunk_in")
+    return spark.sql(
+        f"""
+        SELECT i.doc_id, c.chunk_id, c.chunk, c.chunk_chars
+        FROM __chunk_in i, LATERAL chunk_text(i.text, {int(max_chars)}) c
+        """
+    )

@@ -3114,6 +3114,18 @@ ORDER BY doc_id, rk
 """
 
 
+def tx_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Document chunking via the ChunkText UDTF (LATERAL table
+    function): greedy whitespace-respecting segments ≤400 chars — the
+    bounded-training-example segmentation step. Rows-only check (the
+    greedy algorithm has no closed SQL form); the lossless-reassembly
+    and bound invariants are pytest-verified on the same corpus."""
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.chunk_documents(spark, docs, max_chars=400).select(
+        "doc_id", "chunk_id", "chunk_chars"
+    )
+
+
 def ev_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Event-transition matrix: counts of (event_type → next event_type)
     per user session stream, via a lag-1 window over (user, time). The
@@ -3240,6 +3252,7 @@ QUERIES: dict[str, QueryFn] = {
     "q20_concentrated_suppliers": q20_concentrated_suppliers,
     "tx_tfidf_topk": tx_tfidf_topk,
     "ev_transitions": ev_transitions,
+    "tx_chunking": tx_chunking,
 }
 
 ORACLES: dict[str, str] = {

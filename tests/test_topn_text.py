@@ -74,3 +74,27 @@ def test_stratified_sample_exact_quota_and_determinism(spark, sf_dir):
     a = {tuple(r) for r in out.select("doc_id").collect()}
     b = {tuple(r) for r in stratified_sample_exact(docs, ["lang"], 5, "doc_id").select("doc_id").collect()}
     assert a == b
+
+
+def test_chunk_documents_lossless_and_bounded(spark, sf_dir):
+    """Chunking invariants on the real corpus: reassembling a document's
+    chunks in chunk_id order restores the whitespace-normalized text;
+    every chunk respects max_chars unless it is a single oversized
+    token; chunk ids are dense from 0."""
+    from movie_data_etl_pipeline_spark.operators.text_analysis import chunk_documents
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    out = chunk_documents(spark, docs, max_chars=80).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    originals = {r.doc_id: r.text for r in docs.collect()}
+    assert set(by_doc) == {d for d, t in originals.items() if t and t.split()}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        assert " ".join(r.chunk for r in rows) == " ".join(originals[doc_id].split())
+        for r in rows:
+            assert r.chunk_chars == len(r.chunk)
+            assert len(r.chunk) <= 80 or " " not in r.chunk
