@@ -2733,8 +2733,8 @@ def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
     rev_c4 = SC.cents("l_extendedprice") * (F.lit(100) - SC.cents("l_discount"))
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
@@ -2762,8 +2762,8 @@ FROM (
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+     OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
 ) t
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
@@ -3126,6 +3126,44 @@ def tx_chunking(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def f3_variant_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` once into
+    a variant column, then typed ``variant_get`` extraction — the
+    schema-on-read upgrade over F2's fixed-schema ``from_json`` for
+    payloads whose shape drifts. The aggregation groups by a variant-
+    extracted field, proving the value participates in shuffles like
+    any typed column. Missing paths yield NULL (``try_variant_get``
+    semantics match the reference's missing-key→NULL, P4)."""
+    events = load_table(spark, sf, "events")
+    v = F.parse_json("props")
+    return (
+        events.select(
+            F.variant_get(v, "$.k", "int").alias("k"),
+            F.try_variant_get(v, "$.absent", "string").alias("absent"),
+            "value",
+        )
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_absent"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+_F3_VARIANT_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.absent') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
+FROM events
+GROUP BY CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+ORDER BY k_mod
+"""
+
+
 def ev_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Event-transition matrix: counts of (event_type → next event_type)
     per user session stream, via a lag-1 window over (user, time). The
@@ -3253,6 +3291,7 @@ QUERIES: dict[str, QueryFn] = {
     "tx_tfidf_topk": tx_tfidf_topk,
     "ev_transitions": ev_transitions,
     "tx_chunking": tx_chunking,
+    "f3_variant_json": f3_variant_json,
 }
 
 ORACLES: dict[str, str] = {
@@ -3343,6 +3382,7 @@ ORACLES: dict[str, str] = {
     "q20_concentrated_suppliers": _Q20_SQL,
     "tx_tfidf_topk": _TX_TFIDF_SQL,
     "ev_transitions": _EV_TRANS_SQL,
+    "f3_variant_json": _F3_VARIANT_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup,
     # mm_features
