@@ -88,6 +88,9 @@ HEADLINE = [
     "q20_concentrated_suppliers",
     "tx_tfidf_topk",
     "ev_transitions",
+    "f3_variant_json",
+    "q2_min_cost_supplier",
+    "dd_contamination",
 ]
 
 

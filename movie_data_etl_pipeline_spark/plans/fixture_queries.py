@@ -3164,6 +3164,161 @@ ORDER BY k_mod
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape, complete (region-scoped correlated minimum;
+    moral of ``sql/03_views.sql``'s join-membership filtering taken to
+    its hardest TPC-H form): for every LARGE-type part, the EUROPE
+    suppliers whose offer price equals the *regional* minimum for that
+    part. ``lineitem`` stands in for partsupp — supply cost := MIN offer
+    in exact integer cents per (part, supplier). Plan: one shuffle
+    (the partsupp-style groupBy), region/nation/supplier and part as
+    broadcast dims, the correlated subquery decorrelated into a per-part
+    window MIN over regional offers only, and the final 4-key ORDER BY +
+    LIMIT as TakeOrderedAndProject. The output order is total (acctbal
+    ties broken by nation, supplier name, part key), so LIMIT 100 is
+    deterministic across engines and partitionings."""
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf, "nation")
+    supplier = load_table(spark, sf, "supplier")
+    part = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_type") == "LARGE")
+        .select("p_partkey", "p_name")
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", SC.cents("l_extendedprice").alias("__epc")
+    )
+    rn = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    s_reg = supplier.join(
+        F.broadcast(rn), supplier.s_nationkey == rn.n_nationkey
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    # The part-type filter commutes below the aggregation (type is a
+    # property of the part, so it cannot change any per-part minimum):
+    # semi-joining lineitem against the filtered part keys first means
+    # the single fact shuffle carries only qualifying parts (~1/6).
+    offers = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("__epc").alias("cost_c"))
+    )
+    reg_offers = offers.join(
+        F.broadcast(s_reg), offers.l_suppkey == s_reg.s_suppkey
+    )
+    w = Window.partitionBy("l_partkey")
+    best = reg_offers.withColumn("__min_c", F.min("cost_c").over(w)).filter(
+        F.col("cost_c") == F.col("__min_c")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            SC.money_from_cents(F.col("cost_c")).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_c
+  FROM lineitem GROUP BY 1, 2
+),
+rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+       CAST(cost_c AS DOUBLE) / 100.0 AS supply_cost
+FROM ps
+JOIN rs ON ps.l_suppkey = rs.s_suppkey
+JOIN part ON ps.l_partkey = p_partkey
+WHERE p_type = 'LARGE'
+  AND cost_c = (
+    SELECT MIN(ps2.cost_c)
+    FROM ps ps2 JOIN rs rs2 ON ps2.l_suppkey = rs2.s_suppkey
+    WHERE ps2.l_partkey = ps.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def dd_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene twin of
+    near-dup detection: flag corpus documents sharing 3-gram shingles
+    with a held-out benchmark set (here: ``doc_id % 50 == 0``, standing
+    in for an eval suite). Per contaminated-candidate doc: its distinct
+    shingle count, how many appear anywhere in the benchmark, the
+    overlap ratio, and a ≥0.5 contamination flag. Plan: one shingle
+    explode over the corpus, the benchmark shingle set deduped and
+    broadcast into a left-semi join (no row blowup — membership only),
+    one aggregation. At 100 TB the benchmark side stays tiny relative
+    to the corpus, so the broadcast semi-join shape holds."""
+    docs = load_table(spark, sf, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.shingles("text", 3))).alias("shingle"),
+    )
+    bench = sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc_id") % 50 != 0)
+    totals = corpus.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    shared = (
+        corpus.join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    ratio = F.col("n_shared").cast("double") / F.col("n_shingles").cast("double")
+    return (
+        totals.join(shared, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(ratio, 6).alias("overlap_ratio"),
+            (ratio >= 0.5).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DD_CONTAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 50 = 0),
+corpus AS (SELECT * FROM ex WHERE doc_id % 50 <> 0),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM corpus GROUP BY 1),
+shared AS (
+  SELECT doc_id AS s_doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM corpus WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1
+)
+SELECT t.doc_id, n_shingles, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS overlap_ratio,
+       CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.5 AS contaminated
+FROM tot t JOIN shared s ON t.doc_id = s.s_doc_id
+ORDER BY t.doc_id
+"""
+
+
 def ev_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Event-transition matrix: counts of (event_type → next event_type)
     per user session stream, via a lag-1 window over (user, time). The
@@ -3292,6 +3447,8 @@ QUERIES: dict[str, QueryFn] = {
     "ev_transitions": ev_transitions,
     "tx_chunking": tx_chunking,
     "f3_variant_json": f3_variant_json,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "dd_contamination": dd_contamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -3383,6 +3540,8 @@ ORACLES: dict[str, str] = {
     "tx_tfidf_topk": _TX_TFIDF_SQL,
     "ev_transitions": _EV_TRANS_SQL,
     "f3_variant_json": _F3_VARIANT_SQL,
+    "q2_min_cost_supplier": _Q2_SQL,
+    "dd_contamination": _DD_CONTAM_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup,
     # mm_features
