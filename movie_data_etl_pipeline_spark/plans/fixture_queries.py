@@ -3319,6 +3319,38 @@ ORDER BY t.doc_id
 """
 
 
+def src_paged_api(spark: SparkSession, sf: str) -> DataFrame:
+    """The paginated-API scan (S2, ``02_etl.py:50-62``) as a Spark 4
+    Python DataSource (``sources/pyds.py``): one task per page, page
+    predicates pruned at planning via ``pushFilters``, cross-page
+    duplicates resolved by last-wins dedup — the whole reference ingest
+    path as ONE declarative plan. Deterministic synthetic transport
+    (offline container), so the per-language profile below is stable;
+    rows-only check (the generator has no parquet twin). ``sf`` unused:
+    the source is page-, not scale-factor-, parameterized."""
+    from movie_data_etl_pipeline_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    raw = (
+        spark.read.format("tmdb_pages")
+        .option("pages", 10)
+        .option("page_size", 20)
+        .load()
+    )
+    deduped = dedup.dedup_last_wins(raw, ["tmdb_movie_id"], [F.desc("page")])
+    return (
+        deduped.groupBy("original_language")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_movies"),
+            F.round(F.avg("vote_average"), 2).alias("avg_rating"),
+            F.sum(F.when(F.col("release_date") == "", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unreleased"),
+        )
+        .orderBy("original_language")
+    )
+
+
 def ev_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Event-transition matrix: counts of (event_type → next event_type)
     per user session stream, via a lag-1 window over (user, time). The
@@ -3449,6 +3481,7 @@ QUERIES: dict[str, QueryFn] = {
     "f3_variant_json": f3_variant_json,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "dd_contamination": dd_contamination,
+    "src_paged_api": src_paged_api,
 }
 
 ORACLES: dict[str, str] = {
@@ -3544,5 +3577,5 @@ ORACLES: dict[str, str] = {
     "dd_contamination": _DD_CONTAM_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup,
-    # mm_features
+    # mm_features; (no parquet twin): src_paged_api
 }

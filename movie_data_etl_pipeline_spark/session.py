@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # allow Python DataSource readers (sources/pyds.py) to absorb
+        # pushed filters for partition pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # the events fixture stores ts as TIMESTAMP(NANOS), which Spark's
         # vectorized reader rejects; read as raw int64 nanos and convert
         # in sources.parquet (ns→µs truncation, matching DuckDB)
