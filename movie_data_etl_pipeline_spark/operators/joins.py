@@ -137,3 +137,61 @@ def range_join_binned(
         *[binned_l[c] for c in left.columns],
         *[binned_r[c] for c in right.columns],
     )
+
+
+def fuzzy_self_join_levenshtein(
+    df: DataFrame,
+    text_col: str,
+    max_dist: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Exact edit-distance self-join WITHOUT crossJoin: all pairs of
+    rows whose ``text_col`` values are within Levenshtein distance
+    ``max_dist``, found via length-band blocking.
+
+    Blocking is lossless: edit distance >= |len(a) - len(b)|, so a pair
+    within ``k`` must sit in adjacent length bands. The shorter side
+    emits keys ``len .. len+k`` (k+1 rows), the longer side is probed on
+    its exact length; equal-length pairs deduplicate on ``id < id``.
+    The expensive ``levenshtein`` verify therefore runs only on the
+    banded candidates — shuffle is linear in rows × (k+1), never
+    |L|×|R| (compare ``range_join_binned`` above; same strategy, the
+    "interval" is the length band). At corpus scale the same shape
+    composes with content prefilters (shared-q-gram counts, as in
+    ``dedup.ngram_jaccard_pairs``) for sharper candidate sets.
+
+    Output: canonical pair ``(a_<text>, b_<text>, dist)`` with the
+    lexically-smaller value first. ``id_col`` (when given) is the
+    equal-length tiebreaker, letting distinct rows with identical text
+    pair up as distance-0 duplicates; without it, identical values
+    self-pair never (use on a DISTINCT projection).
+    """
+    cols = [text_col] + ([id_col] if id_col else [])
+    base = df.select(*cols).withColumn("__len", F.length(text_col))
+    tie = id_col or text_col
+    a = base.select(
+        F.col(text_col).alias("__a_val"),
+        F.col(tie).alias("__a_tie"),
+        F.col("__len").alias("__a_len"),
+    ).withColumn("__band", F.explode(F.sequence(F.col("__a_len"), F.col("__a_len") + max_dist)))
+    b = base.select(
+        F.col(text_col).alias("__b_val"),
+        F.col(tie).alias("__b_tie"),
+        F.col("__len").alias("__b_len"),
+    )
+    pairs = (
+        a.join(b, a["__band"] == b["__b_len"])
+        .where(
+            (F.col("__a_len") < F.col("__b_len"))
+            | ((F.col("__a_len") == F.col("__b_len")) & (F.col("__a_tie") < F.col("__b_tie")))
+        )
+        .withColumn("dist", F.levenshtein("__a_val", "__b_val"))
+        .where(F.col("dist") <= max_dist)
+    )
+    first = F.least("__a_val", "__b_val")
+    second = F.greatest("__a_val", "__b_val")
+    return pairs.select(
+        first.alias(f"a_{text_col}"),
+        second.alias(f"b_{text_col}"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )

@@ -141,6 +141,56 @@ def scd2_apply(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: one row per
+    changed key with ``op`` ∈ {'insert', 'delete', 'update'}.
+
+    This is the *inverse* of the reference's upsert family — where
+    ``ON CONFLICT`` (``/root/reference/02_etl.py:84-101``) applies a
+    change set, ``snapshot_diff`` recovers the change set from before/
+    after states, which is how an immutable-parquet pipeline feeds
+    downstream incremental consumers (the reference gets this for free
+    from Postgres triggers/WAL; here it is an explicit operator).
+
+    Comparison is null-safe per column (``eqNullSafe``): NULL→value and
+    value→NULL both count as updates. Unchanged keys are dropped. Output
+    carries the coalesced key plus ``old_<c>`` / ``new_<c>`` for every
+    compared column.
+
+    Scale posture: a single full-outer hash join on the key; with both
+    snapshots partitioned/bucketed the same way this is co-located and
+    shuffle-free. Presence is detected via constant marker columns, not
+    key-null checks, so it also works for nullable keys.
+    """
+    keys = list(key_cols)
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    cmp = list(compare_cols)
+
+    o = old.select(*keys, *cmp).withColumn("_old_present", F.lit(1)).alias("o")
+    n = new.select(*keys, *cmp).withColumn("_new_present", F.lit(1)).alias("n")
+    j = o.join(n, keys, "full_outer")
+
+    differs = F.lit(False)
+    for c in cmp:
+        differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    op = (
+        F.when(F.col("o._old_present").isNull(), F.lit("insert"))
+        .when(F.col("n._new_present").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    out = [F.col(k) for k in keys] + [op.alias("op")]
+    for c in cmp:
+        out.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        out.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return j.select(*out).filter(F.col("op").isNotNull())
+
+
 def insert_if_absent(
     target: DataFrame, incoming: DataFrame, key_cols: Sequence[str]
 ) -> DataFrame:

@@ -232,3 +232,70 @@ def chunk_documents(spark, docs: DataFrame, max_chars: int = 400) -> DataFrame:
         FROM __chunk_in i, LATERAL chunk_text(i.text, {int(max_chars)}) c
         """
     )
+
+
+def heavy_hitters(docs: DataFrame, k: int = 20, capacity: int = 256) -> DataFrame:
+    """Exact corpus top-k tokens with BOUNDED shuffle: per-partition
+    Misra–Gries candidate generation, then an exact recount restricted
+    to the candidate set.
+
+    Why not plain explode→groupBy→top-k (``token_frequency``): that
+    shuffles one record per *distinct token per map partition* — at
+    100 TB the token dictionary itself is the shuffle. Here each scan
+    task emits at most ``capacity`` candidate tokens (the Misra–Gries
+    summary, O(capacity) memory regardless of input size), and only the
+    candidate set — not the dictionary — crosses the wire for the exact
+    recount (broadcast semi join, map-side partial count).
+
+    Exactness guarantee (classic MG bound): if a token's global count
+    exceeds N/capacity (N = total tokens), it survives at least one
+    partition's summary — contrapositive: a token missing from every
+    summary has count <= n_p/capacity in each partition p, summing to
+    <= N/capacity. So whenever the true k-th count > N/capacity (easily
+    sized: Zipfian corpora need tiny capacities), the recounted top-k
+    equals the exact top-k and the operator is oracle-checkable against
+    plain SQL. Tests assert the bound holds at fixture scale.
+
+    The Python tokenizer below deliberately mirrors ``functions.text.
+    tokens`` (split on whitespace runs, drop empties) — candidates and
+    recount must tokenize identically or the guarantee breaks.
+    """
+    import re
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                if text is None:
+                    continue
+                for tok in re.split(r"\s+", text):
+                    if not tok:
+                        continue
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < capacity:
+                        counters[tok] = 1
+                    else:
+                        # decrement-all step; drop zeros
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = (
+        ensure_min_partitions(docs.select("text")).mapInPandas(_mg, "token string").distinct()
+    )
+    toks = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    return (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )

@@ -32,6 +32,7 @@ from movie_data_etl_pipeline_spark.functions import text as TX
 from movie_data_etl_pipeline_spark.operators import (
     dedup,
     joins,
+    layout,
     merge,
     multimodal,
     similarity,
@@ -3382,6 +3383,183 @@ ORDER BY from_type, to_type
 """
 
 
+def o11_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC between two order snapshots (``operators/merge.snapshot_diff``
+    — the inverse of the reference's ON CONFLICT upserts,
+    ``/root/reference/02_etl.py:84-101``): the "old" state is orders
+    before 1996-01-01; the "new" state extends to 1996-07-01, drops
+    every 7th key (deletes) and bumps every 5th price (updates). One
+    full-outer hash join on the key recovers insert/update/delete rows."""
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.where(F.col("o_orderdate") < "1996-01-01").drop("o_orderdate")
+    new = (
+        orders.where(
+            (F.col("o_orderdate") < "1996-07-01") & (F.col("o_orderkey") % 7 != 0)
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(1.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .drop("o_orderdate")
+    )
+    return merge.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    ).orderBy("o_orderkey")
+
+
+_O11_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderdate < TIMESTAMP '1996-01-01'
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1996-07-01' AND o_orderkey % 7 <> 0
+), d AS (
+  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+              WHEN new.o_orderkey IS NULL THEN 'delete'
+              WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+              THEN 'update' END AS op,
+         old.o_totalprice AS old_o_totalprice,
+         new.o_totalprice AS new_o_totalprice,
+         old.o_orderstatus AS old_o_orderstatus,
+         new.o_orderstatus AS new_o_orderstatus
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT * FROM d WHERE op IS NOT NULL ORDER BY o_orderkey
+"""
+
+
+def jx_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance similarity self-join over distinct part names
+    (``operators/joins.fuzzy_self_join_levenshtein``): all name pairs
+    within Levenshtein distance 3, candidates from lossless length-band
+    blocking instead of crossJoin. Names are first deduplicated (exact
+    groupBy) so the quadratic verify runs on distinct values only —
+    the fuzzy-entity-resolution shape at corpus scale."""
+    names = load_table(spark, sf, "part").select("p_name").distinct()
+    return joins.fuzzy_self_join_levenshtein(names, "p_name", max_dist=3).orderBy(
+        "a_p_name", "b_p_name"
+    )
+
+
+_JX_FUZZY_SQL = """
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS a_p_name, b.p_name AS b_p_name,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM n a JOIN n b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY a_p_name, b_p_name
+"""
+
+
+def hh_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-20 tokens via bounded-shuffle Misra–Gries candidates +
+    exact recount (``operators/text_analysis.heavy_hitters``). The
+    oracle is plain SQL because the MG bound guarantees the candidate
+    set contains every token with count > N/capacity (tests assert the
+    k-th count clears that threshold at fixture scale)."""
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.heavy_hitters(docs, k=20, capacity=256)
+
+
+_HH_SQL = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest({_D_TOKS}) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+def fn_hof_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order-function surface (companion to ``fn_scalar_surface``):
+    transform / filter / aggregate / exists / forall / array_sort /
+    array_distinct / slice over the token array, all lambda expressions
+    evaluated inside the JVM (no Python, no explode — zero shuffles,
+    one codegen span per row)."""
+    docs = load_table(spark, sf, "documents")
+    toks = TX.tokens("text")
+    lens = F.transform(toks, lambda x: F.length(x))
+    return docs.select(
+        "doc_id",
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("sum_token_len"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4))
+        .cast("bigint")
+        .alias("n_long_tokens"),
+        F.array_max(lens).cast("bigint").alias("max_token_len"),
+        F.array_position(toks, "data").cast("bigint").alias("pos_data"),
+        F.exists(toks, lambda x: x == F.lit("spark")).alias("has_spark"),
+        F.forall(toks, lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.concat_ws(
+            " ", F.slice(F.array_sort(F.array_distinct(toks)), 1, 3)
+        ).alias("top3_alpha"),
+    ).orderBy("doc_id")
+
+
+_FN_HOF_SQL = f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT)
+    AS sum_token_len,
+  CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long_tokens,
+  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'max') AS BIGINT)
+    AS max_token_len,
+  CAST(COALESCE(list_position(toks, 'data'), 0) AS BIGINT) AS pos_data,
+  list_contains(toks, 'spark') AS has_spark,
+  len(list_filter(toks, x -> length(x) = 0)) = 0 AS all_nonempty,
+  array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS top3_alpha
+FROM t ORDER BY doc_id
+"""
+
+
+def ly_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) curve values for lineitem's two join keys
+    (``operators/layout.zvalue16``) — the data-layout rendering of the
+    reference's pair of FK-side btree indexes
+    (``/root/reference/sql/01_schema.sql:64-65``). The interleave is
+    pure codegen'd shift/and/or arithmetic, verified bit-for-bit against
+    the oracle's SQL rendering of the same magic-mask spreads; the
+    clustering path itself (``layout.zorder_layout``) is exercised by
+    row-group-statistics tests."""
+    li = load_table(spark, sf, "lineitem").where(F.col("l_orderkey") % 97 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        layout.zvalue16(F.col("l_partkey"), F.col("l_suppkey")).alias("zval"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+_LY_ZORDER_SQL = """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         (l_partkey & 65535) AS x0, (l_suppkey & 65535) AS y0
+  FROM lineitem WHERE l_orderkey % 97 = 0
+), s1 AS (SELECT *, ((x0 | (x0 << 8)) & 16711935) AS x1,
+                    ((y0 | (y0 << 8)) & 16711935) AS y1 FROM s),
+   s2 AS (SELECT *, ((x1 | (x1 << 4)) & 252645135) AS x2,
+                    ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+   s3 AS (SELECT *, ((x2 | (x2 << 2)) & 858993459) AS x3,
+                    ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+   s4 AS (SELECT *, ((x3 | (x3 << 1)) & 1431655765) AS x4,
+                    ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST(x4 | (y4 << 1) AS BIGINT) AS zval
+FROM s4 ORDER BY l_orderkey, l_linenumber
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "v1_top_actors": v1_top_actors,
     "v2_top_genres": v2_top_genres,
@@ -3482,6 +3660,11 @@ QUERIES: dict[str, QueryFn] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "dd_contamination": dd_contamination,
     "src_paged_api": src_paged_api,
+    "o11_snapshot_diff": o11_snapshot_diff,
+    "jx_fuzzy_join": jx_fuzzy_join,
+    "hh_heavy_hitters": hh_heavy_hitters,
+    "fn_hof_surface": fn_hof_surface,
+    "ly_zorder": ly_zorder,
 }
 
 ORACLES: dict[str, str] = {
@@ -3575,6 +3758,11 @@ ORACLES: dict[str, str] = {
     "f3_variant_json": _F3_VARIANT_SQL,
     "q2_min_cost_supplier": _Q2_SQL,
     "dd_contamination": _DD_CONTAM_SQL,
+    "o11_snapshot_diff": _O11_DIFF_SQL,
+    "jx_fuzzy_join": _JX_FUZZY_SQL,
+    "hh_heavy_hitters": _HH_SQL,
+    "fn_hof_surface": _FN_HOF_SQL,
+    "ly_zorder": _LY_ZORDER_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup,
     # mm_features; (no parquet twin): src_paged_api
