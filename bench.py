@@ -91,6 +91,9 @@ HEADLINE = [
     "f3_variant_json",
     "q2_min_cost_supplier",
     "dd_contamination",
+    "tx_pii_scrub",
+    "tx_span_dedup",
+    "qa_audit",
 ]
 
 

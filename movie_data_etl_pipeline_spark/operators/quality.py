@@ -1,0 +1,120 @@
+"""Declarative data-quality audit (north-star pipeline extension).
+
+The reference enforces integrity with PostgreSQL constraints — PK/UNIQUE
+(``/root/reference/sql/01_schema.sql:10-11,26-27,33-34``), NOT NULL
+(``sql/01_schema.sql:12,28,35``), cascading FKs
+(``sql/01_schema.sql:46-47,57-58``) — and a printed duplicate report
+(``02_etl.py:233-244``). Spark tables have no enforced constraints, so
+at pipeline scale the equivalent is an *audit operator*: declare the
+rules, get back one row per rule with its violation count, gate the
+load on the result.
+
+Scale posture: every row-level rule (not-null, range, custom predicate)
+and every uniqueness rule is folded into ONE conditional aggregation
+over a single scan — `count(*) - count(distinct keys)` gives duplicate
+cardinality without a second pass (Catalyst plans the distincts via
+Expand, still one shuffle). Referential rules each add one left-anti
+probe against the (broadcast) parent key set; no driver-side collects
+anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def audit(
+    df: DataFrame,
+    *,
+    not_null: Sequence[str] = (),
+    unique: Sequence[Sequence[str]] = (),
+    ranges: dict[str, tuple[float, float]] | None = None,
+    checks: dict[str, Column] | None = None,
+    foreign_keys: Sequence[tuple[str, DataFrame, str]] = (),
+) -> DataFrame:
+    """Evaluate declared rules over ``df``; one output row per rule:
+    ``(check STRING, n_violations BIGINT)``, ordered by check name.
+
+    - ``not_null``: columns that must not contain NULL.
+    - ``unique``: key-column groups that must be duplicate-free; the
+      count reported is the number of EXTRA rows (total - distinct), the
+      same number a dedup pass would remove.
+    - ``ranges``: ``col -> (lo, hi)`` inclusive bounds; NULLs are not
+      range violations (they are ``not_null``'s job).
+    - ``checks``: named boolean Columns that must hold per row (the
+      escape hatch for arbitrary predicates).
+    - ``foreign_keys``: ``(child_col, parent_df, parent_col)`` — child
+      values (non-null) that have no match in the parent key set.
+    """
+    aggs: list[Column] = []
+    for c in not_null:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"not_null:{c}")
+        )
+    for keys in unique:
+        keys = list(keys)
+        label = "unique:" + ",".join(keys)
+        aggs.append(
+            (
+                F.count(F.lit(1))
+                - F.countDistinct(*[F.col(k) for k in keys])
+                - F.sum(  # count(distinct) skips all-null keys; don't let
+                    # those rows inflate the duplicate count
+                    F.when(
+                        F.lit(True)
+                        & F.expr(
+                            " AND ".join(f"{k} IS NULL" for k in keys)
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias(label)
+        )
+    for c, (lo, hi) in (ranges or {}).items():
+        bad = F.col(c).isNotNull() & (~F.col(c).between(F.lit(lo), F.lit(hi)))
+        aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"range:{c}"))
+    for name, cond in (checks or {}).items():
+        aggs.append(
+            F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)).alias(
+                f"check:{name}"
+            )
+        )
+
+    parts: list[DataFrame] = []
+    if aggs:
+        wide = df.agg(*aggs)
+        stack = ", ".join(
+            f"'{c}', `{c}`" for c in wide.columns
+        )
+        parts.append(
+            wide.selectExpr(
+                f"stack({len(wide.columns)}, {stack}) as (check, n_violations)"
+            )
+        )
+    for child_col, parent, parent_col in foreign_keys:
+        orphans = (
+            df.select(F.col(child_col))
+            .where(F.col(child_col).isNotNull())
+            .join(
+                F.broadcast(parent.select(F.col(parent_col).alias(child_col)).distinct()),
+                child_col,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(
+                F.lit(f"fk:{child_col}").alias("check"), F.col("n_violations")
+            )
+        )
+        parts.append(orphans)
+
+    if not parts:
+        raise ValueError("audit() called with no rules")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "check", F.col("n_violations").cast("bigint").alias("n_violations")
+    ).orderBy("check")

@@ -7,7 +7,7 @@ fingerprinting. All composed from the codegen'd expressions in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from movie_data_etl_pipeline_spark.functions import text as TX
@@ -231,6 +231,183 @@ def chunk_documents(spark, docs: DataFrame, max_chars: int = 400) -> DataFrame:
         SELECT i.doc_id, c.chunk_id, c.chunk, c.chunk_chars
         FROM __chunk_in i, LATERAL chunk_text(i.text, {int(max_chars)}) c
         """
+    )
+
+
+# PII patterns deliberately use only regex constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
+# classes, bounded repetition, \d, \b word boundaries.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII-shaped spans (email / phone / IPv4 / SSN) from
+    ``text_col`` and count what was removed, per document.
+
+    A training-data pipeline must scrub before anything else sees the
+    text, so this is a pure per-row map: chained ``regexp_replace`` with
+    typed placeholder tokens (``<EMAIL>`` …) plus a ``regexp_count`` per
+    pattern — all JVM regex inside one codegen span, no Python, no
+    shuffle, and the counts come from the SAME scan as the rewrite.
+
+    Order matters: ``ssn`` and ``phone`` run before ``ipv4`` so a
+    dotted phone (555.123.4567 is NOT an IPv4 — 4567 > 3 digits) and a
+    dashed SSN never double-match; counts are taken against the
+    *original* text so they are order-independent and auditable.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    keep = [c for c in docs.columns if c != text_col]
+    return docs.select(*keep, *counts, scrubbed.alias("scrubbed_text"))
+
+
+def span_dedup(docs: DataFrame, span_tokens: int = 10) -> DataFrame:
+    """C4-style span-level exact dedup across the corpus: split every
+    document into consecutive non-overlapping ``span_tokens``-token
+    blocks, keep only the globally-first occurrence of each distinct
+    block (ordered by ``doc_id``, then block position), and reassemble
+    each document from its surviving blocks in order.
+
+    This is the middle ground between document-level dedup (misses
+    boilerplate repeated inside otherwise-distinct pages) and shingle
+    near-dup (probabilistic): repeated spans are removed *surgically*
+    wherever they recur.
+
+    Plan shape: tokenize once (the spans are built from a materialized
+    token column, NOT by re-tokenizing inside the lambda — see the
+    ``shingles`` docstring for why), posexplode, ONE window over the
+    span hash for first-occurrence ranking, then re-aggregate with an
+    order-restoring ``array_sort`` — two shuffles total (window +
+    groupBy), both keyed well for AQE. At 100 TB the window partitions
+    by span text whose cardinality is huge → no skew.
+    """
+    toks = docs.select("doc_id", TX.tokens("text").alias("toks")).where(
+        # empty docs would make sequence(0, -1) run DESCENDING (Spark
+        # defaults step to -1 when start > stop) and emit phantom spans
+        F.size("toks") > 0
+    )
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("toks") - 1) / span_tokens).cast("int"),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("toks"), i * span_tokens + 1, span_tokens)
+                ),
+            )
+        ).alias("pos", "span"),
+    )
+    first = F.row_number().over(
+        Window.partitionBy("span").orderBy("doc_id", "pos")
+    )
+    kept = spans.withColumn("rn", first).where(F.col("rn") == 1)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "span"))
+            ).alias("ordered")
+        )
+        .select(
+            "doc_id",
+            F.size("ordered").cast("bigint").alias("n_spans_kept"),
+            F.concat_ws(
+                " ", F.transform("ordered", lambda s: s["span"])
+            ).alias("dedup_text"),
+        )
+    )
+
+
+def pack_sequences(docs: DataFrame, budget_tokens: int = 64) -> DataFrame:
+    """GPT-style sequence packing: conceptually concatenate every
+    document's tokens in ``doc_id`` order into one global stream, cut
+    the stream every ``budget_tokens`` tokens, and report which bins
+    each document lands in — one output row per (bin, document) with
+    the token count that document contributes to that bin. This is the
+    "pack then split" batch-construction step of a training-data
+    pipeline (no padding waste, deterministic layout).
+
+    The core is a GLOBAL exclusive prefix sum of per-document token
+    counts. The naive rendering — ``sum().over(Window.orderBy(...))``
+    with no partitionBy — funnels the whole relation through ONE task
+    and is exactly what dies at 100 TB. Instead this uses the
+    distributed two-phase prefix sum:
+
+    1. range-repartition by ``doc_id`` (so partition order == key
+       order), count tokens per doc;
+    2. per-partition totals → a tiny relation (one row per partition);
+       the exclusive prefix over THAT runs in a single task but touches
+       only #partitions rows;
+    3. broadcast the per-partition prefix back and add the
+       within-partition running sum (window partitioned by partition
+       id — parallel across partitions).
+
+    Offsets are exact and the widest shuffle moved is one long per
+    partition. Bin membership is then pure per-row arithmetic:
+    bins ``floor(off/B) .. floor((off+n-1)/B)`` via an exploded
+    ``sequence``.
+    """
+    n_tok = F.size(TX.tokens("text"))
+    per_doc = (
+        docs.select("doc_id", n_tok.cast("bigint").alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .repartitionByRange("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    part_totals = per_doc.groupBy("pid").agg(F.sum("n_tokens").alias("ptotal"))
+    prefix = part_totals.withColumn(
+        "pprefix",
+        F.coalesce(
+            F.sum("ptotal").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("pid", "pprefix")
+    intra = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        per_doc.join(F.broadcast(prefix), "pid")
+        .withColumn(
+            "offset",
+            F.col("pprefix") + F.coalesce(F.sum("n_tokens").over(intra), F.lit(0)),
+        )
+        .select("doc_id", "n_tokens", "offset")
+    )
+    b = F.lit(budget_tokens).cast("bigint")
+    first_bin = F.floor(F.col("offset") / b)
+    last_bin = F.floor((F.col("offset") + F.col("n_tokens") - 1) / b)
+    return (
+        offsets.select(
+            "doc_id",
+            "n_tokens",
+            "offset",
+            F.explode(F.sequence(first_bin, last_bin)).alias("bin_id"),
+        )
+        .select(
+            F.col("bin_id").cast("bigint"),
+            "doc_id",
+            "n_tokens",
+            "offset",
+            (
+                F.least(F.col("offset") + F.col("n_tokens"), (F.col("bin_id") + 1) * b)
+                - F.greatest(F.col("offset"), F.col("bin_id") * b)
+            ).cast("bigint").alias("bin_tokens"),
+        )
     )
 
 

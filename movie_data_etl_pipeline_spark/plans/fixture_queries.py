@@ -35,6 +35,7 @@ from movie_data_etl_pipeline_spark.operators import (
     layout,
     merge,
     multimodal,
+    quality,
     similarity,
     text_analysis,
     topn,
@@ -3560,6 +3561,154 @@ FROM s4 ORDER BY l_orderkey, l_linenumber
 """
 
 
+def tx_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (``operators/text_analysis.pii_scrub``): chained
+    ``regexp_replace`` + ``regexp_count`` in one codegen span. The
+    fixture corpus has no organic PII, so both sides first append a
+    deterministic synthetic tail (an email derived from ``doc_id``, a
+    dotted phone, an IPv4) — exercising match, count, and placement of
+    every pattern class with nonzero counts."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 at 10.0.0.1"),
+        ).alias("text"),
+    )
+    return text_analysis.pii_scrub(docs).orderBy("doc_id")
+
+
+_TX_PII_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567 at 10.0.0.1' AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
+    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS scrubbed_text
+FROM aug ORDER BY doc_id
+"""
+
+
+def tx_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style span-level exact dedup
+    (``operators/text_analysis.span_dedup``): 10-token blocks, global
+    first-occurrence keep, per-document reassembly."""
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.span_dedup(docs, span_tokens=10).orderBy("doc_id")
+
+
+_TX_SPAN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(toks[CAST(i AS INT)*10+1 : CAST(i AS INT)*10+10], ' ') AS span
+  FROM t, LATERAL unnest(range(0, CAST(floor((len(toks) - 1) / 10.0) AS BIGINT) + 1)) AS g(i)
+  WHERE len(toks) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+  FROM spans
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans_kept,
+       string_agg(span, ' ' ORDER BY pos) AS dedup_text
+FROM ranked WHERE rn = 1
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def tx_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing (``operators/text_analysis.pack_sequences``):
+    concatenate-and-cut token bin assignment over the corpus in
+    ``doc_id`` order, built on the distributed two-phase prefix sum
+    (NOT a single global window — see the operator docstring for the
+    100 TB argument). The oracle is the semantically-identical
+    single-window form, which DuckDB can afford at fixture scale."""
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.pack_sequences(docs, budget_tokens=64).orderBy(
+        "bin_id", "doc_id"
+    )
+
+
+_TX_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_D_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len({_D_TOKS}) > 0
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM t
+)
+SELECT CAST(g.i AS BIGINT) AS bin_id, doc_id, n_tokens, "offset",
+       CAST(LEAST("offset" + n_tokens, (g.i + 1) * 64)
+            - GREATEST("offset", g.i * 64) AS BIGINT) AS bin_tokens
+FROM c, LATERAL unnest(range("offset" // 64, ("offset" + n_tokens - 1) // 64 + 1)) AS g(i)
+ORDER BY bin_id, doc_id
+"""
+
+
+def qa_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality audit (``operators/quality.audit``) —
+    the engine rendering of the reference's PostgreSQL constraint set
+    (PK/UNIQUE/NOT NULL/FK, ``/root/reference/sql/01_schema.sql:10-58``)
+    plus its printed duplicate report (``02_etl.py:233-244``): every
+    row-level rule folded into ONE conditional aggregation over a single
+    scan of ``orders``, the FK rule one broadcast anti-join probe
+    against ``customer``."""
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    return quality.audit(
+        orders,
+        not_null=["o_custkey", "o_orderdate"],
+        unique=[["o_orderkey"]],
+        ranges={"o_totalprice": (0.0, 400000.0)},
+        checks={"status_valid": F.col("o_orderstatus").isin("O", "F", "P")},
+        foreign_keys=[("o_custkey", customer, "c_custkey")],
+    )
+
+
+_QA_AUDIT_SQL = """
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_custkey,
+    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn_orderdate,
+    COUNT(*) - COUNT(DISTINCT o_orderkey)
+      - SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS uq_orderkey,
+    SUM(CASE WHEN o_totalprice IS NOT NULL
+              AND NOT (o_totalprice BETWEEN 0 AND 400000) THEN 1 ELSE 0 END) AS rg_totalprice,
+    SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS ck_status
+  FROM orders
+)
+SELECT 'not_null:o_custkey' AS "check", CAST(nn_custkey AS BIGINT) AS n_violations FROM agg
+UNION ALL SELECT 'not_null:o_orderdate', CAST(nn_orderdate AS BIGINT) FROM agg
+UNION ALL SELECT 'unique:o_orderkey', CAST(uq_orderkey AS BIGINT) FROM agg
+UNION ALL SELECT 'range:o_totalprice', CAST(rg_totalprice AS BIGINT) FROM agg
+UNION ALL SELECT 'check:status_valid', CAST(ck_status AS BIGINT) FROM agg
+UNION ALL SELECT 'fk:o_custkey', CAST(COUNT(*) AS BIGINT) FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "v1_top_actors": v1_top_actors,
     "v2_top_genres": v2_top_genres,
@@ -3665,6 +3814,10 @@ QUERIES: dict[str, QueryFn] = {
     "hh_heavy_hitters": hh_heavy_hitters,
     "fn_hof_surface": fn_hof_surface,
     "ly_zorder": ly_zorder,
+    "tx_pii_scrub": tx_pii_scrub,
+    "tx_span_dedup": tx_span_dedup,
+    "tx_pack_sequences": tx_pack_sequences,
+    "qa_audit": qa_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -3763,6 +3916,10 @@ ORACLES: dict[str, str] = {
     "hh_heavy_hitters": _HH_SQL,
     "fn_hof_surface": _FN_HOF_SQL,
     "ly_zorder": _LY_ZORDER_SQL,
+    "tx_pii_scrub": _TX_PII_SQL,
+    "tx_span_dedup": _TX_SPAN_SQL,
+    "tx_pack_sequences": _TX_PACK_SQL,
+    "qa_audit": _QA_AUDIT_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup,
     # mm_features; (no parquet twin): src_paged_api

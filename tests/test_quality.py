@@ -1,0 +1,57 @@
+"""Unit tests for the declarative data-quality audit operator
+(operators/quality.audit) on hand-crafted rows where every rule class
+has a known violation count."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.operators.quality import audit
+
+
+def test_audit_all_rule_classes(spark):
+    child = spark.createDataFrame(
+        [
+            (1, 10, 5.0, "ok"),
+            (2, 10, 50.0, "ok"),   # dup key 10 (1 extra row)
+            (3, None, 7.0, "bad"), # null fk/key col
+            (4, 99, -1.0, None),   # fk orphan + range violation + null check col
+        ],
+        "id long, fk int, v double, s string",
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pk int")
+    out = {
+        r.check: r.n_violations
+        for r in audit(
+            child,
+            not_null=["fk"],
+            unique=[["fk"]],
+            ranges={"v": (0.0, 100.0)},
+            checks={"s_ok": F.col("s") == "ok"},
+            foreign_keys=[("fk", parent, "pk")],
+        ).collect()
+    }
+    assert out == {
+        "not_null:fk": 1,
+        "unique:fk": 1,      # 4 rows - 2 distinct non-null - 1 all-null row
+        "range:v": 1,
+        "check:s_ok": 2,     # 'bad' and NULL both fail
+        "fk:fk": 1,          # fk=99 has no parent
+    }
+
+
+def test_audit_clean_table_is_all_zero(spark, sf_dir):
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    out = {
+        r.check: r.n_violations
+        for r in audit(
+            nation,
+            not_null=["n_nationkey", "n_name"],
+            unique=[["n_nationkey"]],
+            foreign_keys=[("n_regionkey", region, "r_regionkey")],
+        ).collect()
+    }
+    assert set(out.values()) == {0}

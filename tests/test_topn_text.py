@@ -98,3 +98,69 @@ def test_chunk_documents_lossless_and_bounded(spark, sf_dir):
         for r in rows:
             assert r.chunk_chars == len(r.chunk)
             assert len(r.chunk) <= 80 or " " not in r.chunk
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from movie_data_etl_pipeline_spark.operators.text_analysis import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e.org, call 555-123-4567, host 10.0.0.1"),
+            (2, "ssn 123-45-6789 plain text"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ipv4, rows[1].n_ssn) == (2, 1, 1, 0)
+    assert rows[1].scrubbed_text == "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IPV4>"
+    assert rows[2].n_ssn == 1 and rows[2].scrubbed_text == "ssn <SSN> plain text"
+    assert rows[3].scrubbed_text == "nothing sensitive here"
+    assert (rows[3].n_email, rows[3].n_phone, rows[3].n_ipv4, rows[3].n_ssn) == (0, 0, 0, 0)
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    from movie_data_etl_pipeline_spark.operators.text_analysis import span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-token span
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_c = " ".join(f"c{i}" for i in range(5))  # trailing partial span
+    docs = spark.createDataFrame(
+        [
+            (1, f"{uniq_a} {boiler}"),
+            (2, f"{boiler} {uniq_c}"),  # leading span is a dup of doc 1's
+            (3, boiler),  # entirely duplicate -> vanishes
+            (4, ""),  # empty -> vanishes (no phantom spans)
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in span_dedup(docs, span_tokens=10).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_spans_kept == 2 and rows[1].dedup_text == f"{uniq_a} {boiler}"
+    assert rows[2].n_spans_kept == 1 and rows[2].dedup_text == uniq_c
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from movie_data_etl_pipeline_spark.operators.text_analysis import pack_sequences
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_sequences(docs, budget_tokens=64).collect()
+    # every doc's bin contributions sum to its token count
+    per_doc = {}
+    per_bin = {}
+    for r in out:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.bin_tokens
+        per_bin[r.bin_id] = per_bin.get(r.bin_id, 0) + r.bin_tokens
+    n_by_doc = {r.doc_id: r.n_tokens for r in out}
+    assert per_doc == n_by_doc
+    # bins are dense 0..max and every bin except the last holds exactly 64
+    assert set(per_bin) == set(range(max(per_bin) + 1))
+    for b, tot in per_bin.items():
+        assert tot == 64 or b == max(per_bin)
+    # offsets are the exclusive prefix sum in doc_id order
+    firsts = sorted({(r.doc_id, r.offset, r.n_tokens) for r in out})
+    run = 0
+    for _, off, n in firsts:
+        assert off == run
+        run += n
