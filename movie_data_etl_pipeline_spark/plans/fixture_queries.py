@@ -2486,23 +2486,32 @@ def tx_rare_tokens(spark: SparkSession, sf: str) -> DataFrame:
     training-data pipeline filters on: per document, total tokens,
     tokens whose corpus frequency is ≤2 (hapax/dis legomena), tokens
     outside the deterministic top-1000 vocabulary (ties broken by
-    token text), and the rare ratio. Two passes over the token
-    relation: the corpus frequency table is vocabulary-sized, so its
-    join back onto the token stream broadcasts at any corpus scale —
-    the pattern holds when documents is 100 TB because the vocab side
-    only grows with distinct tokens."""
+    token text), and the rare ratio.
+
+    Scale shape: the top-1000 vocabulary comes from ``orderBy(...)
+    .limit(1000)`` — Spark plans that as ``TakeOrderedAndProject``
+    (per-partition top-k then a 1000-row driver merge), NOT a global
+    window rank, which would funnel the whole distinct-token relation
+    (billions of tokens on a web corpus) through one task. Membership
+    in that 1000-row set replaces the rank comparison; the per-token
+    frequency rides the token-keyed shuffle join (AQE upgrades it to
+    broadcast when the vocabulary is actually small)."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    rk = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token")))
-    vocab = freq.withColumn("rk", rk)
+    top_vocab = (
+        freq.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(1000)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
     return (
-        toks.join(F.broadcast(vocab), "token")
+        toks.join(freq, "token")
+        .join(F.broadcast(top_vocab), "token", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.sum(F.when(F.col("cnt") <= 2, 1).otherwise(0)).cast("bigint").alias("n_rare"),
-            F.sum(F.when(F.col("rk") > 1000, 1).otherwise(0)).cast("bigint").alias("n_oov"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("bigint").alias("n_oov"),
         )
         .withColumn("rare_ratio", F.col("n_rare").cast("double") / F.col("n_tokens"))
         .orderBy("doc_id")
