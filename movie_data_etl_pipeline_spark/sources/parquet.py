@@ -13,19 +13,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from movie_data_etl_pipeline_spark.schemas import EVENTS_RAW, FIXTURE_SCHEMAS
+from movie_data_etl_pipeline_spark.schemas import EVENTS, EVENTS_RAW, FIXTURE_SCHEMAS
 
 TABLES = tuple(FIXTURE_SCHEMAS)
+
+# Cache of {events parquet path -> True if ts is stored as nanoseconds}.
+# One footer read per path per process; negligible driver cost.
+_NANOS_TS_CACHE: dict[str, bool] = {}
+
+
+def events_ts_is_nanos(sf_dir: str) -> bool:
+    """Sniff the physical timestamp unit of ``events.ts`` from the parquet
+    footer. The fixture has shipped both TIMESTAMP(NANOS) (which Spark's
+    vectorized reader cannot read as a timestamp — it needs the raw-int64
+    + div-1000 path) and plain ``timestamp[us]`` (native read). Trusting
+    one hardcoded assumption corrupts every event timestamp when the
+    fixture flips, so branch on the footer instead."""
+    path = f"{sf_dir}/events.parquet"
+    cached = _NANOS_TS_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):  # directory-of-part-files layout
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+        )
+        if parts:
+            probe = os.path.join(path, parts[0])
+    t = pq.read_schema(probe).field("ts").type
+    is_nanos = (pa.types.is_timestamp(t) and t.unit == "ns") or pa.types.is_int64(t)
+    _NANOS_TS_CACHE[path] = is_nanos
+    return is_nanos
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``."""
     if name not in FIXTURE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(FIXTURE_SCHEMAS)}")
-    if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk (unsupported by the vectorized
-        # reader as a timestamp): read int64 nanos, truncate to µs —
-        # byte-identical to DuckDB's nanosecond-parquet handling.
+    if name == "events" and events_ts_is_nanos(sf_dir):
+        # ts is TIMESTAMP(NANOS) on disk: read int64 nanos, truncate to
+        # µs — byte-identical to DuckDB's nanosecond-parquet handling.
         raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return (

@@ -192,15 +192,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a bounded stream (parquet file source): the
     local stand-in for a Kafka topic. ``maxFilesPerTrigger`` would
     throttle a production backfill; the schema is declared (streaming
-    sources require it — no inference pass)."""
-    raw = (
-        spark.readStream.schema(EVENTS_RAW)
-        # the file-stream source requires a directory; glob-filter to the
-        # events table only
+    sources require it — no inference pass). The physical timestamp unit
+    is sniffed from the parquet footer (shared helper with the batch
+    loader) so a fixture flip between TIMESTAMP(NANOS) and
+    ``timestamp[us]`` cannot corrupt event time."""
+    from movie_data_etl_pipeline_spark.schemas import EVENTS
+    from movie_data_etl_pipeline_spark.sources.parquet import events_ts_is_nanos
+
+    if events_ts_is_nanos(sf_dir):
+        raw = (
+            spark.readStream.schema(EVENTS_RAW)
+            # the file-stream source requires a directory; glob-filter to
+            # the events table only
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(EVENTS)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def streaming_tumbling_counts(
