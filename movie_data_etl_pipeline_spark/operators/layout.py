@@ -44,8 +44,34 @@ def _spread16(v: Column) -> Column:
 
 def zvalue16(x: Column, y: Column) -> Column:
     """32-bit Morton code interleaving the low 16 bits of ``x`` (even
-    bits) and ``y`` (odd bits). Pure codegen'd integer arithmetic."""
+    bits) and ``y`` (odd bits). Pure codegen'd integer arithmetic.
+
+    Domain contract: inputs must already lie in ``[0, 65535]`` — the
+    masking TRUNCATES higher bits, so keys that differ only above bit
+    15 (e.g. 1 and 65537) would alias to the same curve position.
+    ``zorder_layout`` guarantees the contract by affine-mapping each
+    raw key into the 16-bit domain first; call ``scale16`` yourself if
+    you use this directly on keys that may exceed 65535."""
     return _spread16(x).bitwiseOR(F.shiftleft(_spread16(y), 1))
+
+
+def scale16(c: Column, lo, hi) -> Column:
+    """Affine-map a numeric column with known ``[lo, hi]`` bounds onto
+    the Z-curve's 16-bit domain ``[0, 65535]``, preserving order (and
+    therefore locality): nearby keys land in nearby curve cells no
+    matter how large the raw domain is. Double arithmetic on purpose —
+    a bigint rendering of ``(c - lo) * 65535`` overflows for wide
+    domains, and curve-cell resolution only needs ~16 significant bits.
+    NULLs map to cell 0."""
+    lo_l, hi_l = F.lit(float(lo)), F.lit(float(hi))
+    if float(hi) <= float(lo):
+        return F.lit(0).cast("bigint")
+    scaled = F.floor(
+        (c.cast("double") - lo_l) / (hi_l - lo_l) * F.lit(65535.0)
+    )
+    return F.coalesce(
+        F.least(F.greatest(scaled, F.lit(0)), F.lit(65535)), F.lit(0)
+    ).cast("bigint")
 
 
 def zorder_layout(
@@ -60,8 +86,29 @@ def zorder_layout(
     range bounds — at cluster scale this is one exchange, after which
     every output file covers a tight (x, y) rectangle and parquet
     min/max stats prune on either column.
+
+    Keys of ANY numeric magnitude are supported: a one-row bounds
+    aggregate (the only driver-side fetch, O(1) rows) learns each
+    column's min/max, and ``scale16`` affine-maps the raw keys into the
+    curve's 16-bit domain. Without this, keys above 65,535 — i.e.
+    exactly the cardinalities this module targets — would alias by
+    truncation and destroy the locality the layout exists to provide.
     """
-    out = df.withColumn("_zvalue", zvalue16(F.col(col_x), F.col(col_y)))
+    lo_x, hi_x, lo_y, hi_y = df.agg(
+        F.min(F.col(col_x).cast("double")),
+        F.max(F.col(col_x).cast("double")),
+        F.min(F.col(col_y).cast("double")),
+        F.max(F.col(col_y).cast("double")),
+    ).first()
+    if lo_x is None:  # empty input: nothing to cluster
+        return df.withColumn("_zvalue", F.lit(0).cast("bigint"))
+    out = df.withColumn(
+        "_zvalue",
+        zvalue16(
+            scale16(F.col(col_x), lo_x, hi_x),
+            scale16(F.col(col_y), lo_y, hi_y),
+        ),
+    )
     if num_partitions:
         out = out.repartitionByRange(num_partitions, "_zvalue")
     else:

@@ -41,7 +41,10 @@ def audit(
     - ``not_null``: columns that must not contain NULL.
     - ``unique``: key-column groups that must be duplicate-free; the
       count reported is the number of EXTRA rows (total - distinct), the
-      same number a dedup pass would remove.
+      same number a dedup pass would remove. Rows where ANY key column
+      is NULL are excluded from the check entirely (SQL semantics: NULL
+      never equals NULL, so such rows cannot be confident duplicates —
+      policing them is ``not_null``'s job).
     - ``ranges``: ``col -> (lo, hi)`` inclusive bounds; NULLs are not
       range violations (they are ``not_null``'s job).
     - ``checks``: named boolean Columns that must hold per row (the
@@ -61,12 +64,13 @@ def audit(
             (
                 F.count(F.lit(1))
                 - F.countDistinct(*[F.col(k) for k in keys])
-                - F.sum(  # count(distinct) skips all-null keys; don't let
-                    # those rows inflate the duplicate count
+                - F.sum(  # count(distinct k1..kn) skips rows where ANY
+                    # key is NULL; subtract exactly those rows so they
+                    # don't inflate the duplicate count
                     F.when(
                         F.lit(True)
                         & F.expr(
-                            " AND ".join(f"{k} IS NULL" for k in keys)
+                            " OR ".join(f"{k} IS NULL" for k in keys)
                         ),
                         1,
                     ).otherwise(0)

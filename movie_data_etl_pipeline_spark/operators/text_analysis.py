@@ -255,20 +255,22 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pattern — all JVM regex inside one codegen span, no Python, no
     shuffle, and the counts come from the SAME scan as the rewrite.
 
-    Order matters: ``ssn`` and ``phone`` run before ``ipv4`` so a
-    dotted phone (555.123.4567 is NOT an IPv4 — 4567 > 3 digits) and a
-    dashed SSN never double-match; counts are taken against the
-    *original* text so they are order-independent and auditable.
+    Order matters, and the counts follow the SAME order as the
+    replacements: each pattern is counted against the progressively
+    scrubbed text (after all earlier patterns have been replaced), so a
+    span consumed by an earlier pattern can never be counted again by a
+    later one — e.g. the ``1.2.3.4`` inside ``user@1.2.3.4.com`` is
+    part of the email match and must not also count as an IPv4. The
+    invariant, asserted in tests: ``sum(n_*) == number of placeholder
+    tokens inserted``, making the counts a true audit of the rewrite.
     """
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
-        for name, pat in PII_PATTERNS
-    ]
-    scrubbed = F.col(text_col)
+    counts = []
+    staged = F.col(text_col)
     for name, pat in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+        counts.append(F.regexp_count(staged, F.lit(pat)).cast("bigint").alias(f"n_{name}"))
+        staged = F.regexp_replace(staged, pat, f"<{name.upper()}>")
     keep = [c for c in docs.columns if c != text_col]
-    return docs.select(*keep, *counts, scrubbed.alias("scrubbed_text"))
+    return docs.select(*keep, *counts, staged.alias("scrubbed_text"))
 
 
 def span_dedup(docs: DataFrame, span_tokens: int = 10) -> DataFrame:
@@ -366,6 +368,15 @@ def pack_sequences(docs: DataFrame, budget_tokens: int = 64) -> DataFrame:
         .where(F.col("n_tokens") > 0)
         .repartitionByRange("doc_id")
         .withColumn("pid", F.spark_partition_id())
+        # Materialize ONCE before branching: both the partition-totals
+        # branch and the offset join below must observe the SAME
+        # pid↔row assignment. Without this the correctness of the
+        # prefix sum silently depends on Catalyst exchange reuse — with
+        # reuse disabled (or a future plan change) the range exchange
+        # runs twice and spark_partition_id() may disagree between
+        # branches. The checkpointed relation is tiny (doc_id + one
+        # long per doc) and tokenization runs once instead of twice.
+        .localCheckpoint()
     )
     part_totals = per_doc.groupBy("pid").agg(F.sum("n_tokens").alias("ptotal"))
     prefix = part_totals.withColumn(
@@ -435,9 +446,16 @@ def heavy_hitters(docs: DataFrame, k: int = 20, capacity: int = 256) -> DataFram
 
     The Python tokenizer below deliberately mirrors ``functions.text.
     tokens`` (split on whitespace runs, drop empties) — candidates and
-    recount must tokenize identically or the guarantee breaks.
+    recount must tokenize identically or the guarantee breaks. Java's
+    ``\\s`` is ASCII-only while Python's is Unicode, so the candidate
+    splitter is compiled with ``re.ASCII``: a corpus where tokens are
+    glued with NBSP must see the SAME token boundaries on both sides,
+    else high-count NBSP-joined tokens silently vanish from the "exact"
+    top-k.
     """
     import re
+
+    ws = re.compile(r"\s+", re.ASCII)
 
     def _mg(batches):
         import pandas as pd
@@ -447,7 +465,7 @@ def heavy_hitters(docs: DataFrame, k: int = 20, capacity: int = 256) -> DataFram
             for text in pdf["text"]:
                 if text is None:
                     continue
-                for tok in re.split(r"\s+", text):
+                for tok in ws.split(text):
                     if not tok:
                         continue
                     if tok in counters:

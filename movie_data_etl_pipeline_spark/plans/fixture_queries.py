@@ -766,18 +766,34 @@ def st_sliding(spark: SparkSession, sf: str) -> DataFrame:
     return SW.sliding_counts(events, width="1 hour", slide="30 minutes")
 
 
-# Every event falls in exactly width/slide = 2 windows; replicate Spark's
-# internal window expansion with an explicit offset cross join.
-_ST_SLIDING_SQL = """
+def st_sliding_oracle_sql(width_minutes: int, slide_minutes: int) -> str:
+    """DuckDB rendering of Spark's sliding-window expansion for ANY
+    width/slide ratio: each event is replicated into the
+    ``ceil(width/slide)`` candidate windows ending at or after its
+    slide bucket, then filtered to true membership
+    (``w_start <= ts < w_start + width`` — the filter is what makes
+    non-divisible ratios correct, where the last candidate window can
+    miss late-in-bucket events)."""
+    import math
+
+    k = math.ceil(width_minutes / slide_minutes)
+    vals = ", ".join(f"({i})" for i in range(k))
+    return f"""
 WITH expanded AS (
-  SELECT e.*, time_bucket(INTERVAL '30 minutes', ts) - k.k * INTERVAL '30 minutes' AS w_start
-  FROM events e CROSS JOIN (VALUES (0), (1)) AS k(k)
+  SELECT e.*, time_bucket(INTERVAL '{slide_minutes} minutes', ts)
+              - k.k * INTERVAL '{slide_minutes} minutes' AS w_start
+  FROM events e CROSS JOIN (VALUES {vals}) AS k(k)
 )
 SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
-       strftime(w_start + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS window_end,
+       strftime(w_start + INTERVAL '{width_minutes} minutes', '%Y-%m-%d %H:%M:%S') AS window_end,
        event_type, CAST(COUNT(*) AS BIGINT) AS n_events
-FROM expanded GROUP BY 1, 2, 3 ORDER BY window_start, event_type
+FROM expanded
+WHERE ts >= w_start AND ts < w_start + INTERVAL '{width_minutes} minutes'
+GROUP BY 1, 2, 3 ORDER BY window_start, event_type
 """
+
+
+_ST_SLIDING_SQL = st_sliding_oracle_sql(60, 30)
 
 
 def st_sessionize(spark: SparkSession, sf: str) -> DataFrame:
@@ -3593,22 +3609,34 @@ _TX_PII_SQL = """
 WITH aug AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
-              || '@example.com or 555-123-4567 at 10.0.0.1' AS text
+              || '@example.com or 555-123-4567 at 10.0.0.1' AS t0
   FROM documents
+),
+-- staged counts: each pattern is counted against the text AFTER all
+-- earlier patterns were replaced, mirroring pii_scrub's audit
+-- invariant (sum of counts == placeholders inserted)
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,
+         regexp_replace(t1, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_phone,
+         CAST(len(regexp_extract_all(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+         regexp_replace(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g') AS t3
+  FROM s2
 )
-SELECT doc_id,
-  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-  CAST(len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,
-  CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
-  CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
-  regexp_replace(
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
-      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
-    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS scrubbed_text
-FROM aug ORDER BY doc_id
+SELECT doc_id, n_email, n_phone, n_ipv4,
+       CAST(len(regexp_extract_all(t3, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+       regexp_replace(t3, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS scrubbed_text
+FROM s3 ORDER BY doc_id
 """
 
 
@@ -3718,7 +3746,86 @@ UNION ALL SELECT 'fk:o_custkey', CAST(COUNT(*) AS BIGINT) FROM orders o
 """
 
 
+# Insertion order is deliberate: the correctness driver checks the
+# FIRST 50 entries. Rounds 1-2 verified the original first-50 window
+# (all hash-green except the 8 events-timestamp casualties); round 3
+# front-loads (a) those 8 repaired queries so the fix gets fresh green
+# rows, then (b) 42 of the 58 entries that had never been inside the
+# window. The 16 never-checked entries that did not fit are parked
+# right behind the window (positions 50-65) for the next rotation;
+# the doubly-verified remainder sits at the tail. Every oracle pair
+# below was pre-verified locally via tools/crosscheck.py at sf0.01.
 QUERIES: dict[str, QueryFn] = {
+    # -- window 0-7: repaired events-timestamp queries (red in r2) --
+    "p3_scalar_coercions": p3_scalar_coercions,
+    "o6_dedup_last_wins": o6_dedup_last_wins,
+    "st_tumbling": st_tumbling,
+    "st_sliding": st_sliding,
+    "st_sessionize": st_sessionize,
+    "st_interval_join": st_interval_join,
+    "w4_trailing_7d": w4_trailing_7d,
+    "aj_asof_join": aj_asof_join,
+    # -- window 8-49: first-ever correctness rows --
+    "q1_pricing_summary": q1_pricing_summary,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q4_order_priority": q4_order_priority,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q9_nation_profit": q9_nation_profit,
+    "q10_returned_items": q10_returned_items,
+    "q11_value_concentration": q11_value_concentration,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_diversity": q16_supplier_diversity,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q20_concentrated_suppliers": q20_concentrated_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_idle_customers": q22_idle_customers,
+    "j5_left_join_agg": j5_left_join_agg,
+    "w1_running_total": w1_running_total,
+    "g1_rollup": g1_rollup,
+    "g3_grouping_sets": g3_grouping_sets,
+    "pv_pivot_status": pv_pivot_status,
+    "su_set_ops": su_set_ops,
+    "ts_gapfill": ts_gapfill,
+    "ev_funnel": ev_funnel,
+    "ag_histogram": ag_histogram,
+    "o10_scd2_history": o10_scd2_history,
+    "o11_snapshot_diff": o11_snapshot_diff,
+    "dd_dup_clusters": dd_dup_clusters,
+    "dd_contamination": dd_contamination,
+    "tx_span_dedup": tx_span_dedup,
+    "jx_fuzzy_join": jx_fuzzy_join,
+    "fn_hof_surface": fn_hof_surface,
+    "mm_asset_stats": mm_asset_stats,
+    "mm_frame_sample": mm_frame_sample,
+    "hh_heavy_hitters": hh_heavy_hitters,
+    "ly_zorder": ly_zorder,
+    "tx_pii_scrub": tx_pii_scrub,
+    "tx_pack_sequences": tx_pack_sequences,
+    "qa_audit": qa_audit,
+    # -- 50-65: never-checked overflow, next rotation's window --
+    "j6_anti_join": j6_anti_join,
+    "j7_semi_join": j7_semi_join,
+    "w2_lag_delta": w2_lag_delta,
+    "w3_ntile_quartiles": w3_ntile_quartiles,
+    "w5_value_windows": w5_value_windows,
+    "g2_cube": g2_cube,
+    "ev_cohort_retention": ev_cohort_retention,
+    "ev_transitions": ev_transitions,
+    "tx_rare_tokens": tx_rare_tokens,
+    "sim_label_centroids": sim_label_centroids,
+    "inc_rollup": inc_rollup,
+    "tx_tfidf_topk": tx_tfidf_topk,
+    "f3_variant_json": f3_variant_json,
+    "mm_features": mm_features,
+    "tx_chunking": tx_chunking,
+    "src_paged_api": src_paged_api,
+    # -- 66+: hash-green in both r1 and r2 --
     "v1_top_actors": v1_top_actors,
     "v2_top_genres": v2_top_genres,
     "v3_genre_ratings": v3_genre_ratings,
@@ -3726,8 +3833,6 @@ QUERIES: dict[str, QueryFn] = {
     "t5_top20": t5_top20,
     "f1_explode": f1_explode,
     "f2_json_flatten": f2_json_flatten,
-    "p3_scalar_coercions": p3_scalar_coercions,
-    "o6_dedup_last_wins": o6_dedup_last_wins,
     "o7_top_n_per_group": o7_top_n_per_group,
     "a6_duplicate_report": a6_duplicate_report,
     "o8_upsert": o8_upsert,
@@ -3741,14 +3846,12 @@ QUERIES: dict[str, QueryFn] = {
     "tx_fingerprints": tx_fingerprints,
     "dd_exact_dup_groups": dd_exact_dup_groups,
     "tx_token_counts": tx_token_counts,
-    "st_interval_join": st_interval_join,
     "pv_unpivot_lineitem": pv_unpivot_lineitem,
     "q6_revenue_delta": q6_revenue_delta,
     "sq_min_price_supplier": sq_min_price_supplier,
     "fn_scalar_surface": fn_scalar_surface,
     "px_clean_corpus": px_clean_corpus,
     "q14_promo_revenue": q14_promo_revenue,
-    "w4_trailing_7d": w4_trailing_7d,
     "j8_full_outer_nation": j8_full_outer_nation,
     "tx_repetition": tx_repetition,
     "ag_stats_moments": ag_stats_moments,
@@ -3762,71 +3865,9 @@ QUERIES: dict[str, QueryFn] = {
     "sim_knn_lsh": sim_knn_lsh,
     "sim_knn_ivf": sim_knn_ivf,
     "sim_embedding_near_dup": sim_embedding_near_dup,
-    "aj_asof_join": aj_asof_join,
     "rj_range_join": rj_range_join,
-    "st_tumbling": st_tumbling,
-    "st_sliding": st_sliding,
-    "st_sessionize": st_sessionize,
     "ap_exact_quantiles": ap_exact_quantiles,
     "ap_approx_stats": ap_approx_stats,
-    "mm_asset_stats": mm_asset_stats,
-    "mm_features": mm_features,
-    "mm_frame_sample": mm_frame_sample,
-    "j5_left_join_agg": j5_left_join_agg,
-    "j6_anti_join": j6_anti_join,
-    "j7_semi_join": j7_semi_join,
-    "w1_running_total": w1_running_total,
-    "w2_lag_delta": w2_lag_delta,
-    "w3_ntile_quartiles": w3_ntile_quartiles,
-    "q3_shipping_priority": q3_shipping_priority,
-    "g1_rollup": g1_rollup,
-    "g2_cube": g2_cube,
-    "pv_pivot_status": pv_pivot_status,
-    "su_set_ops": su_set_ops,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q4_order_priority": q4_order_priority,
-    "q9_nation_profit": q9_nation_profit,
-    "q10_returned_items": q10_returned_items,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q18_large_orders": q18_large_orders,
-    "q22_idle_customers": q22_idle_customers,
-    "w5_value_windows": w5_value_windows,
-    "ts_gapfill": ts_gapfill,
-    "ev_funnel": ev_funnel,
-    "ev_cohort_retention": ev_cohort_retention,
-    "ag_histogram": ag_histogram,
-    "o10_scd2_history": o10_scd2_history,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "tx_rare_tokens": tx_rare_tokens,
-    "sim_label_centroids": sim_label_centroids,
-    "inc_rollup": inc_rollup,
-    "g3_grouping_sets": g3_grouping_sets,
-    "dd_dup_clusters": dd_dup_clusters,
-    "q7_nation_volume": q7_nation_volume,
-    "q8_market_share": q8_market_share,
-    "q11_value_concentration": q11_value_concentration,
-    "q12_priority_shipping": q12_priority_shipping,
-    "q15_top_supplier": q15_top_supplier,
-    "q16_supplier_diversity": q16_supplier_diversity,
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,
-    "q20_concentrated_suppliers": q20_concentrated_suppliers,
-    "tx_tfidf_topk": tx_tfidf_topk,
-    "ev_transitions": ev_transitions,
-    "tx_chunking": tx_chunking,
-    "f3_variant_json": f3_variant_json,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "dd_contamination": dd_contamination,
-    "src_paged_api": src_paged_api,
-    "o11_snapshot_diff": o11_snapshot_diff,
-    "jx_fuzzy_join": jx_fuzzy_join,
-    "hh_heavy_hitters": hh_heavy_hitters,
-    "fn_hof_surface": fn_hof_surface,
-    "ly_zorder": ly_zorder,
-    "tx_pii_scrub": tx_pii_scrub,
-    "tx_span_dedup": tx_span_dedup,
-    "tx_pack_sequences": tx_pack_sequences,
-    "qa_audit": qa_audit,
 }
 
 ORACLES: dict[str, str] = {

@@ -104,6 +104,23 @@ def test_heavy_hitters_exact_on_zipfy_corpus(spark):
     assert got == [(r["token"], r["count"]) for r in exact]
 
 
+def test_heavy_hitters_nbsp_corpus_tokenizes_like_jvm(spark):
+    """Candidate generation (Python) and exact recount (JVM) must agree
+    on token boundaries (r2 ADVICE #2): Java's \\s is ASCII-only, so an
+    NBSP-glued pair like 'foo\\u00a0bar' is ONE token on the JVM side.
+    A Unicode-\\s Python splitter would emit 'foo' and 'bar' candidates
+    instead, the recount semi-join would find no match, and the true
+    heavy hitter would silently vanish from the 'exact' top-k."""
+    glued = "foo\u00a0bar"  # NBSP-glued: one JVM token
+    docs = spark.createDataFrame(
+        [(i, " ".join([glued] * 30 + [f"filler{i}_{j}" for j in range(5)]))
+         for i in range(4)],
+        "doc_id INT, text STRING",
+    )
+    got = [(r["token"], r["n"]) for r in text_analysis.heavy_hitters(docs, k=1, capacity=64).collect()]
+    assert got == [(glued, 120)]
+
+
 def test_heavy_hitters_mg_bound_holds_at_fixture_scale(spark, sf_dir):
     """The exactness precondition: k-th true count > N/capacity."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -146,3 +163,36 @@ def test_zorder_layout_clusters_both_dims(spark):
     avg_xr = sum(r["xr"] for r in stats) / len(stats)
     avg_yr = sum(r["yr"] for r in stats) / len(stats)
     assert avg_xr < 24 and avg_yr < 24, (avg_xr, avg_yr)
+
+
+def test_zorder_layout_keys_above_16_bits(spark):
+    """Keys far beyond 65,535 must still cluster: zorder_layout
+    affine-maps raw keys into the curve's 16-bit domain, so locality is
+    preserved instead of aliasing by truncation (regression for the r2
+    ADVICE item: raw `zvalue16` would send 10_000_000 and 10_065_536 to
+    the SAME cell while 10_000_000 and 10_000_001 land far apart)."""
+    import itertools
+
+    # 32x32 grid stretched over a ~33M-wide domain starting at 10M
+    pts = [
+        (10_000_000 + x * 1_048_576, 5_000_000 + y * 524_288)
+        for x, y in itertools.product(range(32), range(32))
+    ]
+    df = spark.createDataFrame(pts, "x LONG, y LONG")
+    out = layout.zorder_layout(df, "x", "y", num_partitions=8)
+    stats = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xr"),
+            (F.max("y") - F.min("y")).alias("yr"),
+        )
+        .collect()
+    )
+    # same clustering bar as the small-domain test, scaled to the domain
+    avg_xr = sum(r["xr"] for r in stats) / len(stats) / 1_048_576
+    avg_yr = sum(r["yr"] for r in stats) / len(stats) / 524_288
+    assert avg_xr < 24 and avg_yr < 24, (avg_xr, avg_yr)
+    # and distinct raw keys must not collapse onto one curve cell
+    n_cells = out.select("_zvalue").distinct().count()
+    assert n_cells > 512, n_cells

@@ -40,6 +40,29 @@ def test_audit_all_rule_classes(spark):
     }
 
 
+def test_audit_multi_key_unique_partial_nulls(spark):
+    """Multi-column unique: rows where ANY key column is NULL are
+    excluded from the check (count(distinct k1,k2) skips them), so they
+    must not be reported as duplicates. Regression for the r2 ADVICE #1
+    undercount correction that only handled all-NULL keys."""
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (1, "a", 20),     # true duplicate of (1,'a') -> 1 extra row
+            (1, None, 30),    # partial-null key: excluded, NOT a dup
+            (None, "a", 40),  # partial-null key: excluded, NOT a dup
+            (None, None, 50), # all-null key: excluded
+            (2, "b", 60),
+        ],
+        "k1 int, k2 string, v int",
+    )
+    out = {
+        r.check: r.n_violations
+        for r in audit(df, unique=[["k1", "k2"]]).collect()
+    }
+    assert out == {"unique:k1,k2": 1}
+
+
 def test_audit_clean_table_is_all_zero(spark, sf_dir):
     from movie_data_etl_pipeline_spark.sources import load_table
 

@@ -10,6 +10,28 @@ from movie_data_etl_pipeline_spark.sources import load_table
 from movie_data_etl_pipeline_spark.streaming import windows as SW
 
 
+def test_sliding_oracle_parametric_non2_ratio(spark, sf_dir):
+    """The DuckDB sliding-window oracle derives its replication factor
+    from width/slide (r2 ADVICE: the old SQL hardcoded (0),(1)). Check
+    a 3:1 ratio — 90-minute windows sliding every 30 minutes — against
+    Spark's native window expansion on the same parquet."""
+    import duckdb
+
+    from movie_data_etl_pipeline_spark.plans.fixture_queries import st_sliding_oracle_sql
+
+    got = sorted(
+        map(tuple, SW.sliding_counts(
+            load_table(spark, sf_dir, "events"), width="90 minutes", slide="30 minutes"
+        ).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(st_sliding_oracle_sql(90, 30)).fetchall()))
+    assert got == want
+
+
 def test_streaming_tumbling_equals_batch(spark, sf_dir):
     stream = SW.read_events_stream(spark, sf_dir)
     streamed = SW.run_stream_to_memory(

@@ -119,6 +119,36 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (rows[3].n_email, rows[3].n_phone, rows[3].n_ipv4, rows[3].n_ssn) == (0, 0, 0, 0)
 
 
+def test_pii_scrub_overlap_counts_equal_placeholders(spark):
+    """Audit invariant (r2 ADVICE #5): the per-pattern counts are taken
+    against the progressively-scrubbed text, so a span consumed by an
+    earlier pattern never double-counts — sum(n_*) == placeholders
+    actually inserted, even for overlapping matches."""
+    import re
+
+    from movie_data_etl_pipeline_spark.operators.text_analysis import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            # the 1.2.3.4 is INSIDE the email match: email=1, ipv4 must be 0
+            (1, "write user@1.2.3.4.com today"),
+            # dotted phone whose prefix 555.123.4 could look ipv4-ish
+            (2, "call 555.123.4567 or visit 10.0.0.1"),
+            # ssn-shaped run adjacent to a phone-shaped run
+            (3, "p 555-123-4567 s 123-45-6789"),
+        ],
+        "doc_id long, text string",
+    )
+    for r in pii_scrub(docs).collect():
+        n_placeholders = len(re.findall(r"<(?:EMAIL|PHONE|IPV4|SSN)>", r.scrubbed_text))
+        total = r.n_email + r.n_phone + r.n_ipv4 + r.n_ssn
+        assert total == n_placeholders, (r.doc_id, total, n_placeholders, r.scrubbed_text)
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (rows[1].n_email, rows[1].n_ipv4) == (1, 0)
+    assert (rows[2].n_phone, rows[2].n_ipv4) == (1, 1)
+    assert (rows[3].n_phone, rows[3].n_ssn) == (1, 1)
+
+
 def test_span_dedup_first_occurrence_wins(spark):
     from movie_data_etl_pipeline_spark.operators.text_analysis import span_dedup
 
@@ -164,3 +194,21 @@ def test_pack_sequences_invariants(spark, sf_dir):
     for _, off, n in firsts:
         assert off == run
         run += n
+
+
+def test_pack_sequences_stable_without_exchange_reuse(spark, sf_dir):
+    """The pid↔prefix mapping must NOT depend on Catalyst reusing the
+    range exchange between the partition-totals branch and the offset
+    join (r2 ADVICE #3): with reuse disabled the output must be
+    byte-identical (per_doc is materialized once via localCheckpoint)."""
+    from movie_data_etl_pipeline_spark.operators.text_analysis import pack_sequences
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    baseline = sorted(map(tuple, pack_sequences(docs, budget_tokens=64).collect()))
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        no_reuse = sorted(map(tuple, pack_sequences(docs, budget_tokens=64).collect()))
+    finally:
+        spark.conf.unset("spark.sql.exchange.reuse")
+    assert baseline == no_reuse
