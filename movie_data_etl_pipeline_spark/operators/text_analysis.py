@@ -199,7 +199,12 @@ class ChunkText:
     def eval(self, text: str, max_chars: int):  # noqa: ANN001 - UDTF contract
         if text is None:
             return
-        words = [w for w in text.split() if w]
+        import re
+
+        # ASCII whitespace, matching the engine's JVM tokenizer
+        # (functions.text.tokens) and the DuckDB oracle's RE2 \s —
+        # Python's bare str.split() would also break on NBSP etc.
+        words = [w for w in re.split(r"\s+", text, flags=re.ASCII) if w]
         if not words:
             return
         chunk_id = 0

@@ -3144,13 +3144,40 @@ ORDER BY doc_id, rk
 def tx_chunking(spark: SparkSession, sf: str) -> DataFrame:
     """Document chunking via the ChunkText UDTF (LATERAL table
     function): greedy whitespace-respecting segments ≤400 chars — the
-    bounded-training-example segmentation step. Rows-only check (the
-    greedy algorithm has no closed SQL form); the lossless-reassembly
-    and bound invariants are pytest-verified on the same corpus."""
+    bounded-training-example segmentation step. Oracle-checked: the
+    greedy fold is rendered in DuckDB as a RECURSIVE CTE that walks the
+    token sequence carrying (chunk_id, cur_len) state; the
+    lossless-reassembly and bound invariants are additionally
+    pytest-verified on the same corpus."""
     docs = load_table(spark, sf, "documents")
     return text_analysis.chunk_documents(spark, docs, max_chars=400).select(
         "doc_id", "chunk_id", "chunk_chars"
     )
+
+
+# The UDTF's greedy packing is a sequential fold over tokens — SQL's
+# closed form for that is a recursive CTE stepping one token per
+# iteration (per doc, in parallel across docs). chunk_chars falls out
+# as sum(token lens) + (tokens-1) separators per (doc, chunk).
+_TX_CHUNK_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, CAST(g.i AS INT) AS i, len(t.toks[CAST(g.i AS INT)]) AS l
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents) t,
+       LATERAL unnest(range(1, len(t.toks) + 1)) AS g(i)
+  WHERE len(t.toks) > 0
+),
+walk AS (
+  SELECT doc_id, i, l, 0 AS chunk_id, l AS cur_len FROM toks WHERE i = 1
+  UNION ALL
+  SELECT t.doc_id, t.i, t.l,
+         CASE WHEN w.cur_len + 1 + t.l > 400 THEN w.chunk_id + 1 ELSE w.chunk_id END,
+         CASE WHEN w.cur_len + 1 + t.l > 400 THEN t.l ELSE w.cur_len + 1 + t.l END
+  FROM toks t JOIN walk w ON t.doc_id = w.doc_id AND t.i = w.i + 1
+)
+SELECT doc_id, chunk_id, CAST(SUM(l) + COUNT(*) - 1 AS INT) AS chunk_chars
+FROM walk GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id
+"""
 
 
 def f3_variant_json(spark: SparkSession, sf: str) -> DataFrame:
@@ -3970,6 +3997,7 @@ ORACLES: dict[str, str] = {
     "tx_span_dedup": _TX_SPAN_SQL,
     "tx_pack_sequences": _TX_PACK_SQL,
     "qa_audit": _QA_AUDIT_SQL,
+    "tx_chunking": _TX_CHUNK_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup,
     # mm_features; (no parquet twin): src_paged_api

@@ -38,14 +38,21 @@ from movie_data_etl_pipeline_spark.schemas import (
 TMDB_BASE = "https://api.themoviedb.org/3"
 
 
-def http_get_json(path: str, api_key: str, params: dict | None = None, timeout_s: int = 30) -> dict:
+def http_get_json(
+    path: str,
+    api_key: str,
+    params: dict | None = None,
+    timeout_s: int = 30,
+    base_url: str = TMDB_BASE,
+) -> dict:
     """S1: authenticated GET → decoded JSON; raises on non-2xx
     (mirrors ``tmdb_get``, ``02_etl.py:21-26``). Driver/ingest side
-    only — never called from executors."""
+    only — never called from executors. ``base_url`` exists so the
+    live path is testable against a loopback stub server."""
     if requests is None:
         raise RuntimeError("requests not available in this environment")
     q = {"api_key": api_key, **(params or {})}
-    resp = requests.get(f"{TMDB_BASE}{path}", params=q, timeout=timeout_s)
+    resp = requests.get(f"{base_url}{path}", params=q, timeout=timeout_s)
     resp.raise_for_status()
     return resp.json()
 
@@ -55,6 +62,7 @@ def fetch_and_land_pages(
     api_key: str,
     pages: int = 2,
     sleep_s: float = 0.25,
+    base_url: str = TMDB_BASE,
 ) -> list[str]:
     """S2+S4: fetch popular-movie pages 1..N and land one JSON file per
     page (the landing pattern that replaces driver-resident lists).
@@ -64,7 +72,7 @@ def fetch_and_land_pages(
     out.mkdir(parents=True, exist_ok=True)
     written = []
     for page in range(1, pages + 1):
-        doc = http_get_json("/movie/popular", api_key, {"page": page})
+        doc = http_get_json("/movie/popular", api_key, {"page": page}, base_url=base_url)
         p = out / f"popular_page_{page:05d}.json"
         p.write_text(json.dumps(doc))
         written.append(str(p))
