@@ -911,7 +911,10 @@ FROM documents
 def mm_features(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-batched feature extraction (mapInPandas over binary
     payloads) reduced to a checkable profile. The decode kernel is the
-    deterministic fake (sha256 expansion) — rows-only check."""
+    deterministic fake (sha256 expansion), which DuckDB can replicate
+    byte-for-byte — so the whole Arrow pipeline (payload synthesis →
+    mapInPandas decode → array fold) is value-hash-checked, not just
+    rows-only."""
     assets = multimodal.synthesize_assets(load_table(spark, sf, "documents"))
     feats = multimodal.extract_features(assets, dim=16)
     return feats.select(
@@ -921,6 +924,27 @@ def mm_features(spark: SparkSession, sf: str) -> DataFrame:
             "feat_sum"
         ),
     )
+
+
+# decode_fake(payload, 16) = first 16 bytes of sha256(payload || be32(0)),
+# each /255.0 (operators/multimodal.py:96). payload is the utf-8 text, the
+# counter suffix is four NUL bytes, and dim=16 needs only one hash round —
+# all expressible in DuckDB: sha256 the text + chr(0)*4, split the hex
+# digest into byte pairs, sum the first 16. The per-byte value must
+# round-trip through FLOAT (FEATURE_SCHEMA stores array<float>; the
+# float32 quantization of b/255.0 is ~1e-8 per element, visible at the
+# 6-decimal rounding) before the double-precision sum.
+_MM_FEATURES_SQL = """
+WITH h AS (
+  SELECT doc_id AS asset_id, sha256(text || repeat(chr(0), 4)) AS hx
+  FROM documents
+)
+SELECT asset_id,
+       CAST(16 AS BIGINT) AS feat_dim,
+       round(SUM(CAST(CAST(CAST(('0x' || substring(hx, CAST(i AS INT) * 2 + 1, 2)) AS INT) / 255.0 AS FLOAT) AS DOUBLE)), 6) AS feat_sum
+FROM h, LATERAL unnest(range(0, 16)) AS g(i)
+GROUP BY asset_id
+"""
 
 
 def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -3998,7 +4022,8 @@ ORACLES: dict[str, str] = {
     "tx_pack_sequences": _TX_PACK_SQL,
     "qa_audit": _QA_AUDIT_SQL,
     "tx_chunking": _TX_CHUNK_SQL,
+    "mm_features": _MM_FEATURES_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
-    # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup,
-    # mm_features; (no parquet twin): src_paged_api
+    # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup;
+    # (no parquet twin): src_paged_api
 }
