@@ -36,6 +36,7 @@ from movie_data_etl_pipeline_spark.operators import (
     merge,
     multimodal,
     quality,
+    sampling,
     similarity,
     text_analysis,
     topn,
@@ -1828,6 +1829,69 @@ SELECT doc_id, lang, source FROM (
          ) AS rn
   FROM documents
 ) WHERE rn <= 20
+"""
+
+
+# Target mixture for sa_mixture_sample: dyadic fractions (x/16) on
+# purpose — they are exact doubles summing to exactly 1.0, so the
+# Spark-side normalization is a bit-exact no-op and both engines
+# compute identical acceptance rates (a knife-edge rate one ulp off
+# could flip a row whose md5-uniform sits next to it).
+_MIXTURE_WEIGHTS = {"en": 0.375, "de": 0.1875, "fr": 0.1875, "es": 0.125, "zh": 0.125}
+
+
+def sa_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Target-mixture corpus resampling
+    (``operators/sampling.mixture_sample``): the Pile/DoReMi-style
+    domain reweighting step — keep the binding domain whole, hash-thin
+    every other domain to its proportional share. Deterministic
+    (md5-uniform per doc_id), so the surviving row SET is
+    value-hash-checkable."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.mixture_sample(docs, "lang", _MIXTURE_WEIGHTS, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+_SA_MIXTURE_SQL = """
+WITH w(lang, __w) AS (
+  SELECT * FROM (VALUES ('en', 0.375), ('de', 0.1875), ('fr', 0.1875),
+                        ('es', 0.125), ('zh', 0.125)) t
+),
+c AS (SELECT lang, COUNT(*) AS __n FROM documents GROUP BY lang),
+f AS (SELECT c.lang, c.__n, w.__w FROM c JOIN w USING (lang)),
+cap AS (SELECT MIN(__n / __w) AS __cap FROM f),
+r AS (SELECT lang, __w * (SELECT __cap FROM cap) / __n AS __rate FROM f)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        / 281474976710656.0 < r.__rate
+ORDER BY d.doc_id
+"""
+
+
+def sa_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (``operators/sampling.hash_split``): membership is a pure function
+    of doc_id (salted md5-uniform against cumulative dyadic fraction
+    boundaries), so eval sets stay stable as the corpus grows."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.hash_split(
+        docs, "doc_id", {"train": 0.75, "val": 0.125, "test": 0.125}
+    ).select("doc_id", "split")
+
+
+_SA_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN u < 0.75 THEN 'train'
+            WHEN u < 0.875 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+           / 281474976710656.0 AS u
+  FROM documents
+) ORDER BY doc_id
 """
 
 
@@ -3919,6 +3983,9 @@ QUERIES: dict[str, QueryFn] = {
     "rj_range_join": rj_range_join,
     "ap_exact_quantiles": ap_exact_quantiles,
     "ap_approx_stats": ap_approx_stats,
+    # appended post-r3-window (enter via a later rotation)
+    "sa_mixture_sample": sa_mixture_sample,
+    "sa_hash_split": sa_hash_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -4023,6 +4090,8 @@ ORACLES: dict[str, str] = {
     "qa_audit": _QA_AUDIT_SQL,
     "tx_chunking": _TX_CHUNK_SQL,
     "mm_features": _MM_FEATURES_SQL,
+    "sa_mixture_sample": _SA_MIXTURE_SQL,
+    "sa_hash_split": _SA_SPLIT_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup;
     # (no parquet twin): src_paged_api
