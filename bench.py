@@ -51,6 +51,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "sa_stratified_sample",
+    "sa_mixture_sample",
+    "sa_hash_split",
+    "tx_chunking",
+    "mm_features",
     "dd_incremental",
     "ap_exact_quantiles",
     "px_clean_corpus",
