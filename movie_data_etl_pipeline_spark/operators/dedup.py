@@ -414,8 +414,9 @@ def incremental_dedup(
     rows and their keys. At 100 TB the ``seen`` side is a narrow
     key-only table (e.g. fingerprints), the anti-join shuffles on the
     key hash, and AQE picks broadcast when a small batch meets a
-    pre-partitioned corpus; a Bloom-filter pre-pass on the batch side
-    can cut the shuffle further (left to the storage layer).
+    pre-partitioned corpus; when the seen set outgrows broadcast,
+    ``operators/bloom.bloom_anti_join`` is the drop-in that routes only
+    the maybe-seen sliver through the shuffle.
     """
     fresh = dedup_exact(batch, key_cols, keep_min_of)
     return fresh.join(seen.select(*key_cols), list(key_cols), "left_anti")

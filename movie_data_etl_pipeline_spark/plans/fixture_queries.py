@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from movie_data_etl_pipeline_spark.functions import scalar as SC
 from movie_data_etl_pipeline_spark.functions import text as TX
 from movie_data_etl_pipeline_spark.operators import (
+    bloom,
     dedup,
     joins,
     layout,
@@ -1806,6 +1807,24 @@ WHERE NOT EXISTS (
   SELECT 1 FROM fp seen WHERE seen.doc_id % 3 = 0 AND seen.fingerprint = fresh.fingerprint
 )
 """
+
+
+def dd_bloom_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME cross-run dedup as ``dd_incremental``, but the
+    seen-fingerprint anti-join goes through the broadcast Bloom
+    pre-filter (``operators/bloom.bloom_anti_join``): rows the filter
+    proves unseen skip the shuffle, only the maybe-seen sliver is
+    verified exactly. Bloom false positives never change the result,
+    so the oracle is the plain NOT EXISTS — one truth, two plans."""
+    fp = _dup_corpus(spark, sf).withColumn("fingerprint", TX.fingerprint("text"))
+    seen = fp.filter(F.col("doc_id") % 3 == 0)
+    batch = fp.filter(F.col("doc_id") % 3 != 0)
+    fresh = dedup.dedup_exact(batch, ["fingerprint"], "doc_id")
+    out = bloom.bloom_anti_join(fresh, seen, "fingerprint", m_bits=1 << 17, k=5)
+    return out.select("doc_id", "fingerprint", "lang")
+
+
+_DD_BLOOM_SQL = _DD_INCR_SQL  # identical semantics; only the plan differs
 
 
 def sa_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -3986,6 +4005,7 @@ QUERIES: dict[str, QueryFn] = {
     # appended post-r3-window (enter via a later rotation)
     "sa_mixture_sample": sa_mixture_sample,
     "sa_hash_split": sa_hash_split,
+    "dd_bloom_incremental": dd_bloom_incremental,
 }
 
 ORACLES: dict[str, str] = {
@@ -4092,6 +4112,7 @@ ORACLES: dict[str, str] = {
     "mm_features": _MM_FEATURES_SQL,
     "sa_mixture_sample": _SA_MIXTURE_SQL,
     "sa_hash_split": _SA_SPLIT_SQL,
+    "dd_bloom_incremental": _DD_BLOOM_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup;
     # (no parquet twin): src_paged_api
