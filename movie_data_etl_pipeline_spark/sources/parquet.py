@@ -52,7 +52,19 @@ def events_ts_is_nanos(sf_dir: str) -> bool:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table from ``{sf_dir}/{name}.parquet``."""
+    """Load one fixture table from ``{sf_dir}/{name}.parquet``,
+    normalized to the declared schema.
+
+    The read is NATIVE (footer schema) followed by a cast of every
+    declared column to its declared type, rather than a strict
+    ``spark.read.schema(...)``: when the on-disk types match the
+    declaration — the steady state — ``SimplifyCasts`` erases the casts
+    and the plan (column pruning, predicate pushdown) is identical to
+    the schema'd read; when a fixture regeneration drifts a physical
+    type (the round-2 failure mode: ``events.ts`` flipped
+    TIMESTAMP(NANOS) → ``timestamp[us]``), the cast converts instead of
+    corrupting or refusing the scan. Missing declared columns still
+    fail loudly (the select raises)."""
     if name not in FIXTURE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(FIXTURE_SCHEMAS)}")
     if name == "events" and events_ts_is_nanos(sf_dir):
@@ -60,8 +72,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # µs — byte-identical to DuckDB's nanosecond-parquet handling.
         raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return (
-        spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return raw.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in FIXTURE_SCHEMAS[name]]
     )
 
 

@@ -87,3 +87,27 @@ def test_read_binary_files_content_and_glob(spark, tmp_path):
     assert rows[0].path.endswith("x.bin")
     assert bytes(rows[0].content) == b"\x00\x01\x02"
     assert rows[0].length == 3
+
+
+def test_load_table_survives_physical_type_drift(spark, tmp_path):
+    """Fixture regenerations have shipped different physical types for
+    the same logical column (round 2: events.ts flipped NANOS→µs and
+    silently corrupted 8 queries). load_table normalizes the native
+    read to the declared schema, so an int32/float32-narrowed file
+    still loads with the declared types and values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    drifted = pa.table(
+        {
+            "r_regionkey": pa.array([0, 1, 2], type=pa.int64()),  # declared int
+            "r_name": pa.array(["AFRICA", "AMERICA", "ASIA"], type=pa.string()),
+            "r_comment": pa.array(["a", "b", "c"], type=pa.string()),
+        }
+    )
+    pq.write_table(drifted, str(tmp_path / "region.parquet"))
+    df = load_table(spark, str(tmp_path), "region")
+    assert dict(df.dtypes)["r_regionkey"] == "int"  # declared schema wins
+    assert sorted(r["r_regionkey"] for r in df.collect()) == [0, 1, 2]
