@@ -190,3 +190,68 @@ def test_bucketed_cow_upsert_idempotent(spark, tmp_path):
     once = _rows(table.read(spark))
     table.upsert(spark, batch)
     assert _rows(table.read(spark)) == once
+
+
+# ----------------------------------------- versioned (snapshot) CoW
+
+
+def test_versioned_cow_upsert_matches_dataframe_backend(spark, tmp_path):
+    from movie_data_etl_pipeline_spark.operators.cow import VersionedCowTable
+
+    target = spark.createDataFrame([(i, f"old{i}", i * 10) for i in range(400)], SCHEMA)
+    batch = spark.createDataFrame(
+        [(i, f"new{i}", None) for i in range(0, 120, 10)]
+        + [(400 + i, f"ins{i}", 7) for i in range(5)],
+        SCHEMA,
+    )
+    t = VersionedCowTable(str(tmp_path / "vcow"), ["k"], n_buckets=16)
+    t.init(target)
+    v2 = t.upsert(spark, batch)
+    assert v2 == 2
+    want = merge.upsert(target, batch, ["k"])
+    assert _rows(t.read(spark)) == _rows(want)
+
+
+def test_versioned_cow_snapshot_isolation_and_time_travel(spark, tmp_path):
+    """A reader holding version 1 must see the ORIGINAL state after a
+    later commit (immutable files + per-version manifest), and any
+    historical version stays readable by number."""
+    from movie_data_etl_pipeline_spark.operators.cow import VersionedCowTable
+
+    target = spark.createDataFrame([(i, f"old{i}", i) for i in range(100)], SCHEMA)
+    t = VersionedCowTable(str(tmp_path / "vcow"), ["k"], n_buckets=8)
+    t.init(target)
+    snapshot_v1 = t.read(spark, version=1)  # resolved BEFORE the commit
+    batch = spark.createDataFrame([(0, "NEW", 999), (100, "ins", 1)], SCHEMA)
+    t.upsert(spark, batch)
+    # the v1 reader still sees the pre-commit world
+    assert _rows(snapshot_v1) == _rows(target)
+    assert _rows(t.read(spark, version=1)) == _rows(target)
+    # and latest sees the merge
+    assert _rows(t.read(spark)) == _rows(merge.upsert(target, batch, ["k"]))
+
+
+def test_versioned_cow_commits_only_touched_buckets(spark, tmp_path):
+    """Each commit's version directory contains ONLY the touched
+    buckets; untouched buckets keep pointing at their original version
+    in the manifest."""
+    import os
+
+    from movie_data_etl_pipeline_spark.operators.cow import VersionedCowTable, bucket_of
+
+    target = spark.createDataFrame([(i, f"old{i}", i) for i in range(400)], SCHEMA)
+    t = VersionedCowTable(str(tmp_path / "vcow"), ["k"], n_buckets=16)
+    t.init(target)
+    batch = spark.createDataFrame([(1, "x", 1), (2, "y", 2)], SCHEMA)
+    touched = {
+        r[0] for r in batch.select(bucket_of(["k"], 16)).distinct().collect()
+    }
+    t.upsert(spark, batch)
+    m = t.manifest()
+    assert m["version"] == 2
+    moved = {int(b) for b, v in m["buckets"].items() if v == 2}
+    assert moved == touched
+    v2_dirs = {
+        d for d in os.listdir(os.path.join(t.path, "v00002")) if d.startswith("_bucket_dir=")
+    }
+    assert v2_dirs == {f"_bucket_dir={b}" for b in touched}
