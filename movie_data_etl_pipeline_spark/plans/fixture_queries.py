@@ -1369,6 +1369,35 @@ ORDER BY c.user_id, click_id, error_id
 """
 
 
+def st_interval_join_left(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT OUTER interval join, batch twin: every click, paired with
+    same-user errors in the preceding two hours OR alone with null
+    error columns (``streaming/windows.interval_join(how='left')``).
+    The outer-emitting watermarked streaming form is exercised against
+    the multi-batch synthetic source in test_streaming."""
+    ev = load_table(spark, sf, "events")
+    return SW.interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+        interval_minutes=120,
+        how="left",
+    )
+
+
+# the error-side filter must stay INSIDE the ON clause (a WHERE on
+# e.event_type would silently turn the left join back into an inner)
+_ST_IJL_SQL = """
+SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+  AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 120 MINUTE
+ORDER BY c.user_id, click_id, error_id
+"""
+
+
 def pv_unpivot_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """UNPIVOT (melt): the four lineitem measure columns become
     (metric, val) rows — the inverse of ``pv_pivot_status``, a map-side
@@ -4006,6 +4035,7 @@ QUERIES: dict[str, QueryFn] = {
     "sa_mixture_sample": sa_mixture_sample,
     "sa_hash_split": sa_hash_split,
     "dd_bloom_incremental": dd_bloom_incremental,
+    "st_interval_join_left": st_interval_join_left,
 }
 
 ORACLES: dict[str, str] = {
@@ -4113,6 +4143,7 @@ ORACLES: dict[str, str] = {
     "sa_mixture_sample": _SA_MIXTURE_SQL,
     "sa_hash_split": _SA_SPLIT_SQL,
     "dd_bloom_incremental": _DD_BLOOM_SQL,
+    "st_interval_join_left": _ST_IJL_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup;
     # (no parquet twin): src_paged_api

@@ -112,14 +112,18 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 
 def interval_join(
-    clicks: DataFrame, errors: DataFrame, interval_minutes: int = 10
+    clicks: DataFrame, errors: DataFrame, interval_minutes: int = 10, how: str = "inner"
 ) -> DataFrame:
     """Batch form of the stream-stream interval join: each click paired
     with the same user's error events from the preceding
     ``interval_minutes``. An equi-join on the user key with the time
-    band as a post-join filter — one shuffle on user_id, no range-join
-    blowup; identical semantics to the streaming form below (which is
-    what bounds its state with watermarks)."""
+    band INSIDE the join condition — one shuffle on user_id, no
+    range-join blowup; identical semantics to the streaming form below
+    (which is what bounds its state with watermarks).
+
+    ``how='left'`` keeps clicks with no error in the band (null
+    error_id/error_ts) — the band must live in the ON clause, not a
+    post-join filter, or the outer rows would be filtered away."""
     c = clicks.select(
         "user_id",
         F.col("event_id").alias("click_id"),
@@ -134,7 +138,7 @@ def interval_join(
         F.col("error_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {interval_minutes} MINUTES")
     )
     return (
-        c.join(e, (F.col("user_id") == F.col("__eu")) & band)
+        c.join(e, (F.col("user_id") == F.col("__eu")) & band, how)
         .select(
             "user_id",
             "click_id",
@@ -147,13 +151,23 @@ def interval_join(
 
 
 def streaming_interval_join(
-    stream: DataFrame, interval_minutes: int = 10, watermark: str = "2 hours"
+    stream: DataFrame,
+    interval_minutes: int = 10,
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with watermarks on BOTH sides and a
-    bounded time condition — the two things Structured Streaming
-    requires to evict join state (an unbounded stream-stream join would
-    buffer both sides forever). Clicks and errors are two filters of
-    the same source stream; at 100 TB/day each would be its own topic."""
+    """Stream-stream join with watermarks on BOTH sides and a bounded
+    time condition — the two things Structured Streaming requires to
+    evict join state (an unbounded stream-stream join would buffer both
+    sides forever). Clicks and errors are two filters of the same
+    source stream; at 100 TB/day each would be its own topic.
+
+    ``how='left_outer'`` additionally emits clicks that matched NO
+    error — but only once the watermark passes the click's band (state
+    eviction is what proves no match can still arrive), so outer rows
+    trail the inner ones by up to the watermark delay. That timing is
+    inherent to the model, not an implementation detail; size the
+    watermark to the latency the consumer tolerates."""
     clicks = (
         stream.filter(F.col("event_type") == "click")
         .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
@@ -172,7 +186,7 @@ def streaming_interval_join(
         F.col("error_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {interval_minutes} MINUTES")
     )
     return (
-        clicks.join(errors, (F.col("user_id") == F.col("__eu")) & band, "inner")
+        clicks.join(errors, (F.col("user_id") == F.col("__eu")) & band, how)
         .select(
             "user_id",
             "click_id",

@@ -181,3 +181,63 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
     got = SW.run_stream_to_memory(spark, per_tier, "t_enrich", output_mode="complete")
     want = batch.join(dim, "user_id").groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_left_interval_join_emits_unmatched(spark):
+    """LEFT OUTER stream-stream join: inner matches emit eagerly; a
+    click that matched nothing emits with null error columns once the
+    watermark proves no in-band error can still arrive. Uses the
+    multi-batch synthetic source so the watermark actually advances
+    between micro-batches (a single-file source would never trigger
+    the eviction that releases outer rows)."""
+    from movie_data_etl_pipeline_spark.sources.pyds import (
+        _event_rows,
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+
+    def prep(df):
+        return df.select(
+            "event_id",
+            "user_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            # synthetic types are view/click/purchase; alias purchase as
+            # the error side so the click/error join has both inputs
+            F.when(F.col("event_type") == "purchase", "error")
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+        )
+
+    raw = (
+        spark.readStream.format("synthetic_events")
+        .option("batch_size", 100)
+        .option("max_batches", 3)
+        .load()
+    )
+    streamed = SW.run_stream_to_memory(
+        spark,
+        SW.streaming_interval_join(
+            prep(raw), 10, watermark="5 minutes", how="left_outer"
+        ),
+        "t_ij_left",
+    )
+    batch = prep(
+        spark.createDataFrame(
+            [r for b in range(3) for r in _event_rows(b, 100)],
+            "event_id bigint, user_id bigint, ts_s bigint, event_type string",
+        )
+    )
+    want_left = {
+        tuple(r)
+        for r in SW.interval_join(
+            batch.filter(F.col("event_type") == "click"),
+            batch.filter(F.col("event_type") == "error"),
+            10,
+            how="left",
+        ).collect()
+    }
+    want_inner = {r for r in want_left if r[2] is not None}
+    got = {tuple(r) for r in streamed.collect()}
+    assert want_inner <= got <= want_left  # no wrong rows, all matches present
+    assert any(r[2] is None for r in got)  # outer rows actually emitted
