@@ -499,3 +499,30 @@ def heavy_hitters(docs: DataFrame, k: int = 20, capacity: int = 256) -> DataFram
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(k)
     )
+
+
+def corpus_datacard(docs: DataFrame) -> DataFrame:
+    """Per-(source, language) corpus profile — the data-card /
+    datasheet step every training-data release ships: volume (docs,
+    tokens, chars), exact-duplicate pressure (distinct canonical
+    fingerprints vs rows), and document-length shape (average and max
+    tokens). ONE scan and ONE groupBy over the full corpus; at 100 TB
+    the group count is |sources|x|langs| (tiny), so the aggregate is
+    all map-side partials plus a trivial final reduce. The fingerprint
+    count rides the same Expand-based plan Catalyst uses for any
+    count(distinct) alongside plain aggregates."""
+    fp = TX.fingerprint("text")
+    ntok = TX.token_count("text").cast("bigint")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ntok).alias("total_tokens"),
+            F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+            F.countDistinct(fp).alias("n_unique"),
+            F.round(F.avg(ntok), 2).alias("avg_tokens"),
+            F.max(ntok).alias("max_tokens"),
+        )
+        .withColumn("n_exact_dups", (F.col("n_docs") - F.col("n_unique")).cast("bigint"))
+        .orderBy("source", "lang")
+    )

@@ -3291,6 +3291,30 @@ def tx_chunking(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tx_datacard(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus data-card (``operators/text_analysis.corpus_datacard``):
+    per (source, language) volume, duplicate pressure, and length
+    shape — the datasheet a training-data release ships. One scan, one
+    groupBy."""
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.corpus_datacard(docs)
+
+
+_TX_DATACARD_SQL = r"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS n_unique,
+       round(AVG(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))), 2) AS avg_tokens,
+       CAST(MAX(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS max_tokens,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS n_exact_dups
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
 # The UDTF's greedy packing is a sequential fold over tokens — SQL's
 # closed form for that is a recursive CTE stepping one token per
 # iteration (per doc, in parallel across docs). chunk_chars falls out
@@ -4036,6 +4060,7 @@ QUERIES: dict[str, QueryFn] = {
     "sa_hash_split": sa_hash_split,
     "dd_bloom_incremental": dd_bloom_incremental,
     "st_interval_join_left": st_interval_join_left,
+    "tx_datacard": tx_datacard,
 }
 
 ORACLES: dict[str, str] = {
@@ -4144,6 +4169,7 @@ ORACLES: dict[str, str] = {
     "sa_hash_split": _SA_SPLIT_SQL,
     "dd_bloom_incremental": _DD_BLOOM_SQL,
     "st_interval_join_left": _ST_IJL_SQL,
+    "tx_datacard": _TX_DATACARD_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup;
     # (no parquet twin): src_paged_api

@@ -212,3 +212,22 @@ def test_pack_sequences_stable_without_exchange_reuse(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.exchange.reuse")
     assert baseline == no_reuse
+
+
+def test_corpus_datacard_profiles_and_counts_dups(spark):
+    from movie_data_etl_pipeline_spark.operators.text_analysis import corpus_datacard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world", "en", "web", 11),
+            (2, "HELLO   world", "en", "web", 13),  # dup after normalization
+            (3, "three tokens here", "en", "web", 17),
+            (4, "autre texte", "fr", "web", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {(r.source, r.lang): r for r in corpus_datacard(docs).collect()}
+    en = rows[("web", "en")]
+    assert (en.n_docs, en.n_unique, en.n_exact_dups) == (3, 2, 1)
+    assert en.total_tokens == 7 and en.max_tokens == 3
+    assert rows[("web", "fr")].n_exact_dups == 0
