@@ -269,6 +269,18 @@ class VersionedCowTable:
 
     # --------------------------------------------------------- merge
 
+    def _next_version(self, committed: int) -> int:
+        """First free version number: past the committed head AND past
+        any orphan directory a crashed writer left between its data
+        write and the pointer swap — a retry must not collide with the
+        immutable (errorifexists) orphan."""
+        on_disk = [
+            int(d[1:])
+            for d in _os.listdir(self.path)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        return max([committed, *on_disk]) + 1
+
     def upsert(
         self,
         spark: SparkSession,
@@ -278,7 +290,7 @@ class VersionedCowTable:
         """O8 semantics at pruned cost, committed as a new snapshot;
         returns the new version number."""
         m = self.manifest()
-        new_version = m["version"] + 1
+        new_version = self._next_version(m["version"])
         batch_b = batch.withColumn(BUCKET_COL, bucket_of(self.key_cols, self.n_buckets))
         touched = sorted(
             r[0] for r in batch_b.select(BUCKET_COL).distinct().collect()

@@ -255,3 +255,23 @@ def test_versioned_cow_commits_only_touched_buckets(spark, tmp_path):
         d for d in os.listdir(os.path.join(t.path, "v00002")) if d.startswith("_bucket_dir=")
     }
     assert v2_dirs == {f"_bucket_dir={b}" for b in touched}
+
+
+def test_versioned_cow_retry_after_orphaned_version_dir(spark, tmp_path):
+    """A writer that crashed after its data write but before the
+    pointer swap leaves an orphan v-dir; the table must still read the
+    committed state, and a retried upsert must commit past the orphan
+    instead of colliding with the immutable directory."""
+    import os
+
+    from movie_data_etl_pipeline_spark.operators.cow import VersionedCowTable
+
+    target = spark.createDataFrame([(i, f"old{i}", i) for i in range(50)], SCHEMA)
+    t = VersionedCowTable(str(tmp_path / "vcow"), ["k"], n_buckets=4)
+    t.init(target)
+    os.makedirs(os.path.join(t.path, "v00002", "_bucket_dir=0"))  # orphan
+    assert _rows(t.read(spark)) == _rows(target)  # committed state intact
+    batch = spark.createDataFrame([(0, "NEW", 9)], SCHEMA)
+    v = t.upsert(spark, batch)
+    assert v == 3  # skipped the orphan
+    assert _rows(t.read(spark)) == _rows(merge.upsert(target, batch, ["k"]))
