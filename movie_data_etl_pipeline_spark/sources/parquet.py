@@ -51,20 +51,79 @@ def events_ts_is_nanos(sf_dir: str) -> bool:
     return is_nanos
 
 
+# Cache of {table path -> physical schema matches declaration}. One
+# pyarrow footer read per path per process (~1 ms, driver-local) —
+# letting Spark infer instead would submit a schema-inference JOB per
+# load_table call, which measurably dominates short queries.
+_SCHEMA_MATCH_CACHE: dict[str, bool] = {}
+
+
+def _arrow_matches(arrow_type, spark_type) -> bool:
+    """Does the parquet physical type already decode to the declared
+    Spark type? (Only the types the fixture schemas use.)"""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(spark_type, T.LongType):
+        return pa.types.is_int64(arrow_type)
+    if isinstance(spark_type, T.IntegerType):
+        return pa.types.is_int32(arrow_type)
+    if isinstance(spark_type, T.DoubleType):
+        return pa.types.is_float64(arrow_type)
+    if isinstance(spark_type, T.StringType):
+        return pa.types.is_string(arrow_type) or pa.types.is_large_string(arrow_type)
+    if isinstance(spark_type, T.TimestampType):
+        return pa.types.is_timestamp(arrow_type) and arrow_type.unit == "us"
+    if isinstance(spark_type, T.FloatType):
+        return pa.types.is_float32(arrow_type)
+    if isinstance(spark_type, T.ArrayType):
+        return (
+            pa.types.is_list(arrow_type) or pa.types.is_large_list(arrow_type)
+        ) and _arrow_matches(arrow_type.value_type, spark_type.elementType)
+    return False
+
+
+def _physical_matches(sf_dir: str, name: str) -> bool:
+    path = f"{sf_dir}/{name}.parquet"
+    cached = _SCHEMA_MATCH_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import os
+
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+        )
+        if parts:
+            probe = os.path.join(path, parts[0])
+    try:
+        footer = pq.read_schema(probe)
+        ok = all(
+            f.name in footer.names
+            and _arrow_matches(footer.field(f.name).type, f.dataType)
+            for f in FIXTURE_SCHEMAS[name]
+        )
+    except Exception:
+        ok = False  # unreadable footer: fall to the tolerant cast path
+    _SCHEMA_MATCH_CACHE[path] = ok
+    return ok
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``,
     normalized to the declared schema.
 
-    The read is NATIVE (footer schema) followed by a cast of every
-    declared column to its declared type, rather than a strict
-    ``spark.read.schema(...)``: when the on-disk types match the
-    declaration — the steady state — ``SimplifyCasts`` erases the casts
-    and the plan (column pruning, predicate pushdown) is identical to
-    the schema'd read; when a fixture regeneration drifts a physical
-    type (the round-2 failure mode: ``events.ts`` flipped
-    TIMESTAMP(NANOS) → ``timestamp[us]``), the cast converts instead of
+    Steady state (footer types == declaration, checked ONCE per path
+    via a cached pyarrow footer read): a strict ``spark.read.schema``
+    — no inference job, plans identical to always. Drift state (the
+    round-2 failure mode: ``events.ts`` flipped TIMESTAMP(NANOS) →
+    ``timestamp[us]`` under a regeneration): a native read followed by
+    a cast of every declared column, which converts instead of
     corrupting or refusing the scan. Missing declared columns still
-    fail loudly (the select raises)."""
+    fail loudly in both paths."""
     if name not in FIXTURE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(FIXTURE_SCHEMAS)}")
     if name == "events" and events_ts_is_nanos(sf_dir):
@@ -72,6 +131,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # µs — byte-identical to DuckDB's nanosecond-parquet handling.
         raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if _physical_matches(sf_dir, name):
+        return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
     raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return raw.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in FIXTURE_SCHEMAS[name]]
