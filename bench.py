@@ -98,6 +98,9 @@ HEADLINE = [
     "tx_pii_scrub",
     "tx_span_dedup",
     "qa_audit",
+    "ev_top_paths",
+    "tx_adaptive_quality",
+    "emb_int8_quantize",
 ]
 
 

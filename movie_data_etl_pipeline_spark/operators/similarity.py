@@ -427,3 +427,63 @@ def embedding_near_dup_pairs(
         )
         .agg(F.round(F.max("score"), 6).alias("cosine"))
     )
+
+
+def int8_quantization_report(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-label audit of symmetric per-vector int8 quantization — the
+    compression step a 100 TB embedding store applies before ANN
+    serving (absmax scaling, the faiss/SQ8 recipe): each vector scales
+    by ``s = max|v_i|``, stores ``round(v_i * 127 / s)`` in one byte,
+    and reconstructs ``q_i * s / 127``.
+
+    Reports, per label: vector count, mean scale (``avg_max_abs``) and
+    mean per-element reconstruction error (``avg_abs_err``) — the
+    go/no-go numbers for whether 4× compression is safe for a corpus.
+
+    Exactness: per-element error is computed in one deterministic IEEE
+    expression chain over exactly-promoted float32 inputs, then
+    accumulated in 2^-20 integer units so the per-label sums are
+    order-independent BIGINTs (the ``label_centroids`` trick) — the
+    result hashes identically on any engine at any partition count.
+    Everything is codegen'd array algebra; no Python, no shuffle beyond
+    the label-grain aggregate."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    base = (
+        ensure_min_partitions(emb.select("label", vec_col))
+        .select("label", F.size(vec_col).cast("bigint").alias("dim"), v.alias("v"))
+        .withColumn("s", F.array_max(F.transform("v", lambda x: F.abs(x))))
+    )
+
+    def elem_err_q(x):
+        dequant = F.floor(x * 127.0 / F.col("s") + 0.5) * F.col("s") / 127.0
+        return F.floor(F.abs(x - dequant) * 1048576 + 0.5).cast("bigint")
+
+    per_vec = base.select(
+        "label",
+        "dim",
+        F.floor(F.col("s") * 1048576 + 0.5).cast("bigint").alias("s_q"),
+        F.when(F.col("s") == 0.0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.aggregate(
+                F.transform("v", elem_err_q),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+        )
+        .alias("err_q"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (
+                (F.sum("s_q").cast("double") / F.count(F.lit(1)))
+                / F.lit(1048576.0)
+            ).alias("avg_max_abs"),
+            (
+                (F.sum("err_q").cast("double") / F.sum("dim").cast("double"))
+                / F.lit(1048576.0)
+            ).alias("avg_abs_err"),
+        )
+        .orderBy("label")
+    )

@@ -65,19 +65,20 @@ def lang_distribution(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """Per-document heuristic quality: composite score plus the
-    underlying signals (stopword ratio, punctuation ratio).
+def _doc_quality(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Shared per-document quality projection: ``doc_id``, any carried
+    columns, and the rounded composite ``quality`` plus its signals.
 
     The token array is projected ONCE and reused — passing raw text to
     each metric would re-run split+filter per sub-expression (Catalyst
     does not CSE across aggregate lambdas), a measured ~10× slowdown."""
     sw = F.array(*[F.lit(s) for s in TX.STOPWORDS])
-    toks = ensure_min_partitions(docs.select("doc_id", "text")).select(
-        "doc_id", F.col("text"), TX.tokens("text").alias("t")
+    toks = ensure_min_partitions(docs.select("doc_id", "text", *carry)).select(
+        "doc_id", *carry, F.col("text"), TX.tokens("text").alias("t")
     )
     m = toks.select(
         "doc_id",
+        *carry,
         (
             F.aggregate("t", F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
             / F.size("t")
@@ -97,9 +98,84 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
     return m.select(
         "doc_id",
+        *carry,
         F.round(score, 6).alias("quality"),
         F.round("sw_ratio", 6).alias("stopword_ratio"),
         F.round("punct", 6).alias("punct_ratio"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-document heuristic quality: composite score plus the
+    underlying signals (stopword ratio, punctuation ratio)."""
+    return _doc_quality(docs)
+
+
+def adaptive_quality_filter(
+    docs: DataFrame, k_num: int = 1, k_den: int = 4
+) -> DataFrame:
+    """Per-source adaptive quality floor (the CCNet recipe): instead of
+    one global threshold, each source keeps documents at or above its
+    OWN ``k_num/k_den`` quality percentile, so a uniformly-noisy crawl
+    source is not wiped out by a clean-source-calibrated cutoff.
+
+    The floor is the discrete percentile — the ``ceil(n*k_num/k_den)``-th
+    smallest rounded score — computed over the ``(source, quality)``
+    HISTOGRAM, never a per-row window: after the one map-side-combining
+    groupBy, every window/join below runs on a relation bounded by
+    distinct rounded scores (≤1e6+1) per source, independent of corpus
+    row count. That is what makes the ordered statistic safe when one
+    source holds half of 100 TB: no single task ever sorts a source's
+    documents. ``k = ceil`` is integer arithmetic (``(n*k_num +
+    k_den-1) div k_den``) — no float percentile boundary to disagree
+    across engines.
+
+    Returns per source: ``n_docs``, ``q_floor``, ``n_kept`` (docs with
+    ``quality >= q_floor``)."""
+    s = _doc_quality(docs, carry=("source",)).select("source", "quality")
+    hist = (
+        s.where(F.col("quality").isNotNull())
+        .groupBy("source", "quality")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # hist feeds two branches (floor derivation + the kept-count
+        # report). Without materialization, each branch re-runs the
+        # full scoring scan — the dominant cost at corpus scale. The
+        # checkpointed relation is the histogram itself: bounded by
+        # distinct rounded scores, trivially small.
+        .localCheckpoint()
+    )
+    w_all = Window.partitionBy("source")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "source",
+        "quality",
+        "c",
+        F.sum("c").over(w_all).alias("n"),
+        F.sum("c").over(w_cum).alias("cumc"),
+    )
+    k = F.expr(f"(n * {int(k_num)} + {int(k_den) - 1}) div {int(k_den)}")
+    fl = (
+        cum.where(F.col("cumc") >= k)
+        .groupBy("source")
+        .agg(F.min("quality").alias("q_floor"), F.max("n").alias("n_docs"))
+    )
+    return (
+        hist.join(fl, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.max("q_floor").alias("q_floor"),
+            F.sum(
+                F.when(F.col("quality") >= F.col("q_floor"), F.col("c")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
     )
 
 

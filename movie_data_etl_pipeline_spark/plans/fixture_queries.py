@@ -3933,6 +3933,146 @@ UNION ALL SELECT 'fk:o_custkey', CAST(COUNT(*) AS BIGINT) FROM orders o
 """
 
 
+def ev_top_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 early user journeys: each user's first 8 events (total
+    order ``(ts, event_id)``) concatenated into a path string, counted
+    across users. The ``rn <= 8`` filter runs BEFORE the collect, so
+    per-user state is bounded — a power user with 10M events
+    contributes 8, not an unbounded array. The window and the groupBy
+    share the ``user_id`` hash partitioning (one exchange), then the
+    path count is a map-side-combining aggregate whose domain is
+    distinct paths, with a TakeOrdered top-20 — no global sort. The
+    standard funnel-mining shape for behavioral corpora at any event
+    volume."""
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first8 = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 8)
+    paths = first8.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(20)
+    )
+
+
+_EV_PATHS_SQL = """
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= 8 GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 20
+"""
+
+
+def tx_adaptive_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source adaptive quality floor
+    (``operators/text_analysis.adaptive_quality_filter``, the CCNet
+    per-domain-percentile recipe): each source keeps docs at or above
+    its own p25 score. The ordered statistic runs on the (source,
+    rounded-score) histogram, never a per-row window — see the
+    operator docstring for the 100 TB argument."""
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.adaptive_quality_filter(docs, k_num=1, k_den=4)
+
+
+_TX_ADAPTIVE_SQL = f"""
+WITH t AS (SELECT doc_id, source, text, {_D_TOKS} AS toks FROM documents),
+m AS (
+  SELECT source,
+         CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+           / len(toks) AS mean_len,
+         len(list_distinct(toks)) / len(toks) AS ttr,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text) AS punct
+  FROM t
+),
+s AS (
+  SELECT source,
+         ROUND(0.4 * (1.0 - LEAST(ABS(mean_len - 5.0) / 5.0, 1.0))
+               + 0.4 * ttr
+               + 0.2 * (1.0 - LEAST(punct * 5.0, 1.0)), 6) AS quality
+  FROM m
+),
+hist AS (
+  SELECT source, quality, COUNT(*) AS c FROM s
+  WHERE quality IS NOT NULL GROUP BY source, quality
+),
+cum AS (
+  SELECT source, quality, c,
+         SUM(c) OVER (PARTITION BY source) AS n,
+         SUM(c) OVER (PARTITION BY source ORDER BY quality
+                      ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM hist
+),
+fl AS (
+  SELECT source, MIN(quality) AS q_floor, MAX(n) AS n_docs
+  FROM cum WHERE cumc >= (n * 1 + 3) // 4 GROUP BY source
+)
+SELECT h.source,
+       CAST(MAX(f.n_docs) AS BIGINT) AS n_docs,
+       MAX(f.q_floor) AS q_floor,
+       CAST(SUM(CASE WHEN h.quality >= f.q_floor THEN h.c ELSE 0 END) AS BIGINT) AS n_kept
+FROM hist h JOIN fl f USING (source)
+GROUP BY h.source
+ORDER BY h.source
+"""
+
+
+def emb_int8_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 symmetric-quantization audit per label
+    (``operators/similarity.int8_quantization_report``): mean absmax
+    scale and mean per-element reconstruction error — exact on any
+    engine via 2^-20 integer error units (the ``sim_label_centroids``
+    trick)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.int8_quantization_report(emb)
+
+
+_EMB_INT8_SQL = """
+WITH p AS (
+  SELECT label, CAST(len(embedding) AS BIGINT) AS dim,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (
+  SELECT label, dim, v,
+         list_max(list_transform(v, x -> abs(x))) AS s
+  FROM p
+),
+e AS (
+  SELECT label, dim,
+         CAST(floor(s * 1048576 + 0.5) AS BIGINT) AS s_q,
+         CASE WHEN s = 0 THEN CAST(0 AS BIGINT) ELSE
+           CAST(list_aggregate(list_transform(v, x ->
+             CAST(floor(abs(x - floor(x * 127.0 / s + 0.5) * s / 127.0)
+                        * 1048576 + 0.5) AS BIGINT)), 'sum') AS BIGINT)
+         END AS err_q
+  FROM b
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       (CAST(SUM(s_q) AS DOUBLE) / COUNT(*)) / 1048576.0 AS avg_max_abs,
+       (CAST(SUM(err_q) AS DOUBLE) / CAST(SUM(dim) AS DOUBLE)) / 1048576.0 AS avg_abs_err
+FROM e GROUP BY label ORDER BY label
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -4061,6 +4201,9 @@ QUERIES: dict[str, QueryFn] = {
     "dd_bloom_incremental": dd_bloom_incremental,
     "st_interval_join_left": st_interval_join_left,
     "tx_datacard": tx_datacard,
+    "ev_top_paths": ev_top_paths,
+    "tx_adaptive_quality": tx_adaptive_quality,
+    "emb_int8_quantize": emb_int8_quantize,
 }
 
 ORACLES: dict[str, str] = {
@@ -4170,6 +4313,9 @@ ORACLES: dict[str, str] = {
     "dd_bloom_incremental": _DD_BLOOM_SQL,
     "st_interval_join_left": _ST_IJL_SQL,
     "tx_datacard": _TX_DATACARD_SQL,
+    "ev_top_paths": _EV_PATHS_SQL,
+    "tx_adaptive_quality": _TX_ADAPTIVE_SQL,
+    "emb_int8_quantize": _EMB_INT8_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup;
     # (no parquet twin): src_paged_api

@@ -108,3 +108,35 @@ def test_sample_frames_counts(spark, sf_dir):
     got = {r["asset_id"]: r["n"] for r in frames.groupBy("asset_id").count().withColumnRenamed("count", "n").collect()}
     for a in assets.select("asset_id", "meta.duration_ms").collect():
         assert got[a["asset_id"]] == a["duration_ms"] // 1000 + 1
+
+
+def test_int8_quantization_report_bounds_and_zero_vector(spark):
+    """Reconstruction error must respect the absmax-int8 bound
+    (s/254 per element, plus the 2^-20 accounting quantum), the scale
+    must be the exact per-label mean of max|v|, and an all-zero vector
+    must contribute zero error instead of NaN."""
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.125]),
+        (0, [2.0, 0.0, -2.0, 1.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, error 0
+        (2, [0.003, -0.001, 0.002, 0.0005]),
+    ]
+    emb = spark.createDataFrame(rows, schema)
+    got = {r["label"]: r for r in similarity.int8_quantization_report(emb).collect()}
+
+    assert got[0]["n_vecs"] == 2
+    assert got[0]["avg_max_abs"] == pytest.approx((1.0 + 2.0) / 2, abs=1e-6)
+    # per-element error ≤ s/254; label-0 scales are 1.0 and 2.0
+    assert 0.0 <= got[0]["avg_abs_err"] <= 2.0 / 254 + 2**-20
+
+    assert got[1]["avg_max_abs"] == 0.0
+    assert got[1]["avg_abs_err"] == 0.0
+
+    # tiny magnitudes still bounded by their own scale, not absolute size
+    assert got[2]["avg_abs_err"] <= 0.003 / 254 + 2**-20

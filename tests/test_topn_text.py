@@ -231,3 +231,34 @@ def test_corpus_datacard_profiles_and_counts_dups(spark):
     assert (en.n_docs, en.n_unique, en.n_exact_dups) == (3, 2, 1)
     assert en.total_tokens == 7 and en.max_tokens == 3
     assert rows[("web", "fr")].n_exact_dups == 0
+
+
+def test_adaptive_quality_filter_floor_and_counts(spark, sf_dir):
+    """Differential: the per-source floor must equal the ceil(n/4)-th
+    smallest rounded score, and n_kept the docs at/above it."""
+    from movie_data_etl_pipeline_spark.operators import text_analysis
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["source"]: r
+        for r in text_analysis.adaptive_quality_filter(docs).collect()
+    }
+    scores = (
+        text_analysis._doc_quality(docs, carry=("source",))
+        .select("source", "quality")
+        .collect()
+    )
+    by_src: dict[str, list[float]] = {}
+    for r in scores:
+        if r["quality"] is not None:
+            by_src.setdefault(r["source"], []).append(r["quality"])
+    assert set(got) == set(by_src)
+    for src, qs in by_src.items():
+        qs.sort()
+        n = len(qs)
+        k = -(-n // 4)  # ceil(n/4)
+        floor = qs[k - 1]
+        assert got[src]["n_docs"] == n
+        assert got[src]["q_floor"] == floor
+        assert got[src]["n_kept"] == sum(1 for q in qs if q >= floor)
