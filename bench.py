@@ -101,6 +101,8 @@ HEADLINE = [
     "ev_top_paths",
     "tx_adaptive_quality",
     "emb_int8_quantize",
+    "dd_minhash_incremental",
+    "qa_volume_anomaly",
 ]
 
 

@@ -248,6 +248,34 @@ def minhash_signatures(
     )
 
 
+def _minhash_banded(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH index rows from a shingle-set relation:
+    zero-shuffle signatures (see ``minhash_signatures``), then each
+    band's signature slice hashes to one bucket id. This relation IS
+    the thing a production pipeline persists as its near-dup index."""
+    rows_per_band = num_hashes // bands
+    sigs = sh.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda seed: F.array_min(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(seed, s))
+            ),
+        ).alias("signature"),
+    )
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.array(*[F.lit(b) for b in range(bands)]),
+                lambda b: F.xxhash64(
+                    F.slice("signature", b * rows_per_band + 1, rows_per_band), b
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -266,30 +294,11 @@ def minhash_lsh_pairs(
     the exact-verification cost. Output matches ``ngram_jaccard_pairs``
     restricted to LSH-recalled pairs: (a_id, b_id, jaccard).
     """
-    rows_per_band = num_hashes // bands
     # one persisted shingle-set relation feeds BOTH the signatures and
     # the exact verification — the corpus is tokenized exactly once
     sh = _shingle_sets(docs, id_col, text_col, n).persist()
-    sigs = sh.select(
-        "id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda seed: F.array_min(
-                F.transform(F.col("sh"), lambda s: F.xxhash64(seed, s))
-            ),
-        ).alias("signature"),
-    )
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.array(*[F.lit(b) for b in range(bands)]),
-                lambda b: F.xxhash64(
-                    F.slice("signature", b * rows_per_band + 1, rows_per_band), b
-                ),
-            )
-        ).alias("band", "bucket"),
-    ).persist()  # both sides of the self-join read this — hash the corpus once
+    banded = _minhash_banded(sh, num_hashes, bands).persist()
+    # both sides of the self-join read this — hash the corpus once
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -305,6 +314,58 @@ def minhash_lsh_pairs(
     # exact verification on candidates ONLY — the whole point of LSH is
     # that the expensive comparison never touches non-colliding pairs
     return _verify_pairs(candidates, sh, threshold)
+
+
+def incremental_minhash_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs that INVOLVE the arriving batch: batch×corpus and
+    batch×batch, never corpus×corpus — the shape that keeps continuous
+    dedup affordable when the indexed corpus is 100 TB and the batch is
+    a day's crawl.
+
+    The candidate join is ``batch_buckets ⨝ (corpus ∪ batch)_buckets``
+    on (band, bucket): its cost scales with the batch's bucket rows (a
+    well-distributed shuffle key), not with the corpus pair count. In
+    production the corpus side of the join and the corpus shingle sets
+    used for exact verification are precomputed tables
+    (``_minhash_banded`` output is exactly that index relation); here
+    they are derived in-plan. Because the hash family is deterministic
+    (seeded xxhash64), the result equals ``minhash_lsh_pairs`` on
+    ``corpus ∪ batch`` restricted to pairs touching the batch — asserted
+    exactly in tests, no recall haircut.
+
+    Output: (a_id, b_id, jaccard) with a_id < b_id, exact Jaccard ≥
+    threshold."""
+    sh_c = _shingle_sets(corpus, id_col, text_col, n)
+    sh_b = _shingle_sets(batch, id_col, text_col, n).persist()
+    banded_b = _minhash_banded(sh_b, num_hashes, bands).persist()
+    all_banded = _minhash_banded(sh_c, num_hashes, bands).unionByName(banded_b)
+    a = banded_b.alias("a")
+    b = all_banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        # batch-batch collisions arrive in both orientations; normalize
+        # then collapse so each pair verifies once
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("a_id"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("b_id"),
+        )
+        .distinct()
+    )
+    return _verify_pairs(candidates, sh_c.unionByName(sh_b), threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -122,3 +122,51 @@ def audit(
     return out.select(
         "check", F.col("n_violations").cast("bigint").alias("n_violations")
     ).orderBy("check")
+
+
+def volume_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Daily-volume anomaly report: each day's row count z-scored
+    against the mean/std of all days — the load-gate that catches a
+    silently-dropped upstream partition (volume crater) or a
+    double-delivery (spike) before a bad day poisons a training run.
+
+    Exact cross-engine arithmetic: variance is derived from the three
+    integer power sums (n, Σc, Σc²) — order-independent BIGINT
+    aggregates — in ONE fixed IEEE expression,
+    ``(Σc² − (Σc)²/n) / (n−1)``, rather than a streaming/Welford
+    aggregate whose rounding depends on partition order. sqrt is
+    correctly rounded by IEEE 754, so identical inputs give an
+    identical z on any engine at any parallelism.
+
+    Plan shape: one map-side-combining count per day (shuffle domain =
+    distinct days), a 1-row power-sum aggregate broadcast back over the
+    daily relation. Nothing scales with raw event rows past the first
+    aggregate."""
+    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n_events").alias("sum_c"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sum_c2"),
+    )
+    mean = F.col("sum_c").cast("double") / F.col("n_days")
+    var = (
+        F.col("sum_c2").cast("double")
+        - F.col("sum_c").cast("double") * F.col("sum_c").cast("double") / F.col("n_days")
+    ) / (F.col("n_days") - F.lit(1))
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > F.lit(z_threshold)).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )

@@ -4073,6 +4073,56 @@ FROM e GROUP BY label ORDER BY label
 """
 
 
+def dd_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-vs-indexed-corpus near-dup
+    (``operators/dedup.incremental_minhash_pairs``): docs with
+    ``doc_id % 10 == 0`` arrive as the batch against the rest as the
+    indexed corpus. Candidates come from batch-buckets ⨝ all-buckets —
+    work scales with the batch, never corpus×corpus. Deterministic
+    (seeded xxhash64) but hash-dependent, so rows-only here; the exact
+    ``== full-recompute-restricted-to-batch`` property is asserted in
+    tests."""
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    return dedup.incremental_minhash_pairs(corpus, batch).orderBy("a_id", "b_id")
+
+
+def qa_volume_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily event-volume z-score anomalies
+    (``operators/quality.volume_anomaly``): variance from integer power
+    sums in one fixed IEEE expression — no partition-order-dependent
+    Welford rounding — so the z-scores hash identically on any engine."""
+    ev = load_table(spark, sf, "events")
+    return quality.volume_anomaly(ev, ts_col="ts", z_threshold=2.0)
+
+
+_QA_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(n_events) AS BIGINT) AS sum_c,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS sum_c2
+  FROM daily
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       d.n_events,
+       ROUND((CAST(d.n_events AS DOUBLE) - CAST(sum_c AS DOUBLE) / n_days)
+             / sqrt((CAST(sum_c2 AS DOUBLE)
+                     - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n_days)
+                    / (n_days - 1)), 6) AS z,
+       ABS((CAST(d.n_events AS DOUBLE) - CAST(sum_c AS DOUBLE) / n_days)
+           / sqrt((CAST(sum_c2 AS DOUBLE)
+                   - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n_days)
+                  / (n_days - 1))) > 2.0 AS is_anomaly
+FROM daily d, st
+ORDER BY day
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -4204,6 +4254,8 @@ QUERIES: dict[str, QueryFn] = {
     "ev_top_paths": ev_top_paths,
     "tx_adaptive_quality": tx_adaptive_quality,
     "emb_int8_quantize": emb_int8_quantize,
+    "dd_minhash_incremental": dd_minhash_incremental,
+    "qa_volume_anomaly": qa_volume_anomaly,
 }
 
 ORACLES: dict[str, str] = {
@@ -4316,7 +4368,8 @@ ORACLES: dict[str, str] = {
     "ev_top_paths": _EV_PATHS_SQL,
     "tx_adaptive_quality": _TX_ADAPTIVE_SQL,
     "emb_int8_quantize": _EMB_INT8_SQL,
+    "qa_volume_anomaly": _QA_ANOMALY_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
-    # dd_simhash, sim_knn_lsh, sim_knn_ivf, sim_embedding_near_dup;
-    # (no parquet twin): src_paged_api
+    # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
+    # sim_embedding_near_dup; (no parquet twin): src_paged_api
 }

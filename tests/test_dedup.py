@@ -167,3 +167,41 @@ def test_connected_components_matches_union_find(spark):
     pairs = spark.createDataFrame(edges, "a_id BIGINT, b_id BIGINT")
     got = {(r.id, r.component) for r in connected_components(pairs).collect()}
     assert got == want
+
+
+def test_incremental_minhash_equals_full_recompute(spark, sf_dir):
+    """Deterministic hash family ⇒ the incremental batch-vs-index path
+    must produce EXACTLY the full-union LSH pairs restricted to pairs
+    touching the batch — no recall haircut, no phantom pairs."""
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+    incr = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dedup.incremental_minhash_pairs(corpus, batch).collect()
+    }
+    full = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+        if r["a_id"] in batch_ids or r["b_id"] in batch_ids
+    }
+    assert incr == full
+
+
+def test_incremental_minhash_excludes_corpus_only_pairs(spark):
+    """A near-dup pair entirely inside the already-indexed corpus must
+    NOT be re-reported when a disjoint batch arrives."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " extra")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(10, "completely different text about spark shuffles and parquet files")],
+        ["doc_id", "text"],
+    )
+    out = dedup.incremental_minhash_pairs(corpus, batch, threshold=0.3).collect()
+    assert out == []  # (1,2) is corpus-only; batch doc 10 matches nothing

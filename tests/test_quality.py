@@ -78,3 +78,33 @@ def test_audit_clean_table_is_all_zero(spark, sf_dir):
         ).collect()
     }
     assert set(out.values()) == {0}
+
+
+def test_volume_anomaly_exact_zscores(spark):
+    """z must equal the closed-form sample z-score, and the flags must
+    follow |z| > threshold — including catching the planted spike."""
+    import datetime
+    import statistics
+
+    from movie_data_etl_pipeline_spark.operators import quality
+
+    counts = {d: 100 + (d % 3) for d in range(1, 11)}  # tight normal band
+    counts[11] = 220  # planted spike
+    rows = []
+    eid = 0
+    for day, c in counts.items():
+        for _ in range(c):
+            rows.append((eid, datetime.datetime(2024, 1, day, 12, 0, 0)))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts"])
+    out = {r["day"]: r for r in quality.volume_anomaly(df, ts_col="ts").collect()}
+
+    mean = statistics.mean(counts.values())
+    std = statistics.stdev(counts.values())
+    for day, c in counts.items():
+        key = f"2024-01-{day:02d}"
+        assert out[key]["n_events"] == c
+        assert abs(out[key]["z"] - (c - mean) / std) < 1e-6
+        assert out[key]["is_anomaly"] == (abs((c - mean) / std) > 2.0)
+    assert out["2024-01-11"]["is_anomaly"] is True
+    assert sum(1 for r in out.values() if r["is_anomaly"]) == 1
