@@ -316,3 +316,74 @@ class VersionedCowTable:
             buckets[b] = new_version
         self._commit(buckets, new_version)
         return new_version
+
+    # --------------------------------------------------- maintenance
+
+    def compact(self, spark: SparkSession, buckets: Sequence[int] | None = None) -> int:
+        """Small-file compaction: rewrite the selected buckets (default
+        all) into ONE file each under a fresh version — data identical,
+        file count collapsed. Every upsert commit writes part-files ∝
+        the merge's shuffle partitions, so after many small batches a
+        bucket is dozens of tiny files and scan open-cost dominates;
+        this is the maintenance job (Iceberg ``rewrite_data_files``)
+        that restores one-file-per-bucket WITHOUT blocking readers:
+        the commit protocol is unchanged, and a concurrent reader keeps
+        the manifest it already resolved. Returns the new version."""
+        m = self.manifest()
+        current_map = {int(b): v for b, v in m["buckets"].items()}
+        targets = (
+            sorted(current_map)
+            if buckets is None
+            else sorted(b for b in set(buckets) if b in current_map)
+        )
+        if not targets:
+            return m["version"]
+        new_version = self._next_version(m["version"])
+        dirs = [
+            _os.path.join(self.path, f"v{current_map[b]:05d}", f"{DIR_COL}={b}")
+            for b in targets
+        ]
+        # the files carry _bucket as a regular column; repartitioning on
+        # it lands each bucket in exactly one task → one output file per
+        # bucket dir after the partitionBy split
+        compacted = spark.read.parquet(*dirs).repartition(
+            len(targets), F.col(BUCKET_COL)
+        )
+        self._write_version(compacted, new_version)
+        bucket_map = dict(current_map)
+        for b in targets:
+            bucket_map[b] = new_version
+        self._commit(bucket_map, new_version)
+        return new_version
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Expire old snapshots (Iceberg ``expire_snapshots``): retain
+        the newest ``keep_last`` manifests, delete older manifest files
+        and every version directory no retained manifest references —
+        including orphan dirs a crashed writer left. Trades time-travel
+        depth for space; the latest state is never touched. Returns the
+        removed paths (for audit logging)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        import shutil as _shutil
+
+        versions = sorted(
+            int(f[len(MANIFEST_PREFIX) : -len(".json")])
+            for f in _os.listdir(self.path)
+            if f.startswith(MANIFEST_PREFIX) and f.endswith(".json")
+        )
+        retained = versions[-keep_last:]
+        referenced: set[int] = set()
+        for v in retained:
+            referenced.update(int(ver) for ver in self.manifest(v)["buckets"].values())
+        removed: list[str] = []
+        for v in versions[:-keep_last]:
+            p = self._manifest_path(v)
+            _os.remove(p)
+            removed.append(p)
+        for d in _os.listdir(self.path):
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) not in referenced:
+                p = _os.path.join(self.path, d)
+                _shutil.rmtree(p)
+                removed.append(p)
+        return removed

@@ -344,7 +344,10 @@ def incremental_minhash_pairs(
 
     Output: (a_id, b_id, jaccard) with a_id < b_id, exact Jaccard ≥
     threshold."""
-    sh_c = _shingle_sets(corpus, id_col, text_col, n)
+    # both shingle relations feed banding AND exact verification —
+    # persist so each side is tokenized once (in production the corpus
+    # side is a precomputed table and never recomputed at all)
+    sh_c = _shingle_sets(corpus, id_col, text_col, n).persist()
     sh_b = _shingle_sets(batch, id_col, text_col, n).persist()
     banded_b = _minhash_banded(sh_b, num_hashes, bands).persist()
     all_banded = _minhash_banded(sh_c, num_hashes, bands).unionByName(banded_b)

@@ -275,3 +275,63 @@ def test_versioned_cow_retry_after_orphaned_version_dir(spark, tmp_path):
     v = t.upsert(spark, batch)
     assert v == 3  # skipped the orphan
     assert _rows(t.read(spark)) == _rows(merge.upsert(target, batch, ["k"]))
+
+
+def test_versioned_cow_compact_collapses_files_preserves_data(spark, tmp_path):
+    import glob
+    import os
+
+    from movie_data_etl_pipeline_spark.operators.cow import VersionedCowTable
+
+    t = VersionedCowTable(str(tmp_path / "vcow"), ["k"], n_buckets=4)
+    t.init(spark.createDataFrame([(i, i * 10) for i in range(40)], ["k", "v"]))
+    for batch in range(3):  # fragment: each upsert adds part-files per bucket
+        t.upsert(
+            spark,
+            spark.createDataFrame(
+                [(i, 1000 + batch * 100 + i) for i in range(batch, 40, 3)], ["k", "v"]
+            ),
+        )
+    before = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    pre_version = t.latest_version()
+
+    new_v = t.compact(spark)
+    assert new_v > pre_version
+    after = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert after == before  # data is bit-identical
+    # one parquet file per bucket dir in the compacted version
+    bucket_dirs = glob.glob(
+        os.path.join(str(tmp_path / "vcow"), f"v{new_v:05d}", "_bucket_dir=*")
+    )
+    assert bucket_dirs
+    for bdir in bucket_dirs:
+        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        assert len(files) == 1, bdir
+    # time travel to the pre-compaction snapshot still works
+    old = sorted((r["k"], r["v"]) for r in t.read(spark, version=pre_version).collect())
+    assert old == before
+
+
+def test_versioned_cow_vacuum_expires_old_snapshots(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from movie_data_etl_pipeline_spark.operators.cow import VersionedCowTable
+
+    t = VersionedCowTable(str(tmp_path / "vcow"), ["k"], n_buckets=4)
+    t.init(spark.createDataFrame([(i, i) for i in range(20)], ["k", "v"]))
+    t.upsert(spark, spark.createDataFrame([(1, 101), (2, 102)], ["k", "v"]))
+    t.compact(spark)  # latest now references only the compacted version
+    latest = t.latest_version()
+    before = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+
+    removed = t.vacuum(keep_last=1)
+    assert removed  # old manifests + unreferenced version dirs went away
+    assert sorted((r["k"], r["v"]) for r in t.read(spark).collect()) == before
+    # expired snapshot is gone: manifest deleted
+    with _pytest.raises(FileNotFoundError):
+        t.read(spark, version=1)
+    # only referenced version dirs remain on disk
+    dirs = {d for d in os.listdir(str(tmp_path / "vcow")) if d.startswith("v")}
+    assert dirs == {f"v{latest:05d}"}
