@@ -103,6 +103,7 @@ HEADLINE = [
     "emb_int8_quantize",
     "dd_minhash_incremental",
     "qa_volume_anomaly",
+    "px_training_mix",
 ]
 
 

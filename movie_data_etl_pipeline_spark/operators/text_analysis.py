@@ -65,20 +65,25 @@ def lang_distribution(docs: DataFrame) -> DataFrame:
     )
 
 
-def _doc_quality(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+def _doc_quality(
+    docs: DataFrame, carry: tuple[str, ...] = (), keep_text: bool = False
+) -> DataFrame:
     """Shared per-document quality projection: ``doc_id``, any carried
-    columns, and the rounded composite ``quality`` plus its signals.
+    columns, optionally ``text`` itself, and the rounded composite
+    ``quality`` plus its signals.
 
     The token array is projected ONCE and reused — passing raw text to
     each metric would re-run split+filter per sub-expression (Catalyst
     does not CSE across aggregate lambdas), a measured ~10× slowdown."""
     sw = F.array(*[F.lit(s) for s in TX.STOPWORDS])
+    text_out = ("text",) if keep_text else ()
     toks = ensure_min_partitions(docs.select("doc_id", "text", *carry)).select(
         "doc_id", *carry, F.col("text"), TX.tokens("text").alias("t")
     )
     m = toks.select(
         "doc_id",
         *carry,
+        *text_out,
         (
             F.aggregate("t", F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
             / F.size("t")
@@ -99,6 +104,7 @@ def _doc_quality(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     return m.select(
         "doc_id",
         *carry,
+        *text_out,
         F.round(score, 6).alias("quality"),
         F.round("sw_ratio", 6).alias("stopword_ratio"),
         F.round("punct", 6).alias("punct_ratio"),
@@ -111,34 +117,19 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     return _doc_quality(docs)
 
 
-def adaptive_quality_filter(
-    docs: DataFrame, k_num: int = 1, k_den: int = 4
-) -> DataFrame:
-    """Per-source adaptive quality floor (the CCNet recipe): instead of
-    one global threshold, each source keeps documents at or above its
-    OWN ``k_num/k_den`` quality percentile, so a uniformly-noisy crawl
-    source is not wiped out by a clean-source-calibrated cutoff.
-
-    The floor is the discrete percentile — the ``ceil(n*k_num/k_den)``-th
-    smallest rounded score — computed over the ``(source, quality)``
-    HISTOGRAM, never a per-row window: after the one map-side-combining
-    groupBy, every window/join below runs on a relation bounded by
-    distinct rounded scores (≤1e6+1) per source, independent of corpus
-    row count. That is what makes the ordered statistic safe when one
-    source holds half of 100 TB: no single task ever sorts a source's
-    documents. ``k = ceil`` is integer arithmetic (``(n*k_num +
-    k_den-1) div k_den``) — no float percentile boundary to disagree
-    across engines.
-
-    Returns per source: ``n_docs``, ``q_floor``, ``n_kept`` (docs with
-    ``quality >= q_floor``)."""
+def _quality_hist_and_floors(
+    docs: DataFrame, k_num: int, k_den: int
+) -> tuple[DataFrame, DataFrame]:
+    """The (source, quality)-histogram (checkpointed) and the derived
+    per-source floors ``(source, q_floor, n_docs)``. Shared by the
+    report and the row-filter forms of the adaptive quality gate."""
     s = _doc_quality(docs, carry=("source",)).select("source", "quality")
     hist = (
         s.where(F.col("quality").isNotNull())
         .groupBy("source", "quality")
         .agg(F.count(F.lit(1)).alias("c"))
-        # hist feeds two branches (floor derivation + the kept-count
-        # report). Without materialization, each branch re-runs the
+        # hist feeds multiple branches (floor derivation + the report's
+        # kept-count). Without materialization, each branch re-runs the
         # full scoring scan — the dominant cost at corpus scale. The
         # checkpointed relation is the histogram itself: bounded by
         # distinct rounded scores, trivially small.
@@ -163,6 +154,31 @@ def adaptive_quality_filter(
         .groupBy("source")
         .agg(F.min("quality").alias("q_floor"), F.max("n").alias("n_docs"))
     )
+    return hist, fl
+
+
+def adaptive_quality_filter(
+    docs: DataFrame, k_num: int = 1, k_den: int = 4
+) -> DataFrame:
+    """Per-source adaptive quality floor (the CCNet recipe): instead of
+    one global threshold, each source keeps documents at or above its
+    OWN ``k_num/k_den`` quality percentile, so a uniformly-noisy crawl
+    source is not wiped out by a clean-source-calibrated cutoff.
+
+    The floor is the discrete percentile — the ``ceil(n*k_num/k_den)``-th
+    smallest rounded score — computed over the ``(source, quality)``
+    HISTOGRAM, never a per-row window: after the one map-side-combining
+    groupBy, every window/join below runs on a relation bounded by
+    distinct rounded scores (≤1e6+1) per source, independent of corpus
+    row count. That is what makes the ordered statistic safe when one
+    source holds half of 100 TB: no single task ever sorts a source's
+    documents. ``k = ceil`` is integer arithmetic (``(n*k_num +
+    k_den-1) div k_den``) — no float percentile boundary to disagree
+    across engines.
+
+    Returns per source: ``n_docs``, ``q_floor``, ``n_kept`` (docs with
+    ``quality >= q_floor``)."""
+    hist, fl = _quality_hist_and_floors(docs, k_num, k_den)
     return (
         hist.join(fl, "source")
         .groupBy("source")
@@ -176,6 +192,34 @@ def adaptive_quality_filter(
             .alias("n_kept"),
         )
         .orderBy("source")
+    )
+
+
+def adaptive_quality_keep(
+    docs: DataFrame,
+    k_num: int = 1,
+    k_den: int = 4,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """The row-filter form of the adaptive gate: the documents
+    themselves (``doc_id``, ``source``, any ``carry`` columns,
+    ``text``, ``quality``) at/above their source's floor — what the
+    next pipeline stage consumes, where ``adaptive_quality_filter``
+    returns the per-source report.
+
+    Two scoring passes by design (the CCNet shape): one map-only pass
+    aggregated to the tiny histogram that fixes the floors, one pass
+    filtered against the broadcast floors. The alternative — carrying
+    every row through the percentile machinery — would shuffle the
+    full corpus on ``source`` (few distinct values ⇒ catastrophic skew
+    at 100 TB); re-scanning a map-only projection is the cheaper side
+    of that trade at any scale."""
+    _, fl = _quality_hist_and_floors(docs, k_num, k_den)
+    scored = _doc_quality(docs, carry=("source",) + tuple(carry), keep_text=True)
+    return (
+        scored.join(F.broadcast(fl.select("source", "q_floor")), "source")
+        .where(F.col("quality") >= F.col("q_floor"))
+        .select("doc_id", "source", *carry, "text", "quality")
     )
 
 

@@ -4123,6 +4123,104 @@ ORDER BY day
 """
 
 
+def px_training_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """CAPSTONE composition — the full training-data prep chain as one
+    plan, proving the operators compose: per-source adaptive quality
+    floor (``adaptive_quality_keep``) → canonical exact dedup (first
+    doc per content fingerprint) → deterministic train split (md5
+    uniform < 0.75) → per-language mixture thinning (non-English
+    halved, same md5-uniform device, independent salt) → the final
+    mix manifest per (source, lang): surviving docs and total tokens.
+
+    Every stage is individually oracle-proven elsewhere
+    (``tx_adaptive_quality``, ``dd_exact_dup_groups``,
+    ``sa_hash_split``, ``sa_mixture_sample``); this query hash-proves
+    the COMPOSITION. Scale shape: two map-only scoring passes + one
+    fingerprint shuffle + codegen'd hash filters + a tiny manifest
+    aggregate — no stage shuffles the corpus on a low-cardinality
+    key."""
+    docs = load_table(spark, sf, "documents")
+    kept = text_analysis.adaptive_quality_keep(docs, carry=("lang",))
+    w = Window.partitionBy(TX.fingerprint("text")).orderBy("doc_id")
+    uniq = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    train = uniq.where(sampling.uniform_hash(F.col("doc_id"), "split:") < 0.75)
+    mixed = train.where(
+        (F.col("lang") == "en")
+        | (sampling.uniform_hash(F.col("doc_id"), "mix:") < 0.5)
+    )
+    return (
+        mixed.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(TX.tokens("text"))).cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+_PX_MIX_SQL = f"""
+WITH t AS (SELECT doc_id, source, lang, text, {_D_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, source, lang, text, toks,
+         CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+           / len(toks) AS mean_len,
+         len(list_distinct(toks)) / len(toks) AS ttr,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text) AS punct
+  FROM t
+),
+s AS (
+  SELECT doc_id, source, lang, text, toks,
+         ROUND(0.4 * (1.0 - LEAST(ABS(mean_len - 5.0) / 5.0, 1.0))
+               + 0.4 * ttr
+               + 0.2 * (1.0 - LEAST(punct * 5.0, 1.0)), 6) AS quality
+  FROM m
+),
+hist AS (
+  SELECT source, quality, COUNT(*) AS c FROM s
+  WHERE quality IS NOT NULL GROUP BY source, quality
+),
+cum AS (
+  SELECT source, quality, c,
+         SUM(c) OVER (PARTITION BY source) AS n,
+         SUM(c) OVER (PARTITION BY source ORDER BY quality
+                      ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM hist
+),
+fl AS (
+  SELECT source, MIN(quality) AS q_floor
+  FROM cum WHERE cumc >= (n * 1 + 3) // 4 GROUP BY source
+),
+kept AS (
+  SELECT s.* FROM s JOIN fl USING (source) WHERE s.quality >= fl.q_floor
+),
+uniq AS (
+  SELECT * FROM (
+    SELECT kept.*,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+train AS (
+  SELECT * FROM uniq
+  WHERE CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+          / 281474976710656.0 < 0.75
+),
+mixed AS (
+  SELECT * FROM train
+  WHERE lang = 'en'
+     OR CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+          / 281474976710656.0 < 0.5
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+FROM mixed GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -4256,6 +4354,7 @@ QUERIES: dict[str, QueryFn] = {
     "emb_int8_quantize": emb_int8_quantize,
     "dd_minhash_incremental": dd_minhash_incremental,
     "qa_volume_anomaly": qa_volume_anomaly,
+    "px_training_mix": px_training_mix,
 }
 
 ORACLES: dict[str, str] = {
@@ -4369,6 +4468,7 @@ ORACLES: dict[str, str] = {
     "tx_adaptive_quality": _TX_ADAPTIVE_SQL,
     "emb_int8_quantize": _EMB_INT8_SQL,
     "qa_volume_anomaly": _QA_ANOMALY_SQL,
+    "px_training_mix": _PX_MIX_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

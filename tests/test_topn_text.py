@@ -262,3 +262,23 @@ def test_adaptive_quality_filter_floor_and_counts(spark, sf_dir):
         assert got[src]["n_docs"] == n
         assert got[src]["q_floor"] == floor
         assert got[src]["n_kept"] == sum(1 for q in qs if q >= floor)
+
+
+def test_adaptive_quality_keep_matches_report(spark, sf_dir):
+    """The row-filter form must keep exactly n_kept docs per source
+    (report agreement), all at/above that source's floor."""
+    from movie_data_etl_pipeline_spark.operators import text_analysis
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    report = {
+        r["source"]: r
+        for r in text_analysis.adaptive_quality_filter(docs).collect()
+    }
+    kept = text_analysis.adaptive_quality_keep(docs, carry=("lang",)).collect()
+    per_src: dict[str, int] = {}
+    for r in kept:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+        assert r["quality"] >= report[r["source"]]["q_floor"]
+        assert r["lang"] is not None and r["text"]  # carry + text survive
+    assert per_src == {s: report[s]["n_kept"] for s in report}
