@@ -104,6 +104,7 @@ HEADLINE = [
     "dd_minhash_incremental",
     "qa_volume_anomaly",
     "px_training_mix",
+    "ts_ewma",
 ]
 
 

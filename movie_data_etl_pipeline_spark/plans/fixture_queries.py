@@ -4221,6 +4221,65 @@ ORDER BY source, lang
 """
 
 
+def ts_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume per
+    type (zero-init form, α = 1/4): the anomaly-baseline smoother.
+
+    An EWMA is a sequential recurrence (``s_t = αx_t + (1−α)s_{t−1}``),
+    which naively forces a single-task ordered fold per key. The
+    closed form factorizes it into window-parallel prefix sums:
+    ``s_t = α·(1−α)^t · Σ_{j≤t} x_j/(1−α)^j`` — one cumulative sum over
+    the day-indexed series, i.e. the same plan shape as
+    ``w1_running_total``. α is dyadic (1/4) so every decay power
+    ``0.75^i = 3^i/4^i`` is exactly representable through i=33; for
+    multi-year series the factor is re-based per chunk to keep
+    ``(1−α)^{−i}`` in range (documented, not needed at fixture span).
+    The shuffle domain is (event_type, day) — daily grain, independent
+    of raw event count."""
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("d")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = daily.withColumn("i", F.row_number().over(w_ord))
+    c = r.withColumn(
+        "cum", F.sum(F.col("n_events") / F.pow(F.lit(0.75), F.col("i"))).over(w_cum)
+    )
+    return c.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round(F.lit(0.25) * F.pow(F.lit(0.75), F.col("i")) * F.col("cum"), 6).alias(
+            "ewma"
+        ),
+    ).orderBy("event_type", "day")
+
+
+_TS_EWMA_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+r AS (
+  SELECT event_type, d, n_events,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+  FROM daily
+),
+c AS (
+  SELECT event_type, d, n_events, i,
+         SUM(n_events / power(0.75, i)) OVER (
+           PARTITION BY event_type ORDER BY i ROWS UNBOUNDED PRECEDING) AS cum
+  FROM r
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n_events,
+       ROUND(0.25 * power(0.75, i) * cum, 6) AS ewma
+FROM c ORDER BY event_type, day
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -4355,6 +4414,7 @@ QUERIES: dict[str, QueryFn] = {
     "dd_minhash_incremental": dd_minhash_incremental,
     "qa_volume_anomaly": qa_volume_anomaly,
     "px_training_mix": px_training_mix,
+    "ts_ewma": ts_ewma,
 }
 
 ORACLES: dict[str, str] = {
@@ -4469,6 +4529,7 @@ ORACLES: dict[str, str] = {
     "emb_int8_quantize": _EMB_INT8_SQL,
     "qa_volume_anomaly": _QA_ANOMALY_SQL,
     "px_training_mix": _PX_MIX_SQL,
+    "ts_ewma": _TS_EWMA_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

@@ -133,3 +133,21 @@ def test_range_join_matches_theta(spark, points, intervals, bin_width):
     got = sorted((r["pid"], r["iid"]) for r in binned.collect())
     want = sorted((r["pid"], r["iid"]) for r in naive.collect())
     assert got == want
+
+
+def test_ts_ewma_closed_form_equals_recurrence(spark, sf_dir):
+    """The window-parallel closed form must equal the sequential
+    zero-init recurrence s_t = 0.25*x_t + 0.75*s_{t-1} it replaces."""
+    from movie_data_etl_pipeline_spark.plans.fixture_queries import ts_ewma
+
+    out = ts_ewma(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    for rows in by_type.values():
+        rows.sort(key=lambda r: r["day"])
+        s = 0.0
+        for r in rows:
+            s = 0.25 * r["n_events"] + 0.75 * s
+            assert abs(r["ewma"] - s) < 1e-6, (r["day"], r["ewma"], s)
