@@ -224,8 +224,18 @@ class VersionedCowTable:
         with open(self._manifest_path(v)) as f:
             return _json.load(f)
 
-    def _commit(self, buckets_to_ver: dict[int, int], version: int) -> None:
+    def _commit(
+        self,
+        buckets_to_ver: dict[int, int],
+        version: int,
+        schema_json: str | None = None,
+    ) -> None:
         m = {"version": version, "buckets": {str(b): v for b, v in buckets_to_ver.items()}}
+        if schema_json is not None:
+            # the snapshot's logical schema: lets a read span bucket
+            # dirs written before a column was added (missing columns
+            # surface as NULL) — Iceberg-style additive evolution
+            m["schema"] = schema_json
         with open(self._manifest_path(version), "w") as f:
             _json.dump(m, f)
         tmp = _os.path.join(self.path, f".{LATEST_POINTER}.tmp")
@@ -256,7 +266,18 @@ class VersionedCowTable:
         present = sorted(
             r[0] for r in with_bucket.select(BUCKET_COL).distinct().collect()
         )
-        self._commit({b: 1 for b in present}, 1)
+        self._commit({b: 1 for b in present}, 1, with_bucket.schema.json())
+
+    def _read_raw(self, spark: SparkSession, m: dict, dirs: list[str]) -> DataFrame:
+        """Read bucket dirs under the manifest's logical schema when one
+        is recorded — a dir written before an added column existed then
+        yields NULLs for it — else the native footer schema."""
+        if m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(_json.loads(m["schema"]))
+            return spark.read.schema(schema).parquet(*dirs)
+        return spark.read.parquet(*dirs)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Table state at ``version`` (default: latest). The manifest is
@@ -265,7 +286,7 @@ class VersionedCowTable:
         m = self.manifest(version)
         if not m["buckets"]:
             raise ValueError("empty table")
-        return spark.read.parquet(*self._bucket_dirs(m)).drop(BUCKET_COL)
+        return self._read_raw(spark, m, self._bucket_dirs(m)).drop(BUCKET_COL)
 
     # --------------------------------------------------------- merge
 
@@ -304,17 +325,101 @@ class VersionedCowTable:
             if b in current_map
         ]
         if have_dirs:
-            current = spark.read.parquet(*have_dirs)
+            current = self._read_raw(spark, m, have_dirs)
         else:  # all-new buckets: empty current slice with the right schema
             current = batch_b.limit(0)
+        # additive schema evolution: a column present on only one side
+        # is backfilled as typed NULL on the other; the merged schema
+        # (current order + new batch columns) is recorded in the new
+        # manifest so future reads span old and new bucket files
+        cur_fields = {f.name: f.dataType for f in current.schema.fields}
+        new_fields = {f.name: f.dataType for f in batch_b.schema.fields}
+        for name, dtype in new_fields.items():
+            if name not in cur_fields:
+                current = current.withColumn(name, F.lit(None).cast(dtype))
+        absent = []
+        for name, dtype in cur_fields.items():
+            if name not in new_fields:
+                batch_b = batch_b.withColumn(name, F.lit(None).cast(dtype))
+                absent.append(name)
+        batch_b = batch_b.select(*current.columns)
+        # a column the batch did not carry says nothing about matched
+        # rows: preserve the current value (coalesce(old, NULL) = old)
+        # instead of nulling it
+        effective_preserve = list(
+            dict.fromkeys(list(preserve_cols) + [c for c in absent if c not in self.key_cols])
+        )
         merged = M.upsert(
-            current, batch_b, self.key_cols + [BUCKET_COL], preserve_cols
+            current, batch_b, self.key_cols + [BUCKET_COL], effective_preserve
         ).localCheckpoint()
         self._write_version(merged, new_version)
         buckets = dict(current_map)
         for b in touched:
             buckets[b] = new_version
-        self._commit(buckets, new_version)
+        self._commit(buckets, new_version, merged.schema.json())
+        return new_version
+
+    def delete_where(self, spark: SparkSession, predicate) -> int:
+        """Predicate DELETE as copy-on-write (Iceberg CoW delete): find
+        the buckets that actually hold matching rows (one pruned scan
+        of the predicate column — Parquet min/max pushdown applies),
+        rewrite ONLY those buckets minus the matches, commit as a new
+        snapshot. Buckets with no matches keep their existing immutable
+        files; a predicate matching nothing is a no-op returning the
+        current version. ``predicate`` is a Column (or SQL string).
+
+        At 100 TB the rewrite cost is proportional to the buckets the
+        predicate touches, not the table — and point-deletes (GDPR
+        erasure by key) touch exactly the key's hash bucket."""
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
+        m = self.manifest()
+        current_map = {int(b): v for b, v in m["buckets"].items()}
+        if not current_map:
+            return m["version"]
+        current = self._read_raw(
+            spark,
+            m,
+            [
+                _os.path.join(self.path, f"v{v:05d}", f"{DIR_COL}={b}")
+                for b, v in current_map.items()
+            ],
+        )
+        touched = sorted(
+            r[0]
+            for r in current.where(predicate).select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return m["version"]
+        new_version = self._next_version(m["version"])
+        survivors = (
+            self._read_raw(
+                spark,
+                m,
+                [
+                    _os.path.join(self.path, f"v{current_map[b]:05d}", f"{DIR_COL}={b}")
+                    for b in touched
+                ],
+            )
+            .where(~F.coalesce(predicate, F.lit(False)))  # NULL predicate = keep
+            .localCheckpoint()
+        )
+        self._write_version(survivors, new_version)
+        bucket_map = dict(current_map)
+        empty = {
+            b
+            for b in touched
+            if b
+            not in {
+                r[0] for r in survivors.select(BUCKET_COL).distinct().collect()
+            }
+        }
+        for b in touched:
+            if b in empty:
+                del bucket_map[b]  # every row deleted: bucket leaves the manifest
+            else:
+                bucket_map[b] = new_version
+        self._commit(bucket_map, new_version, m.get("schema"))
         return new_version
 
     # --------------------------------------------------- maintenance
@@ -346,14 +451,14 @@ class VersionedCowTable:
         # the files carry _bucket as a regular column; repartitioning on
         # it lands each bucket in exactly one task → one output file per
         # bucket dir after the partitionBy split
-        compacted = spark.read.parquet(*dirs).repartition(
+        compacted = self._read_raw(spark, m, dirs).repartition(
             len(targets), F.col(BUCKET_COL)
         )
         self._write_version(compacted, new_version)
         bucket_map = dict(current_map)
         for b in targets:
             bucket_map[b] = new_version
-        self._commit(bucket_map, new_version)
+        self._commit(bucket_map, new_version, m.get("schema"))
         return new_version
 
     def vacuum(self, keep_last: int = 1) -> list[str]:

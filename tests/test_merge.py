@@ -335,3 +335,75 @@ def test_versioned_cow_vacuum_expires_old_snapshots(spark, tmp_path):
     # only referenced version dirs remain on disk
     dirs = {d for d in os.listdir(str(tmp_path / "vcow")) if d.startswith("v")}
     assert dirs == {f"v{latest:05d}"}
+
+
+def test_versioned_cow_delete_where_prunes_and_time_travels(spark, tmp_path):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from movie_data_etl_pipeline_spark.operators.cow import VersionedCowTable
+
+    t = VersionedCowTable(str(tmp_path / "vcow"), ["k"], n_buckets=8)
+    t.init(spark.createDataFrame([(i, i * 10) for i in range(40)], ["k", "v"]))
+    v1 = t.latest_version()
+
+    # record per-bucket-dir mtimes of the committed version
+    v1_dirs = {
+        d: os.path.getmtime(d)
+        for d in glob.glob(os.path.join(str(tmp_path / "vcow"), "v00001", "_bucket_dir=*"))
+    }
+
+    v2 = t.delete_where(spark, F.col("v") >= 300)  # deletes k in 30..39
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == list(range(30))
+    # old snapshot still has everything
+    assert sorted(r["k"] for r in t.read(spark, version=v1).collect()) == list(range(40))
+    # untouched buckets were NOT rewritten (files immutable, same mtime)
+    m = t.manifest()
+    still_v1 = [b for b, ver in m["buckets"].items() if ver == 1]
+    assert still_v1  # some buckets had no matches
+    for d, mt in v1_dirs.items():
+        assert os.path.getmtime(d) == mt
+    # no-match predicate is a no-op
+    assert t.delete_where(spark, F.col("v") > 10_000) == v2
+
+
+def test_versioned_cow_delete_where_drops_emptied_bucket(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from movie_data_etl_pipeline_spark.operators.cow import VersionedCowTable
+
+    t = VersionedCowTable(str(tmp_path / "vcow"), ["k"], n_buckets=2)
+    t.init(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"]))
+    t.delete_where(spark, F.lit(True))  # delete everything
+    m = t.manifest()
+    assert m["buckets"] == {}
+
+
+def test_versioned_cow_schema_evolution_add_column(spark, tmp_path):
+    from movie_data_etl_pipeline_spark.operators.cow import VersionedCowTable
+
+    t = VersionedCowTable(str(tmp_path / "vcow"), ["k"], n_buckets=4)
+    t.init(spark.createDataFrame([(i, i * 10) for i in range(8)], ["k", "v"]))
+    v1 = t.latest_version()
+
+    # batch carries a NEW column; only touches some buckets
+    t.upsert(
+        spark,
+        spark.createDataFrame([(1, 111, "en"), (9, 999, "fr")], ["k", "v", "lang"]),
+    )
+    rows = {r["k"]: r for r in t.read(spark).collect()}
+    assert set(rows[1].asDict()) == {"k", "v", "lang"}
+    assert rows[1]["v"] == 111 and rows[1]["lang"] == "en"
+    assert rows[9]["lang"] == "fr"
+    # rows living in bucket dirs written BEFORE the column existed read as NULL
+    assert all(rows[k]["lang"] is None for k in rows if k not in (1, 9))
+    # time travel to v1 shows the old two-column schema
+    assert set(t.read(spark, version=v1).columns) == {"k", "v"}
+
+    # a later batch WITHOUT the new column must not null it out
+    t.upsert(spark, spark.createDataFrame([(1, 222)], ["k", "v"]))
+    rows = {r["k"]: r for r in t.read(spark).collect()}
+    assert rows[1]["v"] == 222 and rows[1]["lang"] == "en"  # preserved
