@@ -105,6 +105,7 @@ HEADLINE = [
     "qa_volume_anomaly",
     "px_training_mix",
     "ts_ewma",
+    "fn_try_surface",
 ]
 
 

@@ -4280,6 +4280,48 @@ FROM c ORDER BY event_type, day
 """
 
 
+def fn_try_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI-safe error-handling surface: under Spark 4's default ANSI
+    mode a malformed cast / division by zero / out-of-bounds index
+    THROWS, so robust pipelines use the ``try_*`` forms, which return
+    NULL instead of killing a 10-hour job at the first dirty row. One
+    codegen projection; DuckDB mirrors via TRY_CAST / guarded CASE /
+    native NULL-on-out-of-bounds list indexing."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    return o.select(
+        "o_orderkey",
+        # '1-URGENT' → NULL (not an int), ANSI cast would throw
+        F.expr("try_cast(o_orderpriority AS INT)").alias("prio_as_int"),
+        # leading digit extracted first DOES parse
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_digit"),
+        # every third key divides by zero → NULL, not an exception
+        F.expr("round(try_divide(o_totalprice, o_orderkey % 3), 6)").alias(
+            "price_over_mod"
+        ),
+        # index 3 of a 2-element split → NULL
+        F.expr("try_element_at(split(o_orderpriority, '-'), 3)").alias("no_third_part"),
+        F.expr("try_element_at(split(o_orderpriority, '-'), 2)").alias("prio_word"),
+        # status letter is not a date
+        F.expr("try_cast(o_orderstatus AS DATE)").cast("string").alias("status_as_date"),
+    ).orderBy("o_orderkey")
+
+
+_FN_TRY_SQL = """
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INTEGER) AS prio_as_int,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE ROUND(o_totalprice / (o_orderkey % 3), 6) END AS price_over_mod,
+       string_split(o_orderpriority, '-')[3] AS no_third_part,
+       string_split(o_orderpriority, '-')[2] AS prio_word,
+       CAST(TRY_CAST(o_orderstatus AS DATE) AS VARCHAR) AS status_as_date
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -4415,6 +4457,7 @@ QUERIES: dict[str, QueryFn] = {
     "qa_volume_anomaly": qa_volume_anomaly,
     "px_training_mix": px_training_mix,
     "ts_ewma": ts_ewma,
+    "fn_try_surface": fn_try_surface,
 }
 
 ORACLES: dict[str, str] = {
@@ -4530,6 +4573,7 @@ ORACLES: dict[str, str] = {
     "qa_volume_anomaly": _QA_ANOMALY_SQL,
     "px_training_mix": _PX_MIX_SQL,
     "ts_ewma": _TS_EWMA_SQL,
+    "fn_try_surface": _FN_TRY_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
