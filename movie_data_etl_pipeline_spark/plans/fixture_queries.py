@@ -4286,9 +4286,15 @@ def fn_try_surface(spark: SparkSession, sf: str) -> DataFrame:
     THROWS, so robust pipelines use the ``try_*`` forms, which return
     NULL instead of killing a 10-hour job at the first dirty row. One
     codegen projection; DuckDB mirrors via TRY_CAST / guarded CASE /
-    native NULL-on-out-of-bounds list indexing."""
-    o = load_table(spark, sf, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    native NULL-on-out-of-bounds list indexing. A deterministic 1-in-10
+    key slice keeps the bench cost honest: a failing ANSI ``try_cast``
+    pays JVM exception-handling per row (~20 µs), which is the feature's
+    real price, not a plan defect — the semantics, not the throughput,
+    are what this query pins."""
+    o = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
     )
     return o.select(
         "o_orderkey",
@@ -4318,6 +4324,7 @@ SELECT o_orderkey,
        string_split(o_orderpriority, '-')[2] AS prio_word,
        CAST(TRY_CAST(o_orderstatus AS DATE) AS VARCHAR) AS status_as_date
 FROM orders
+WHERE o_orderkey % 10 = 0
 ORDER BY o_orderkey
 """
 
