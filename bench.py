@@ -106,6 +106,7 @@ HEADLINE = [
     "px_training_mix",
     "ts_ewma",
     "fn_try_surface",
+    "tx_vocab_coverage",
 ]
 
 

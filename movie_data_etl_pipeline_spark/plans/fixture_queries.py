@@ -4329,6 +4329,69 @@ ORDER BY o_orderkey
 """
 
 
+def tx_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage curve: for candidate vocab sizes k, the
+    fraction of ALL corpus token occurrences covered by the k most
+    frequent tokens — the number that decides how big a tokenizer's
+    vocabulary must be (and what OOV rate a size buys).
+
+    Shape: one explode+groupBy collapses the corpus to the vocabulary
+    relation (distinct tokens ≪ corpus occurrences), and only THAT
+    relation flows through the ordered cumulative window — the same
+    corpus-to-histogram reduction as ``tx_adaptive_quality``. Ties
+    rank deterministically by (count desc, token asc). Coverage is an
+    exact integer ratio divided once at the end."""
+    ks = [5, 10, 25]
+    docs = load_table(spark, sf, "documents")
+    from movie_data_etl_pipeline_spark.sources.parquet import ensure_min_partitions
+
+    counts = (
+        ensure_min_partitions(docs.select("text"))
+        .select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = counts.select(
+        F.row_number().over(w).alias("rank"),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    k_df = spark.createDataFrame([(k,) for k in ks], "k INT")
+    return (
+        ranked.join(k_df, F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.max("cum").cast("double") / F.max("total").cast("double"), 6
+            ).alias("coverage"),
+            F.max("rank").cast("bigint").alias("tokens_in_vocab"),
+        )
+        .orderBy("k")
+    )
+
+
+_TX_VOCAB_SQL = f"""
+WITH counts AS (
+  SELECT t.tok, COUNT(*) AS c
+  FROM (SELECT unnest({_D_TOKS}) AS tok FROM documents) t
+  GROUP BY t.tok
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rank,
+         SUM(c) OVER (ORDER BY c DESC, tok ASC ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS total
+  FROM counts
+)
+SELECT k,
+       ROUND(CAST(MAX(cum) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6) AS coverage,
+       CAST(MAX(rank) AS BIGINT) AS tokens_in_vocab
+FROM ranked JOIN (VALUES (5), (10), (25)) AS ks(k) ON rank <= k
+GROUP BY k ORDER BY k
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -4465,6 +4528,7 @@ QUERIES: dict[str, QueryFn] = {
     "px_training_mix": px_training_mix,
     "ts_ewma": ts_ewma,
     "fn_try_surface": fn_try_surface,
+    "tx_vocab_coverage": tx_vocab_coverage,
 }
 
 ORACLES: dict[str, str] = {
@@ -4581,6 +4645,7 @@ ORACLES: dict[str, str] = {
     "px_training_mix": _PX_MIX_SQL,
     "ts_ewma": _TS_EWMA_SQL,
     "fn_try_surface": _FN_TRY_SQL,
+    "tx_vocab_coverage": _TX_VOCAB_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
