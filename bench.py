@@ -107,6 +107,7 @@ HEADLINE = [
     "ts_ewma",
     "fn_try_surface",
     "tx_vocab_coverage",
+    "qa_key_skew",
 ]
 
 

@@ -4392,6 +4392,66 @@ GROUP BY k ORDER BY k
 """
 
 
+def qa_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew diagnostic on ``lineitem.l_suppkey``: distinct-key
+    count, total rows, the share held by the 10 heaviest keys, and the
+    Gini coefficient of the per-key row distribution — the report to
+    read BEFORE shuffling 100 TB on a key (it decides between a plain
+    hash join, AQE skew splitting, or explicit salting,
+    ``operators/skew.salted_join``).
+
+    The corpus collapses to the per-key count relation first; every
+    ordered pass runs at key grain. Gini comes from the rank-weighted
+    integer sum (``2·Σ i·cᵢ / (n·Σc) − (n+1)/n`` over counts sorted
+    ascending, ties broken by key) — integer power sums, one double
+    expression at the end, engine-exact."""
+    li = load_table(spark, sf, "lineitem").select("l_suppkey")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    w_asc = Window.orderBy(F.asc("c"), F.asc("l_suppkey"))
+    w_desc = Window.orderBy(F.desc("c"), F.asc("l_suppkey"))
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w_asc).alias("i"),
+        F.row_number().over(w_desc).alias("r_desc"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("total_rows"),
+        F.round(
+            F.sum(F.when(F.col("r_desc") <= 10, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("top10_share"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("c")).cast("double"))
+            / (F.count(F.lit(1)).cast("double") * F.sum("c").cast("double"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+_QA_SKEW_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT c,
+         ROW_NUMBER() OVER (ORDER BY c ASC, l_suppkey ASC) AS i,
+         ROW_NUMBER() OVER (ORDER BY c DESC, l_suppkey ASC) AS r_desc
+  FROM counts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS total_rows,
+       ROUND(CAST(SUM(CASE WHEN r_desc <= 10 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE), 6) AS top10_share,
+       ROUND((2.0 * CAST(SUM(i * c) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM ranked
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -4529,6 +4589,7 @@ QUERIES: dict[str, QueryFn] = {
     "ts_ewma": ts_ewma,
     "fn_try_surface": fn_try_surface,
     "tx_vocab_coverage": tx_vocab_coverage,
+    "qa_key_skew": qa_key_skew,
 }
 
 ORACLES: dict[str, str] = {
@@ -4646,6 +4707,7 @@ ORACLES: dict[str, str] = {
     "ts_ewma": _TS_EWMA_SQL,
     "fn_try_surface": _FN_TRY_SQL,
     "tx_vocab_coverage": _TX_VOCAB_SQL,
+    "qa_key_skew": _QA_SKEW_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
