@@ -87,3 +87,42 @@ def start_upsert_sink(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_versioned_upsert_sink(
+    stream: DataFrame,
+    table,
+    order_col: str,
+    checkpoint_dir: str,
+):
+    """Continuous upsert into a ``cow.VersionedCowTable``: each
+    micro-batch is deduped last-wins on ``order_col`` and committed as
+    ONE new snapshot that rewrites only the buckets the batch touches.
+
+    This is the streaming/table-format integration the plain-parquet
+    sink above cannot give: batch readers resolve a manifest once and
+    keep a consistent point-in-time view for as long as they run —
+    the streaming writer's atomic pointer swap never makes them see a
+    half-applied micro-batch — and replayed batches converge to the
+    same table STATE (upsert idempotency) while each commit remains an
+    auditable version. At 100 TB the per-batch write cost is the
+    touched buckets, not the table (the ``BucketedCowTable`` pruning
+    argument, now per micro-batch)."""
+    keys = list(table.key_cols)
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from pyspark.sql.window import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        )
+        latest = batch.withColumn("__rn", rn).filter("__rn = 1").drop("__rn")
+        table.upsert(batch.sparkSession, latest)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
