@@ -108,6 +108,7 @@ HEADLINE = [
     "fn_try_surface",
     "tx_vocab_coverage",
     "qa_key_skew",
+    "ag_median_mode",
 ]
 
 

@@ -4452,6 +4452,67 @@ FROM ranked
 """
 
 
+def ag_median_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median and deterministic mode per order status: median
+    over integer cents (the interpolated midpoint of two BIGINTs is an
+    exact ``x.5`` double — no engine drift), and mode computed
+    explicitly as (count desc, value asc) rank-1 rather than the
+    built-in ``mode()``, whose tie choice is engine-/partition-
+    dependent. Both run at (status, value) histogram grain after
+    map-side combines."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderstatus", SC.cents("o_totalprice").alias("price_c"), "o_orderpriority"
+    )
+    med = o.groupBy("o_orderstatus").agg(
+        F.round(F.median("price_c") / 100.0, 2).alias("median_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    pr = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("c"), F.asc("o_orderpriority")
+    )
+    mode = (
+        pr.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    return med.join(mode, "o_orderstatus").orderBy("o_orderstatus")
+
+
+_AG_MEDIAN_SQL = """
+WITH o AS (
+  SELECT o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         o_orderpriority
+  FROM orders
+),
+med AS (
+  SELECT o_orderstatus,
+         ROUND(median(price_c) / 100.0, 2) AS median_price,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM o GROUP BY o_orderstatus
+),
+pr AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+  FROM o GROUP BY o_orderstatus, o_orderpriority
+),
+md AS (
+  SELECT o_orderstatus, o_orderpriority AS mode_priority
+  FROM (
+    SELECT o_orderstatus, o_orderpriority,
+           ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                              ORDER BY c DESC, o_orderpriority ASC) AS rn
+    FROM pr
+  ) WHERE rn = 1
+)
+SELECT med.o_orderstatus, med.median_price, med.n_orders, md.mode_priority
+FROM med JOIN md USING (o_orderstatus)
+ORDER BY med.o_orderstatus
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -4590,6 +4651,7 @@ QUERIES: dict[str, QueryFn] = {
     "fn_try_surface": fn_try_surface,
     "tx_vocab_coverage": tx_vocab_coverage,
     "qa_key_skew": qa_key_skew,
+    "ag_median_mode": ag_median_mode,
 }
 
 ORACLES: dict[str, str] = {
@@ -4708,6 +4770,7 @@ ORACLES: dict[str, str] = {
     "fn_try_surface": _FN_TRY_SQL,
     "tx_vocab_coverage": _TX_VOCAB_SQL,
     "qa_key_skew": _QA_SKEW_SQL,
+    "ag_median_mode": _AG_MEDIAN_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
