@@ -109,6 +109,7 @@ HEADLINE = [
     "tx_vocab_coverage",
     "qa_key_skew",
     "ag_median_mode",
+    "emb_prefix_norm",
 ]
 
 

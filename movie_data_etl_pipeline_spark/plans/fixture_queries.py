@@ -4513,6 +4513,85 @@ ORDER BY med.o_orderstatus
 """
 
 
+def emb_prefix_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-style dimension audit: for each prefix length k, the
+    mean fraction of a vector's L2 norm captured by its first k
+    components (= cosine between the full vector and its k-truncation)
+    — the measurement that decides whether truncated embeddings can
+    serve ANN at a fraction of the memory.
+
+    Exactness discipline: squared float32 components are 48-bit-exact
+    doubles, quantized to 2^-40 integer units so per-vector prefix/full
+    sums are order-independent BIGINTs; the per-vector ratio
+    (``sqrt(pref)/sqrt(full)``, scale cancels) is one deterministic
+    IEEE chain, and the cross-vector mean again accumulates in 2^-20
+    integer units. Nothing depends on array fold order, partition
+    count, or engine. Per-(vector, k) work is a codegen'd slice-fold;
+    the shuffle domain is |ks| rows."""
+    ks = [8, 16, 32, 64]
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * x.cast("double") * F.lit(1099511627776.0) + 0.5
+            ).cast("bigint"),
+        ).alias("sq"),
+    )
+    k_df = spark.createDataFrame([(k,) for k in ks], "k INT")
+    acc0 = F.lit(0).cast("bigint")
+    add = lambda acc, x: acc + x  # noqa: E731
+    per = q.crossJoin(F.broadcast(k_df)).select(
+        "k",
+        F.aggregate(F.slice("sq", 1, F.col("k")), acc0, add).alias("pref"),
+        F.aggregate("sq", acc0, add).alias("full"),
+    )
+    ratio = F.when(F.col("full") == 0, F.lit(0.0)).otherwise(
+        F.sqrt(F.col("pref").cast("double")) / F.sqrt(F.col("full").cast("double"))
+    )
+    return (
+        per.select("k", F.floor(ratio * 1048576 + 0.5).cast("bigint").alias("r_q"))
+        .groupBy("k")
+        .agg(
+            F.round(
+                (F.sum("r_q").cast("double") / F.count(F.lit(1))) / F.lit(1048576.0),
+                6,
+            ).alias("avg_norm_fraction"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        )
+        .orderBy("k")
+    )
+
+
+_EMB_PREFIX_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1099511627776.0 + 0.5)
+                AS BIGINT)) AS sq
+  FROM embeddings
+),
+per AS (
+  SELECT ks.k,
+         CAST(list_aggregate(list_slice(q.sq, 1, ks.k), 'sum') AS BIGINT) AS pref,
+         CAST(list_aggregate(q.sq, 'sum') AS BIGINT) AS "full"
+  FROM q, (SELECT unnest([8, 16, 32, 64]) AS k) ks
+),
+r AS (
+  SELECT k,
+         CAST(floor(CASE WHEN "full" = 0 THEN 0.0
+                         ELSE sqrt(CAST(pref AS DOUBLE)) / sqrt(CAST("full" AS DOUBLE))
+                    END * 1048576 + 0.5) AS BIGINT) AS r_q
+  FROM per
+)
+SELECT k,
+       ROUND((CAST(SUM(r_q) AS DOUBLE) / COUNT(*)) / 1048576.0, 6) AS avg_norm_fraction,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM r GROUP BY k ORDER BY k
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -4652,6 +4731,7 @@ QUERIES: dict[str, QueryFn] = {
     "tx_vocab_coverage": tx_vocab_coverage,
     "qa_key_skew": qa_key_skew,
     "ag_median_mode": ag_median_mode,
+    "emb_prefix_norm": emb_prefix_norm,
 }
 
 ORACLES: dict[str, str] = {
@@ -4771,6 +4851,7 @@ ORACLES: dict[str, str] = {
     "tx_vocab_coverage": _TX_VOCAB_SQL,
     "qa_key_skew": _QA_SKEW_SQL,
     "ag_median_mode": _AG_MEDIAN_SQL,
+    "emb_prefix_norm": _EMB_PREFIX_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
