@@ -170,3 +170,47 @@ def volume_anomaly(
         )
         .orderBy("day")
     )
+
+
+def dlq_split(
+    df: DataFrame,
+    json_col: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter routing for embedded JSON: parse ``json_col`` with
+    ``schema`` and split the relation into (ok, quarantine).
+
+    The reference aborts the whole load on one bad payload
+    (``/root/reference/02_etl.py:26-28`` raises on any non-200 /
+    unparseable body); at pipeline scale a poison record must cost one
+    row, not the job. Spark's PERMISSIVE parser captures the raw text
+    of any malformed payload into the corrupt-record column when the
+    schema declares it — so ``ok`` rows carry the typed struct and
+    ``quarantine`` rows carry the original bytes for replay, the DLQ
+    contract.
+
+    Semantics: a payload is quarantined iff it is not well-formed JSON.
+    A well-formed object MISSING declared fields stays on the ok side
+    with typed NULLs (schema drift is data, not poison — the additive
+    evolution stance of ``operators/cow``). Both outputs are lazy
+    row-filters over one shared parse projection: two consumers of one
+    scan, no shuffle, trivially codegen'd; at 100 TB the quarantine
+    side is ~empty and costs nothing to carry.
+    """
+    parsed = df.withColumn(
+        "__parsed",
+        F.from_json(
+            F.col(json_col),
+            f"{schema}, {corrupt_col} STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ),
+    )
+    bad_flag = F.col(f"__parsed.{corrupt_col}").isNotNull() | F.col("__parsed").isNull()
+    ok = (
+        parsed.where(~bad_flag)
+        .withColumn("__parsed", F.col("__parsed").dropFields(corrupt_col))
+        .withColumnRenamed("__parsed", "parsed")
+    )
+    quarantine = parsed.where(bad_flag).drop("__parsed")
+    return ok, quarantine

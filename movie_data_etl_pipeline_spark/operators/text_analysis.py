@@ -66,7 +66,10 @@ def lang_distribution(docs: DataFrame) -> DataFrame:
 
 
 def _doc_quality(
-    docs: DataFrame, carry: tuple[str, ...] = (), keep_text: bool = False
+    docs: DataFrame,
+    carry: tuple[str, ...] = (),
+    keep_text: bool = False,
+    with_n_tokens: bool = False,
 ) -> DataFrame:
     """Shared per-document quality projection: ``doc_id``, any carried
     columns, optionally ``text`` itself, and the rounded composite
@@ -80,10 +83,12 @@ def _doc_quality(
     toks = ensure_min_partitions(docs.select("doc_id", "text", *carry)).select(
         "doc_id", *carry, F.col("text"), TX.tokens("text").alias("t")
     )
+    ntok_out = (F.size("t").cast("long").alias("n_ws_tokens"),) if with_n_tokens else ()
     m = toks.select(
         "doc_id",
         *carry,
         *text_out,
+        *ntok_out,
         (
             F.aggregate("t", F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
             / F.size("t")
@@ -105,6 +110,7 @@ def _doc_quality(
         "doc_id",
         *carry,
         *text_out,
+        *(("n_ws_tokens",) if with_n_tokens else ()),
         F.round(score, 6).alias("quality"),
         F.round("sw_ratio", 6).alias("stopword_ratio"),
         F.round("punct", 6).alias("punct_ratio"),
@@ -220,6 +226,47 @@ def adaptive_quality_keep(
         scored.join(F.broadcast(fl.select("source", "q_floor")), "source")
         .where(F.col("quality") >= F.col("q_floor"))
         .select("doc_id", "source", *carry, "text", "quality")
+    )
+
+
+def source_token_budget(docs: DataFrame, budget_tokens: int = 600) -> DataFrame:
+    """Per-source token-budget curation: give every source the same
+    token allowance and fill it best-quality-first — the domain
+    balancing step of a training mix when the constraint is a TOKEN
+    budget, not a document count (a source of long low-quality pages
+    must not crowd out a source of short good ones; cf. the
+    document-count mixing in ``operators/sampling.mixture_sample``).
+
+    Mechanism: one scoring scan (shared ``_doc_quality`` projection,
+    token count emitted from the same token array — no second
+    tokenize), then a running token sum per source in (quality DESC,
+    doc_id) order; a document survives iff it fits inside the budget
+    cumulatively. Greedy-prefix selection is deterministic because
+    ``quality`` is rounded to 6dp (cross-engine bit-stable) and ties
+    break on ``doc_id``.
+
+    Scale: the window shuffles only the scored projection (five
+    narrow columns, not ``text``) and partitions by ``source``. With
+    few huge sources that key skews — at 100 TB first thin each
+    source with ``mixture_sample``-style hash sampling to ~budget-
+    scale survivors, then run the exact prefix on the residue; the
+    greedy semantics are unchanged because the running sum only needs
+    the docs that could possibly fit."""
+    scored = _doc_quality(docs, carry=("source",), with_n_tokens=True)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            "quality",
+            "n_ws_tokens",
+            F.sum("n_ws_tokens").over(w).alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
     )
 
 

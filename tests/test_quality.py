@@ -108,3 +108,32 @@ def test_volume_anomaly_exact_zscores(spark):
         assert out[key]["is_anomaly"] == (abs((c - mean) / std) > 2.0)
     assert out["2024-01-11"]["is_anomaly"] is True
     assert sum(1 for r in out.values() if r["is_anomaly"]) == 1
+
+
+def test_dlq_split_routes_corrupt_and_keeps_drift(spark):
+    from movie_data_etl_pipeline_spark.operators.quality import dlq_split
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 69}'),      # well-formed, field present
+            (2, '{"k": 6'),        # truncated -> quarantine
+            (3, '{"x": 1}'),       # well-formed, field missing -> ok w/ NULL
+            (4, "not json"),       # garbage -> quarantine
+            (5, None),             # null payload -> quarantine
+        ],
+        "id long, props string",
+    )
+    ok, bad = dlq_split(df, "props", "k INT")
+    ok_rows = {r["id"]: r["parsed"]["k"] for r in ok.collect()}
+    assert ok_rows == {1: 69, 3: None}
+    bad_rows = sorted((r["id"], r["props"]) for r in bad.collect())
+    # quarantine preserves the original payload bytes for replay
+    assert bad_rows == [(2, '{"k": 6'), (4, "not json"), (5, None)]
+
+
+def test_dlq_split_ok_side_has_no_corrupt_column(spark):
+    from movie_data_etl_pipeline_spark.operators.quality import dlq_split
+
+    df = spark.createDataFrame([(1, '{"k": 1}')], "id long, props string")
+    ok, _ = dlq_split(df, "props", "k INT")
+    assert [f.name for f in ok.schema["parsed"].dataType.fields] == ["k"]

@@ -284,3 +284,23 @@ def test_versioned_upsert_sink_snapshots_and_converges(spark, sf_dir, tmp_path):
     # the pinned pre-stream snapshot is untouched (ts column added by
     # the stream reads as NULL there only via latest; v0 keeps its schema)
     assert {tuple(r) for r in table.read(spark, version=v0).collect()} == pinned
+
+
+def test_streaming_dedup_replay_equals_batch_distinct(spark, sf_dir):
+    """At-least-once replay (every event delivered twice via self-union
+    of two file-source reads) collapses to exactly-once under
+    dropDuplicatesWithinWatermark; the surviving set equals batch
+    dropDuplicates."""
+    s1 = SW.read_events_stream(spark, sf_dir).select("event_id", "event_type", "ts")
+    s2 = SW.read_events_stream(spark, sf_dir).select("event_id", "event_type", "ts")
+    deduped = SW.streaming_dedup(s1.unionAll(s2), ["event_id"], watermark="2 hours")
+    got = SW.run_stream_to_memory(spark, deduped, "t_dedup")
+    batch = load_table(spark, sf_dir, "events")
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
+    # value-level: per-type counts match the batch relation exactly
+    g = {(r["event_type"], r["n"]) for r in
+         got.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    w = {(r["event_type"], r["n"]) for r in
+         batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert g == w

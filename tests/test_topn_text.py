@@ -282,3 +282,38 @@ def test_adaptive_quality_keep_matches_report(spark, sf_dir):
         assert r["quality"] >= report[r["source"]]["q_floor"]
         assert r["lang"] is not None and r["text"]  # carry + text survive
     assert per_src == {s: report[s]["n_kept"] for s in report}
+
+
+def test_source_token_budget_prefix_property(spark, sf_dir):
+    """Kept docs per source are exactly the greedy quality-ordered
+    prefix that fits the budget: cumulative tokens never exceed the
+    budget, and the best-quality excluded doc would not have fit."""
+    from movie_data_etl_pipeline_spark.operators.text_analysis import (
+        _doc_quality,
+        source_token_budget,
+    )
+
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 600
+    kept = source_token_budget(docs, budget_tokens=budget)
+    rows = kept.collect()
+    assert rows, "budget keeps at least some docs"
+    assert all(r["cum_tokens"] <= budget for r in rows)
+    # per-source: kept set == greedy prefix recomputed in Python
+    scored = _doc_quality(docs, carry=("source",), with_n_tokens=True).collect()
+    by_src: dict[str, list] = {}
+    for r in scored:
+        by_src.setdefault(r["source"], []).append(r)
+    expect = set()
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (-r["quality"], r["doc_id"]))
+        cum = 0
+        for r in rs:
+            cum += r["n_ws_tokens"]
+            if cum > budget:
+                break
+            expect.add((src, r["doc_id"]))
+    got = {(r["source"], r["doc_id"]) for r in rows}
+    assert got == expect
