@@ -110,6 +110,10 @@ HEADLINE = [
     "qa_key_skew",
     "ag_median_mode",
     "emb_prefix_norm",
+    "px_source_budget",
+    "px_shard_manifest",
+    "qa_json_dlq",
+    "st_dedup",
 ]
 
 

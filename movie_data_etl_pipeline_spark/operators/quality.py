@@ -198,14 +198,7 @@ def dlq_split(
     scan, no shuffle, trivially codegen'd; at 100 TB the quarantine
     side is ~empty and costs nothing to carry.
     """
-    parsed = df.withColumn(
-        "__parsed",
-        F.from_json(
-            F.col(json_col),
-            f"{schema}, {corrupt_col} STRING",
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
-        ),
-    )
+    parsed = dlq_parse(df, json_col, schema, corrupt_col)
     bad_flag = F.col(f"__parsed.{corrupt_col}").isNotNull() | F.col("__parsed").isNull()
     ok = (
         parsed.where(~bad_flag)
@@ -214,3 +207,25 @@ def dlq_split(
     )
     quarantine = parsed.where(bad_flag).drop("__parsed")
     return ok, quarantine
+
+
+def dlq_parse(
+    df: DataFrame,
+    json_col: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """The shared parse projection under ``dlq_split``: one
+    ``from_json`` with the corrupt-record column declared, emitted as
+    ``__parsed``. Exposed separately so single-pass consumers (e.g. a
+    routing REPORT, which needs counts of both sides) can fold the
+    ok/bad distinction into one conditional aggregation over one scan
+    instead of re-scanning per side."""
+    return df.withColumn(
+        "__parsed",
+        F.from_json(
+            F.col(json_col),
+            f"{schema}, {corrupt_col} STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ),
+    )

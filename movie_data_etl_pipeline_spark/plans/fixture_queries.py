@@ -4670,19 +4670,21 @@ def qa_json_dlq(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("props"))
         .alias("props"),
     )
-    ok, bad = quality.dlq_split(ev, "props", "k BIGINT")
-    per_ok = ok.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_ok"),
-        F.sum("parsed.k").cast("bigint").alias("sum_k"),
-    )
-    per_bad = bad.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_bad"))
+    # Report form: the ok/bad distinction folds into ONE conditional
+    # aggregation over ONE scan+parse (dlq_parse) — the split form
+    # (dlq_split) would scan and parse once per side and join two
+    # aggregates, 2× the scan cost for the same numbers.
+    parsed = quality.dlq_parse(ev, "props", "k BIGINT")
+    bad = F.col("__parsed._corrupt_record").isNotNull() | F.col("__parsed").isNull()
     return (
-        per_ok.join(per_bad, "event_type", "full_outer")
-        .select(
-            "event_type",
-            F.coalesce("n_ok", F.lit(0)).alias("n_ok"),
-            F.coalesce("n_bad", F.lit(0)).alias("n_bad"),
-            F.coalesce("sum_k", F.lit(0)).alias("sum_k"),
+        parsed.select("event_type", bad.alias("bad"), F.col("__parsed.k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(~F.col("bad"), 1)).cast("bigint").alias("n_ok"),
+            F.count(F.when(F.col("bad"), 1)).cast("bigint").alias("n_bad"),
+            F.coalesce(F.sum(F.when(~F.col("bad"), F.col("k"))), F.lit(0))
+            .cast("bigint")
+            .alias("sum_k"),
         )
         .orderBy("event_type")
     )
@@ -4714,9 +4716,9 @@ def st_dedup(spark: SparkSession, sf: str) -> DataFrame:
     (``streaming/windows.streaming_dedup``): an at-least-once
     transport is simulated by replaying every event twice (self-union)
     and deduplicating on event_id; per-type counts prove each event
-    survived exactly once. The watermarked
-    ``dropDuplicatesWithinWatermark`` form is replay-tested in
-    tests/test_streaming.py."""
+    survived exactly once. The watermarked form is
+    ``streaming/ingest.streaming_dedup`` (dropDuplicatesWithinWatermark),
+    replay-tested in tests/test_streaming.py."""
     ev = load_table(spark, sf, "events").select("event_id", "event_type", "ts")
     replayed = ev.unionAll(ev)
     return (

@@ -296,26 +296,3 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
-
-
-def streaming_dedup(
-    stream: DataFrame, keys: list[str], watermark: str = "2 hours"
-) -> DataFrame:
-    """Exactly-once-by-key delivery over an at-least-once transport:
-    drop re-deliveries of the same ``keys`` arriving within
-    ``watermark`` of the original event time.
-
-    ``dropDuplicatesWithinWatermark`` is the bounded-state form: each
-    key is held only until the watermark passes its first-seen event
-    time, then evicted — where plain streaming ``dropDuplicates``
-    would grow state forever on an unbounded key domain (event ids
-    never repeat, so every id lives in the state store until the job
-    dies). The contract this operator guarantees is the one a
-    replayed Kafka source needs: duplicates arrive CLOSE to the
-    original (redelivery window « watermark), and each surviving row
-    is emitted exactly once.
-
-    Batch twin for the oracle: ``dropDuplicates(keys)`` over the same
-    relation — replay equivalence is asserted in
-    ``tests/test_streaming.py``."""
-    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

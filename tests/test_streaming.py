@@ -289,11 +289,13 @@ def test_versioned_upsert_sink_snapshots_and_converges(spark, sf_dir, tmp_path):
 def test_streaming_dedup_replay_equals_batch_distinct(spark, sf_dir):
     """At-least-once replay (every event delivered twice via self-union
     of two file-source reads) collapses to exactly-once under
-    dropDuplicatesWithinWatermark; the surviving set equals batch
-    dropDuplicates."""
+    dropDuplicatesWithinWatermark (streaming/ingest.streaming_dedup);
+    the surviving set equals batch dropDuplicates."""
     s1 = SW.read_events_stream(spark, sf_dir).select("event_id", "event_type", "ts")
     s2 = SW.read_events_stream(spark, sf_dir).select("event_id", "event_type", "ts")
-    deduped = SW.streaming_dedup(s1.unionAll(s2), ["event_id"], watermark="2 hours")
+    from movie_data_etl_pipeline_spark.streaming.ingest import streaming_dedup
+
+    deduped = streaming_dedup(s1.unionAll(s2), ["event_id"], watermark="2 hours")
     got = SW.run_stream_to_memory(spark, deduped, "t_dedup")
     batch = load_table(spark, sf_dir, "events")
     assert got.count() == batch.count()
