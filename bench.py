@@ -114,6 +114,9 @@ HEADLINE = [
     "px_shard_manifest",
     "qa_json_dlq",
     "st_dedup",
+    "ix_global_rownum",
+    "ev_type_pmi",
+    "tx_unigram_logprob",
 ]
 
 

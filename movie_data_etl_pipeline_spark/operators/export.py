@@ -105,3 +105,49 @@ def shard_manifest(df: DataFrame, key: str, n_shards: int, size_col: str) -> Dat
         )
         .orderBy("shard")
     )
+
+
+def range_layout(
+    df: DataFrame,
+    path: str,
+    order_by: tuple[str, ...],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as globally range-sorted parquet runs: file K holds
+    a contiguous, non-overlapping slice of the ``order_by`` key space,
+    rows sorted within each file.
+
+    This is the sorted-run layout that makes a single-key access path
+    out of plain parquet — the Spark rendering of the reference's
+    DESC value btrees (``/root/reference/sql/01_schema.sql:62-65``):
+    a reader seeking a key range prunes to the one file whose [min,max]
+    straddles it (footer stats), then scans rows already in order.
+    Complementary to ``layout.zorder_layout``: z-order trades perfect
+    single-key locality for multi-key locality; range layout is the
+    optimum when ONE key dominates access.
+
+    ``repartitionByRange`` samples key quantiles so file sizes track
+    the data distribution (balanced runs even under skew);
+    ``sortWithinPartitions`` costs no extra exchange."""
+    out = df.repartitionByRange(*order_by) if n_files is None else df.repartitionByRange(
+        n_files, *order_by
+    )
+    out.sortWithinPartitions(*order_by).write.mode(mode).parquet(path)
+
+
+def range_manifest(spark, path: str, key: str) -> DataFrame:
+    """Per-file (min, max, rows) of ``key`` for a ``range_layout``
+    output — the validity proof (non-overlapping ranges) and the
+    pruning index a reader would binary-search. One scan of the laid
+    table, grouped by provenance file."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(key).alias("min_key"),
+            F.max(key).alias("max_key"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("min_key")
+    )

@@ -33,6 +33,7 @@ from movie_data_etl_pipeline_spark.operators import (
     bloom,
     dedup,
     export,
+    indexing,
     joins,
     layout,
     merge,
@@ -4737,6 +4738,165 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def ix_global_rownum(spark: SparkSession, sf: str) -> DataFrame:
+    """Global row numbering at full parallelism
+    (``operators/indexing.global_row_number``): the stable-example-id /
+    export-offset assignment. The SQL twin is the single-partition
+    ``ROW_NUMBER() OVER (ORDER BY ...)``; the Spark plan is the
+    two-phase prefix count — range repartition, per-partition counts,
+    broadcast offsets — with no Exchange SinglePartition anywhere."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    return indexing.global_row_number(li, ["l_orderkey", "l_linenumber"])
+
+
+_IX_ROWNUM_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+FROM lineitem ORDER BY rn
+"""
+
+
+def ev_type_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Pointwise mutual information between event types over user
+    co-occurrence — the association-mining step (which behaviors
+    travel together) rendered at engine scale: distinct (user, type)
+    pairs, a per-user self-join bounded by types-per-user (≤ a few
+    dozen pairs per user, never user²), broadcast per-type totals,
+    PMI = ln(N·c_ab / (c_a·c_b)) from exact integer counts in one
+    final IEEE expression (order-independent)."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_type").distinct()
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n_users = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.withColumnRenamed("event_type", "type_a")), "type_a"
+        )
+        .withColumnRenamed("c", "c_a")
+        .join(F.broadcast(totals.withColumnRenamed("event_type", "type_b")), "type_b")
+        .withColumnRenamed("c", "c_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_users").cast("double")
+                    / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_EV_PMI_SQL = """
+WITH ev AS (SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+totals AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ev)
+SELECT p.type_a, p.type_b, p.c_ab,
+       ROUND(ln(CAST(p.c_ab AS DOUBLE) * CAST(n.n_users AS DOUBLE)
+                / (CAST(ta.c AS DOUBLE) * CAST(tb.c AS DOUBLE))), 6) AS pmi
+FROM pairs p
+JOIN totals ta ON p.type_a = ta.event_type
+JOIN totals tb ON p.type_b = tb.event_type
+CROSS JOIN n
+ORDER BY type_a, type_b
+"""
+
+
+def tx_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram language-model scoring (the CCNet/KenLM-style
+    perplexity gate, reduced to its order-0 exact form): per document,
+    the mean negative log-probability of its tokens under the corpus
+    unigram distribution — low = stereotypical text, high = rare-token
+    soup; both tails are filter candidates.
+
+    Determinism: each token type's surprisal ln(T/c) is converted to
+    integer 2^-20 units ONCE (per vocab row, a per-row IEEE expression
+    — no accumulation ordering), then weighted by exact occurrence
+    counts and integer-summed; only the final division renders a
+    double. Plan: explode → (doc,tok) counts → token-keyed join to the
+    vocab relation → one groupBy doc. The vocab join key is Zipf-
+    skewed at corpus scale; the (doc,tok) pre-aggregation is what
+    bounds the hot keys (one row per doc per type, not per
+    occurrence)."""
+    from movie_data_etl_pipeline_spark.sources.parquet import ensure_min_partitions
+
+    docs = load_table(spark, sf, "documents")
+    toks = ensure_min_partitions(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(TX.tokens("text")).alias("tok")
+    )
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    vocab = dt.groupBy("tok").agg(F.sum("k").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("t_tokens"))
+    priced = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.floor(
+            F.log(F.col("t_tokens") / F.col("c").cast("double")) * F.lit(1048576.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    return (
+        dt.join(priced, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("u")).alias("su"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("su").cast("double") / F.col("n_tokens") / F.lit(1048576.0), 6
+            ).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TX_UNIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_D_TOKS}) AS tok FROM documents
+),
+dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS k FROM toks GROUP BY 1, 2),
+vocab AS (SELECT tok, CAST(SUM(k) AS BIGINT) AS c FROM dt GROUP BY 1),
+total AS (SELECT CAST(SUM(c) AS DOUBLE) AS t_tokens FROM vocab),
+priced AS (
+  SELECT tok,
+         CAST(floor(ln(t_tokens / CAST(c AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS u
+  FROM vocab CROSS JOIN total
+)
+SELECT dt.doc_id,
+       CAST(SUM(dt.k) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(dt.k * p.u) AS DOUBLE) / SUM(dt.k) / 1048576.0, 6) AS avg_neg_logprob
+FROM dt JOIN priced p ON dt.tok = p.tok
+GROUP BY dt.doc_id ORDER BY dt.doc_id
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -4881,6 +5041,9 @@ QUERIES: dict[str, QueryFn] = {
     "px_shard_manifest": px_shard_manifest,
     "qa_json_dlq": qa_json_dlq,
     "st_dedup": st_dedup,
+    "ix_global_rownum": ix_global_rownum,
+    "ev_type_pmi": ev_type_pmi,
+    "tx_unigram_logprob": tx_unigram_logprob,
 }
 
 ORACLES: dict[str, str] = {
@@ -5005,6 +5168,9 @@ ORACLES: dict[str, str] = {
     "px_shard_manifest": _PX_SHARD_SQL,
     "qa_json_dlq": _QA_DLQ_SQL,
     "st_dedup": _ST_DEDUP_SQL,
+    "ix_global_rownum": _IX_ROWNUM_SQL,
+    "ev_type_pmi": _EV_PMI_SQL,
+    "tx_unigram_logprob": _TX_UNIGRAM_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

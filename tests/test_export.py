@@ -58,3 +58,54 @@ def test_manifest_matches_recount(spark, sf_dir):
     agg = docs.agg(F.count("*").alias("n"), F.sum("n_chars").alias("s")).first()
     assert total_rows == agg["n"]
     assert total_size == agg["s"]
+
+
+def test_range_layout_nonoverlapping_sorted_runs(spark, sf_dir, tmp_path):
+    from movie_data_etl_pipeline_spark.operators.export import range_layout, range_manifest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = str(tmp_path / "ranged")
+    range_layout(docs, path, ("doc_id",), n_files=6)
+    man = range_manifest(spark, path, "doc_id").collect()
+    assert sum(r["n_rows"] for r in man) == docs.count()
+    # non-overlapping, ordered key slices across files
+    for prev, nxt in zip(man, man[1:]):
+        assert prev["max_key"] < nxt["min_key"]
+    # rows inside each file are sorted (read preserves file order per split)
+    one = spark.read.parquet(man[0]["file"]).select("doc_id").collect()
+    ids = [r["doc_id"] for r in one]
+    assert ids == sorted(ids)
+
+
+def test_global_row_number_equals_sql_window(spark, sf_dir):
+    from movie_data_etl_pipeline_spark.operators.indexing import global_row_number
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    got = global_row_number(li, ["l_orderkey", "l_linenumber"])
+    want = li.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy("l_orderkey", "l_linenumber")).cast("bigint"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_global_row_number_no_exchange_reuse_dependence(spark, sf_dir):
+    from movie_data_etl_pipeline_spark.operators.indexing import global_row_number
+
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+        got = global_row_number(li, ["l_orderkey", "l_linenumber"])
+        # a correct numbering is a bijection onto 1..N
+        n = li.count()
+        stats = got.agg(
+            F.count("*").alias("c"),
+            F.countDistinct("rn").alias("d"),
+            F.min("rn").alias("lo"),
+            F.max("rn").alias("hi"),
+        ).first()
+        assert (stats["c"], stats["d"], stats["lo"], stats["hi"]) == (n, n, 1, n)
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
