@@ -117,6 +117,8 @@ HEADLINE = [
     "ix_global_rownum",
     "ev_type_pmi",
     "tx_unigram_logprob",
+    "ap_hll_rollup",
+    "sim_hard_negatives",
 ]
 
 

@@ -487,3 +487,59 @@ def int8_quantization_report(emb: DataFrame, vec_col: str = "embedding") -> Data
         )
         .orderBy("label")
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the ``k``
+    most-similar vectors carrying a DIFFERENT label — the negatives
+    that actually move a contrastive/triplet loss (random negatives
+    are trivially separable; the hard ones sit just across the
+    decision boundary).
+
+    Output: (anchor_id, negative_id, neg_label, score, rank).
+
+    This is the exact form (anchor×corpus scoring, label-inequality
+    filter, per-anchor top-k) — the mining-set baseline. At corpus
+    scale the same label filter drops into the LSH candidate path
+    (``knn_lsh``'s bucket join + re-rank, filtering ``label !=`` on
+    the candidate pairs before the window), so cost follows candidate
+    volume, not corpus². The windowed top-k here compiles to
+    pre-shuffle WindowGroupLimit either way.
+    """
+    src = queries if queries is not None else emb
+    q = ensure_min_partitions(
+        src.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("__ql"),
+        )
+    )
+    c = emb.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("neg_label"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("__ql") != F.col("neg_label"))
+        .select("anchor_id", "negative_id", "neg_label", cosine("__qv", "__cv").alias("score"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "negative_id",
+            "neg_label",
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )

@@ -41,6 +41,7 @@ from movie_data_etl_pipeline_spark.operators import (
     quality,
     sampling,
     similarity,
+    sketches,
     text_analysis,
     topn,
 )
@@ -4897,6 +4898,72 @@ GROUP BY dt.doc_id ORDER BY dt.doc_id
 """
 
 
+def ap_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-as-data pre-aggregation (``operators/sketches``): build
+    per-(day, event_type) HLL user sketches once, answer the weekly
+    distinct-user question by MERGING the stored sketches — never
+    re-scanning events. Oracle note: at fixture cardinalities
+    (15/150/1500 users) the lg_k=14 sketch is still in exact list
+    mode, so the estimate equals COUNT(DISTINCT) and the query is
+    hash-checkable; at production cardinalities the same plan returns
+    ±0.8% estimates — the trade the pattern exists to make."""
+    ev = load_table(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    prof = sketches.hll_profile(ev, ["day", "event_type"], "user_id")
+    wk = prof.withColumn("week", F.weekofyear("day"))
+    return (
+        sketches.hll_rollup(wk, ["week", "event_type"])
+        .select(
+            F.col("week").cast("int").alias("week"),
+            "event_type",
+            F.col("n_distinct_est").cast("bigint").alias("n_users"),
+        )
+        .orderBy("week", "event_type")
+    )
+
+
+_AP_HLL_SQL = """
+SELECT CAST(weekofyear(CAST(ts AS DATE)) AS INTEGER) AS week, event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY week, event_type
+"""
+
+
+def sim_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (``operators/similarity.hard_negatives``): top-3 cross-label
+    nearest neighbors for anchors vec_id < 50 — exact mining-set
+    baseline; the label filter drops into the LSH candidate path at
+    corpus scale."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.hard_negatives(
+        emb, k=3, queries=emb.filter(F.col("vec_id") < 50)
+    ).select(
+        "anchor_id",
+        "negative_id",
+        F.col("neg_label").cast("int").alias("neg_label"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SIM_HARDNEG_SQL = """
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS anchor_id, label AS ql, e AS qe FROM v WHERE vec_id < 50),
+s AS (
+  SELECT anchor_id, v.vec_id AS negative_id, CAST(v.label AS INTEGER) AS neg_label,
+         list_dot_product(qe, v.e)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(v.e, v.e))) AS raw
+  FROM q, v WHERE v.label <> ql
+)
+SELECT anchor_id, negative_id, neg_label, ROUND(raw, 6) AS score,
+       row_number() OVER (PARTITION BY anchor_id ORDER BY raw DESC, negative_id ASC) AS rank
+FROM s
+QUALIFY rank <= 3
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -5044,6 +5111,8 @@ QUERIES: dict[str, QueryFn] = {
     "ix_global_rownum": ix_global_rownum,
     "ev_type_pmi": ev_type_pmi,
     "tx_unigram_logprob": tx_unigram_logprob,
+    "ap_hll_rollup": ap_hll_rollup,
+    "sim_hard_negatives": sim_hard_negatives,
 }
 
 ORACLES: dict[str, str] = {
@@ -5171,6 +5240,8 @@ ORACLES: dict[str, str] = {
     "ix_global_rownum": _IX_ROWNUM_SQL,
     "ev_type_pmi": _EV_PMI_SQL,
     "tx_unigram_logprob": _TX_UNIGRAM_SQL,
+    "ap_hll_rollup": _AP_HLL_SQL,
+    "sim_hard_negatives": _SIM_HARDNEG_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

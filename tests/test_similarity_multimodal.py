@@ -140,3 +140,43 @@ def test_int8_quantization_report_bounds_and_zero_vector(spark):
 
     # tiny magnitudes still bounded by their own scale, not absolute size
     assert got[2]["avg_abs_err"] <= 0.003 / 254 + 2**-20
+
+
+def test_hard_negatives_cross_label_topk(spark, sf_dir):
+    """Every mined negative carries a different label than its anchor,
+    ranks are 1..k by descending score, and each anchor's rank-1
+    negative is the true cross-label argmax (checked against a direct
+    recomputation)."""
+    from movie_data_etl_pipeline_spark.operators.similarity import hard_negatives
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20)
+    out = hard_negatives(emb, k=3, queries=anchors)
+    rows = out.collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        assert labels[r["anchor_id"]] != r["neg_label"]
+        assert labels[r["negative_id"]] == r["neg_label"]
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    for aid, rs in by_anchor.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+    # rank-1 correctness vs numpy recompute for one anchor
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    aid = min(by_anchor)
+    qa = vecs[aid]
+    best = max(
+        (vid for vid in vecs if labels[vid] != labels[aid]),
+        key=lambda vid: (
+            float(qa @ vecs[vid] / (np.linalg.norm(qa) * np.linalg.norm(vecs[vid]))),
+            -vid,
+        ),
+    )
+    assert by_anchor[aid][0]["negative_id"] == best
