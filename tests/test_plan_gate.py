@@ -1,0 +1,125 @@
+"""Registry-wide physical-plan gate: every query in the registry is
+planned (not executed) and screened for the patterns that die at
+100 TB. `tests/test_plans.py` pins the *desired* shapes of selected
+queries; this module is the complementary blanket ban — a new or
+edited query that accidentally plans a cartesian product, an
+unpartitioned data-path window, or a single-partition exchange of a
+fact relation fails CI here before it ever ships.
+
+Allowlists are explicit and per-query, so every exception is a
+reviewed, documented decision rather than a silent regression.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from movie_data_etl_pipeline_spark.plans.fixture_queries import QUERIES
+
+# Queries whose plans legitimately contain a nested-loop/cartesian
+# product. Two sanctioned shapes:
+#  * exact all-pairs baselines, documented as the small-scale twin of
+#    an LSH/IVF scale path (knn/hard-negative mining);
+#  * broadcast of a one-row aggregate (totals, caps, thresholds) into
+#    a fact relation — constant-size build side, not a pair blowup.
+NESTED_LOOP_OK = {
+    # exact all-pairs baselines (scale path = LSH/IVF variants)
+    "sim_knn_bruteforce",
+    "sim_hard_negatives",
+    # broadcast one-row aggregates / tiny constant relations
+    "sa_mixture_sample",
+    "px_training_mix",
+    "q11_value_concentration",
+    "q15_top_supplier",
+    "q22_idle_customers",
+    "ag_histogram",
+    "dd_ngram_jaccard",  # length-bound ±1 bin join, bounded replication
+    "tx_vocab_coverage",  # k-list × vocab-histogram prefix
+    "tx_unigram_logprob",  # 1-row total ⨯ vocab pricing
+    "ap_exact_quantiles",
+    "qa_volume_anomaly",
+    "qa_key_skew",
+    "ag_median_mode",
+    "emb_prefix_norm",
+    "tx_adaptive_quality",
+    "px_clean_corpus",
+    "sim_knn_lsh",  # broadcast plane table (n_tables×n_planes rows)
+    "sim_knn_ivf",  # broadcast centroid table
+    "sim_embedding_near_dup",
+    "ev_funnel",  # broadcast step list
+    "ts_gapfill",  # 1-row min/max bounds ⨯ sequence
+    "ts_ewma",
+    "w5_value_windows",
+    "jx_fuzzy_join",  # banded candidate join, bounded bands
+    "mm_frame_sample",
+    "tx_datacard",
+    "sa_hash_split",  # boundary literals
+    "dd_minhash_lsh",
+    "dd_minhash_incremental",
+    "dd_simhash",
+    "dd_contamination",
+    "hh_heavy_hitters",  # broadcast candidate set recount
+    "tx_chunking",
+    "ix_global_rownum",  # broadcast partition-offset relation
+    "tx_tfidf_topk",  # broadcast 1-row corpus doc-count into IDF
+    "dd_bloom_incremental",  # broadcast 1-row bloom bitmap array
+    "ev_type_pmi",  # broadcast 1-row n_users total
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    """Plan (never execute) every registry query once."""
+    out: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        out[name] = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_unsanctioned_nested_loops(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if ("CartesianProduct" in p or "BroadcastNestedLoopJoin" in p)
+        and n not in NESTED_LOOP_OK
+    ]
+    assert not bad, f"unsanctioned nested-loop/cartesian plans: {bad}"
+
+
+def test_sanctioned_nested_loops_are_broadcast_not_cartesian(plans):
+    """Within the allowlist, only the two exact-baseline queries may
+    plan a raw CartesianProduct; every other exception must be the
+    broadcast form (constant-size build side)."""
+    exact_baselines = {"sim_knn_bruteforce", "sim_hard_negatives"}
+    bad = [
+        n
+        for n in NESTED_LOOP_OK - exact_baselines
+        if n in plans and "CartesianProduct" in plans[n]
+    ]
+    assert not bad, f"allowlisted queries planning raw cartesians: {bad}"
+
+
+def test_no_single_partition_exchange_of_fact_scans(plans):
+    """An Exchange SinglePartition directly consuming a parquet scan
+    (or a scan's projection/filter) would serialize the whole input
+    through one task. Single-partition exchanges of AGGREGATED
+    relations (global agg, partition totals, vocab histograms) are
+    bounded and fine — the gate only rejects the scan-fed shape."""
+    offenders = []
+    for name, p in plans.items():
+        # walk each SinglePartition exchange's subtree head: reject if
+        # the nearest child within two indented lines is a Scan with no
+        # intervening aggregate
+        lines = p.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            subtree = "\n".join(lines[i : i + 4])
+            if re.search(r"Scan parquet", subtree) and not re.search(
+                r"HashAggregate|SortAggregate|ObjectHashAggregate", subtree
+            ):
+                offenders.append(name)
+                break
+    assert not offenders, f"single-partition exchange fed by a raw scan: {offenders}"
