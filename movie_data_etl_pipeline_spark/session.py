@@ -48,6 +48,11 @@ def get_spark(
         # vectorized reader rejects; read as raw int64 nanos and convert
         # in sources.parquet (ns→µs truncation, matching DuckDB)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write timestamps as TIMESTAMP(MICROS), not legacy INT96:
+        # µs round-trips through every reader (DuckDB, pyarrow, our
+        # own footer-sniffing loader); INT96 is deprecated and
+        # surfaces as timestamp[ns] in arrow, confusing unit sniffs
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -46,7 +46,23 @@ def events_ts_is_nanos(sf_dir: str) -> bool:
         if parts:
             probe = os.path.join(path, parts[0])
     t = pq.read_schema(probe).field("ts").type
-    is_nanos = (pa.types.is_timestamp(t) and t.unit == "ns") or pa.types.is_int64(t)
+    # Arrow reports BOTH real TIMESTAMP(NANOS) and legacy INT96 as
+    # timestamp[ns]; only the INT64-backed nanos column needs the
+    # raw-long div-1000 path (Spark's vectorized reader handles INT96
+    # natively). Disambiguate on the parquet PHYSICAL type.
+    phys = None
+    try:
+        meta = pq.ParquetFile(probe).metadata.schema
+        for i in range(meta.num_columns):
+            col = meta.column(i)
+            if col.name == "ts" or col.path_in_schema == "ts":
+                phys = col.physical_type
+                break
+    except Exception:
+        phys = None
+    is_nanos = (
+        pa.types.is_timestamp(t) and t.unit == "ns" and phys != "INT96"
+    ) or pa.types.is_int64(t)
     _NANOS_TS_CACHE[path] = is_nanos
     return is_nanos
 

@@ -1,0 +1,151 @@
+"""Scaling-ratio harness: measure how each headline query's runtime
+grows when the data grows, on the SAME machine with the SAME plans.
+
+Method: amplify the sf0.1 fixtures by an integer factor with
+key-shifted replicas — every replica shifts its join keys by a fixed
+offset (consistently across fact and dimension tables), so join
+integrity, key cardinality ratios, selectivities, and value
+distributions are all preserved exactly while volume multiplies. This
+is the honest local stand-in for a bigger cluster run: a query whose
+plan is scan/shuffle-linear should show time ratio ≈ data ratio (or
+better, while fixed overheads still dominate); anything super-linear
+is a plan that will not survive 100 TB.
+
+Dedup/similarity queries are EXCLUDED by design: replicated text and
+vectors are mutual near-duplicates, so amplification changes the
+PROBLEM size (candidate-pair count), not just the data size — their
+scaling story is the candidate-volume analysis in PLANS.md instead.
+
+    python tools/scalebench.py [factor] [out_json]
+
+Writes one JSON line: per-query seconds at 1x and Nx and the ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.plans import fixture_queries as FQ
+from movie_data_etl_pipeline_spark.session import get_spark
+from movie_data_etl_pipeline_spark.sources import load_table
+
+# Key-shift offsets per table: larger than any key at sf0.1 so replica
+# key ranges never collide.
+OFFSET = 100_000_000
+
+# (table, [key columns to shift per replica])
+SHIFT_KEYS = {
+    "region": [],  # 5 rows; replicated as-is (dims must stay joinable)
+    "nation": [],
+    "supplier": ["s_suppkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+# Scan/shuffle-linear headline subset (no near-dup/ANN families — see
+# module docstring). Each entry: (query name, why it represents a family).
+SCALE_QUERIES = [
+    "q1_pricing_summary",  # full-scan agg
+    "q5_local_supplier_volume",  # widest join tree
+    "q9_nation_profit",  # 5-way join + agg
+    "q18_large_orders",  # agg + semi-join on big fact
+    "q21_waiting_suppliers",  # exists/not-exists double probe
+    "v1_top_actors",  # distinct-agg + top-k
+    "v4_top_actors_by_rating",  # distinct-agg + HAVING + top-k
+    "o7_top_n_per_group",  # per-group window limit
+    "w4_trailing_7d",  # range-frame window
+    "t5_top20",  # global top-k
+    "ev_funnel",  # event sequence agg
+    "ev_type_pmi",  # self-join at user grain
+    "st_tumbling",  # windowed event agg
+    "aj_asof_join",  # union+window as-of
+    "tx_token_stats",  # per-doc text map
+    "tx_quality_scores",  # per-doc scoring
+    "tx_unigram_logprob",  # vocab join
+    "tx_pack_sequences",  # distributed prefix sum
+    "ix_global_rownum",  # two-phase numbering
+    "px_shard_manifest",  # hash-shard agg
+    "qa_audit",  # conditional-agg audit
+    "ap_hll_rollup",  # sketch build+merge
+]
+
+
+def amplify(spark, src_dir: str, out_dir: str, factor: int) -> None:
+    """Materialize factor-times fixtures with shifted keys (run once;
+    reused across invocations via the _done marker)."""
+    done = os.path.join(out_dir, "_done")
+    if os.path.exists(done):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    for table, keys in SHIFT_KEYS.items():
+        base = load_table(spark, src_dir, table)
+        if not keys:
+            out = base
+        else:
+            reps = []
+            for k in range(factor):
+                r = base
+                for col in keys:
+                    r = r.withColumn(col, F.col(col) + F.lit(k * OFFSET))
+                reps.append(r)
+            out = reps[0]
+            for r in reps[1:]:
+                out = out.unionAll(r)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+    Path(done).touch()
+
+
+def run_set(spark, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name in SCALE_QUERIES:
+        fn = FQ.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_json = sys.argv[2] if len(sys.argv) > 2 else ""
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    amp_dir = f"/tmp/scalebench_x{factor}"
+    spark = get_spark("scalebench")
+    amplify(spark, base_dir, amp_dir, factor)
+    # warmup both directions (JVM/codegen/footers)
+    FQ.QUERIES["q1_pricing_summary"](spark, base_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    FQ.QUERIES["q1_pricing_summary"](spark, amp_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t1 = run_set(spark, base_dir)
+    tn = run_set(spark, amp_dir)
+    result = {
+        "factor": factor,
+        "queries": {
+            q: {"t1": t1[q], "tn": tn[q], "ratio": round(tn[q] / max(t1[q], 1e-9), 2)}
+            for q in SCALE_QUERIES
+        },
+    }
+    line = json.dumps(result)
+    print(line)
+    if out_json:
+        Path(out_json).write_text(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
