@@ -407,3 +407,33 @@ def test_versioned_cow_schema_evolution_add_column(spark, tmp_path):
     t.upsert(spark, spark.createDataFrame([(1, 222)], ["k", "v"]))
     rows = {r["k"]: r for r in t.read(spark).collect()}
     assert rows[1]["v"] == 222 and rows[1]["lang"] == "en"  # preserved
+
+
+def test_versioned_cow_change_feed(spark, tmp_path):
+    """changes(v_from, v_to) recovers exactly the applied change set
+    (insert/update/delete ops), equals the unpruned full-snapshot diff
+    (bucket pruning loses nothing), and is empty between identical
+    versions."""
+    from pyspark.sql import functions as F
+
+    from movie_data_etl_pipeline_spark.operators.cow import VersionedCowTable
+
+    target = spark.createDataFrame([(i, f"old{i}", i) for i in range(200)], SCHEMA)
+    t = VersionedCowTable(str(tmp_path / "vcow"), ["k"], n_buckets=16)
+    t.init(target)
+    v1 = t.latest_version()
+    batch = spark.createDataFrame([(0, "NEW", 999), (200, "ins", 1)], SCHEMA)
+    t.upsert(spark, batch)
+    t.delete_where(spark, F.col("k") == 7)
+    v3 = t.latest_version()
+
+    feed = t.changes(spark, v1, v3)
+    ops = {(r["k"], r["op"]) for r in feed.collect()}
+    assert ops == {(0, "update"), (200, "insert"), (7, "delete")}
+
+    # pruned feed == full-snapshot diff
+    full = merge.snapshot_diff(t.read(spark, version=v1), t.read(spark, version=v3), ["k"])
+    assert {tuple(r) for r in feed.collect()} == {tuple(r) for r in full.collect()}
+
+    # no changes between identical versions
+    assert t.changes(spark, v3, v3).count() == 0
