@@ -28,8 +28,14 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # default is local mode sized to the machine; on a cluster set
+    # SPARK_GRAFT_MASTER (yarn / k8s://... / spark://...) — or submit
+    # via spark-submit --master, which wins over any builder setting —
+    # and size shuffle_partitions to ~2-3x total executor cores (or
+    # let AQE coalescing right-size each exchange at runtime)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
