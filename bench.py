@@ -119,6 +119,7 @@ HEADLINE = [
     "tx_unigram_logprob",
     "ap_hll_rollup",
     "sim_hard_negatives",
+    "ag_weighted_median",
 ]
 
 

@@ -4964,6 +4964,42 @@ QUALIFY rank <= 3
 """
 
 
+def ag_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Vectorized pandas UDAF surface
+    (``functions/python_api.weighted_median``): per return flag, the
+    quantity-weighted lower median of extended price — a statistic no
+    built-in aggregate expresses (``median``/``percentile_approx``
+    cannot weight). Deterministic across engines because the result is
+    an EXISTING stored value chosen by exact-integer weight sums
+    (quantities are integral doubles). The oracle computes the same
+    statistic via the cumulative-weight window — the rendering to use
+    when groups are unbounded."""
+    from movie_data_etl_pipeline_spark.functions.python_api import weighted_median
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(weighted_median("l_extendedprice", "l_quantity").alias("w_median_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+_AG_WMEDIAN_SQL = """
+WITH o AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag, MIN(v) AS w_median_price
+FROM o WHERE cum >= tot / 2.0
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -5113,6 +5149,7 @@ QUERIES: dict[str, QueryFn] = {
     "tx_unigram_logprob": tx_unigram_logprob,
     "ap_hll_rollup": ap_hll_rollup,
     "sim_hard_negatives": sim_hard_negatives,
+    "ag_weighted_median": ag_weighted_median,
 }
 
 ORACLES: dict[str, str] = {
@@ -5242,6 +5279,7 @@ ORACLES: dict[str, str] = {
     "tx_unigram_logprob": _TX_UNIGRAM_SQL,
     "ap_hll_rollup": _AP_HLL_SQL,
     "sim_hard_negatives": _SIM_HARDNEG_SQL,
+    "ag_weighted_median": _AG_WMEDIAN_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
