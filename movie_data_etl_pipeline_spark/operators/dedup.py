@@ -461,6 +461,172 @@ def simhash_near_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Oracle-provable (engine-portable-hash) twins of the hash-dependent ops
+# ---------------------------------------------------------------------------
+
+
+def _portable_shingle_sets(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, sh, n_sh) like :func:`_shingle_sets`, but shingles hashed with
+    the engine-portable polynomial fold (``functions.portable_hash``)
+    instead of xxhash64 — every downstream value is then reproducible in
+    DuckDB SQL, so banding output can be hash-checked, not just counted.
+    O(chars) arithmetic per shingle vs one intrinsic: this is the
+    verification twin, not the 100 TB hot path."""
+    from movie_data_etl_pipeline_spark.functions import portable_hash as ph
+
+    return (
+        ensure_min_partitions(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select(
+            "id",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(shingles(text_col, n), lambda s: ph.str_hash(s))
+                )
+            ).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+    )
+
+
+def minhash_lsh_pairs_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` with every hash replaced by portable
+    arithmetic (LCG permutations over a polynomial shingle fold): the
+    exact same banding plan shape — zero-shuffle signatures, band-bucket
+    equality self-join, verify-on-candidates — but with output that a
+    DuckDB oracle reproduces value-for-value. Same plan, provable bits.
+    """
+    from movie_data_etl_pipeline_spark.functions import portable_hash as ph
+
+    rows_per_band = num_hashes // bands
+    sh = _portable_shingle_sets(docs, id_col, text_col, n).persist()
+    sigs = sh.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(F.col("sh"), lambda x: ph.lcg_perm(i, x))
+            ),
+        ).alias("signature"),
+    )
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.array(*[F.lit(b) for b in range(bands)]),
+                lambda b: ph.fold_longs(
+                    F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    ).persist()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    return _verify_pairs(candidates, sh, threshold)
+
+
+def simhash_portable(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 28
+) -> DataFrame:
+    """:func:`simhash` with the portable token hash. ``bits`` ≤ 31
+    because the portable hash codomain is [0, 2^31-1); 28 keeps the
+    chunking below divisible into 4 × 7-bit chunks."""
+    from movie_data_etl_pipeline_spark.functions import portable_hash as ph
+
+    toks = (
+        ensure_min_partitions(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    bit_positions = F.array(*[F.lit(i) for i in range(bits)])
+    votes = (
+        toks.withColumn("h", ph.str_hash("tok"))
+        .select("id", "h", F.explode(bit_positions).alias("bit"))
+        .withColumn(
+            "vote",
+            F.when(F.expr("shiftright(h, bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def simhash_near_dup_pairs_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    bits: int = 28,
+) -> DataFrame:
+    """:func:`simhash_near_dup_pairs` over the portable 28-bit SimHash:
+    identical pigeonhole candidate generation (4 × 7-bit chunk equality
+    joins) and ``bit_count(xor)`` verify, value-checkable in DuckDB."""
+    hashed = simhash_portable(docs, id_col, text_col, bits)
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    chunked = hashed.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", i * chunk_bits).bitwiseAND(F.lit(mask))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def incremental_dedup(
     batch: DataFrame,
     seen: DataFrame,

@@ -249,6 +249,116 @@ def knn_lsh(
     )
 
 
+def knn_hyperplane_portable(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    n_tables: int = 4,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Oracle-provable twin of :func:`knn_lsh`: same plan shape (sign-bit
+    buckets → per-table equality self-join → exact re-rank → windowed
+    top-k) with every value computable identically in DuckDB SQL.
+
+    Three substitutions make the output engine-exact:
+
+    - components quantize to int64 (``floor(x * 2^20)``) so dot products
+      are exact integer sums, immune to float summation order;
+    - Gaussian planes become Rademacher ±1 signs from the parity of the
+      portable multiplicative hash (``portable_hash.rademacher_sign``) —
+      sign-LSH needs only symmetric ±1 coordinates;
+    - ranking uses the integer dot (monotone in cosine for L2-normalized
+      inputs) with neighbor-id tie-break.
+
+    ``n_planes`` plane bits split into ``n_tables`` tables of
+    ``n_planes // n_tables`` bits each: each table's bucket is the packed
+    bit slice, candidates are the union over tables — the standard
+    multi-table recall boost, all equality joins.
+    """
+    from movie_data_etl_pipeline_spark.functions import portable_hash as ph
+
+    bits_per_table = n_planes // n_tables
+    q = ensure_min_partitions(
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+            ).alias("q"),
+        )
+    )
+    # per-plane signed sums: dot(sign_row(p), q) as an int64 aggregate
+    plane_dots = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc
+            + ph.rademacher_sign(p * F.lit(dim) + d) * F.element_at(F.col("q"), d + F.lit(1)),
+        ),
+    )
+    with_bits = q.select(
+        "id",
+        "q",
+        F.transform(plane_dots, lambda dp: F.when(dp >= 0, F.lit(1)).otherwise(F.lit(0))).alias(
+            "bits"
+        ),
+    )
+    # table buckets: pack each table's bit slice into one long
+    buckets = with_bits.select(
+        "id",
+        "q",
+        F.posexplode(
+            F.transform(
+                F.array(*[F.lit(t) for t in range(n_tables)]),
+                lambda t: F.aggregate(
+                    F.slice(
+                        F.col("bits"), t * F.lit(bits_per_table) + F.lit(1), bits_per_table
+                    ),
+                    F.lit(0).cast("long"),
+                    # binary fold: acc*2 + bit packs the slice MSB-first —
+                    # any injective packing works, both engines fold left
+                    lambda acc, bit: acc * F.lit(2) + bit,
+                ),
+            )
+        ).alias("table", "bucket"),
+    ).persist()
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("query_id"), F.col("b.id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = buckets.select("id", "q").distinct()
+    scored = (
+        cand.join(qv.select(F.col("id").alias("query_id"), F.col("q").alias("__qa")), "query_id")
+        .join(qv.select(F.col("id").alias("neighbor_id"), F.col("q").alias("__qb")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("__qa", "__qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "qdot", "nn_rank")
+    )
+
+
 def knn_ivf(
     vectors: DataFrame,
     dim: int,

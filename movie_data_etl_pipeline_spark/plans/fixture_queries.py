@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from movie_data_etl_pipeline_spark.functions import portable_hash as ph
 from movie_data_etl_pipeline_spark.functions import scalar as SC
 from movie_data_etl_pipeline_spark.functions import text as TX
 from movie_data_etl_pipeline_spark.operators import (
@@ -605,6 +606,86 @@ def dd_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(docs, max_hamming=6, chunks=4)
 
 
+def dd_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash banding with the engine-portable hash family
+    (``functions.portable_hash``): the SAME zero-shuffle-signature →
+    band-bucket-join → verify plan as ``dd_minhash_lsh``, but every hash
+    value is reproducible in DuckDB — so the LSH pipeline itself (which
+    pairs collide, not just how many) is hash-checked by the oracle.
+    The xxhash64 production twin stays rows-only + recall-tested."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs_portable(docs, n=3, num_hashes=32, bands=8, threshold=0.5)
+
+
+_DD_MINHASH_PORT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+shs AS (
+  SELECT doc_id AS id,
+         list_sort(list_distinct(
+           [{ph.sql_str_hash("array_to_string(t[i:i+2], ' ')")} for i in range(1, len(t) - 1)]
+         )) AS sh
+  FROM toks WHERE len(t) >= 3
+),
+sigs AS (
+  SELECT id, [list_min([{ph.sql_lcg_perm('i', 'x')} for x in sh]) for i in range(0, 32)] AS sig
+  FROM shs
+),
+banded AS (
+  SELECT id, b AS band, {ph.sql_fold_longs("list_slice(sig, b*4 + 1, b*4 + 4)")} AS bucket
+  FROM sigs, range(0, 8) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT a_id, b_id, ROUND(n_shared / (a_n + b_n - n_shared), 6) AS jaccard
+FROM (
+  SELECT a_id, b_id,
+         len(list_intersect(sa.sh, sb.sh)) AS n_shared,
+         len(sa.sh) AS a_n, len(sb.sh) AS b_n
+  FROM cand JOIN shs sa ON sa.id = a_id JOIN shs sb ON sb.id = b_id
+)
+WHERE n_shared / (a_n + b_n - n_shared) >= 0.5
+"""
+
+
+def dd_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """28-bit SimHash over the portable token hash: same pigeonhole
+    4×7-bit chunk-join candidates + ``bit_count(xor)`` verify as
+    ``dd_simhash``, value-checked by the DuckDB oracle."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.simhash_near_dup_pairs_portable(docs, max_hamming=3, chunks=4, bits=28)
+
+
+_DD_SIMHASH_PORT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+th AS (SELECT id, {ph.sql_str_hash('tok')} AS h FROM toks),
+votes AS (
+  SELECT id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, range(0, 28) r(b) GROUP BY 1, 2
+),
+sim AS (
+  SELECT id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+  FROM votes GROUP BY 1
+),
+chunked AS (
+  SELECT id, simhash, c, (simhash >> (c * 7)) & 127 AS chunk FROM sim, range(0, 4) r(c)
+),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM chunked a JOIN chunked b ON a.c = b.c AND a.chunk = b.chunk AND a.id < b.id
+)
+SELECT a_id, b_id, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+FROM cand JOIN sim sa ON sa.id = a_id JOIN sim sb ON sb.id = b_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search extensions
 # ---------------------------------------------------------------------------
@@ -645,6 +726,54 @@ def sim_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
     )
+
+
+def sim_knn_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane LSH top-5 with engine-portable arithmetic: Rademacher
+    sign planes + int64-quantized dot products (``similarity.
+    knn_hyperplane_portable``) — same multi-table bucket-join plan as
+    ``sim_knn_lsh`` but with a full value-checked DuckDB oracle (which
+    candidate pairs collide AND their exact integer scores)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.knn_hyperplane_portable(emb, dim=64, k=5, n_planes=32, n_tables=4)
+
+
+_SIM_KNN_PORT_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS id,
+         [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) for x in embedding] AS q
+  FROM embeddings
+),
+bits AS (
+  SELECT id, q,
+         [CASE WHEN list_sum([{ph.sql_rademacher_sign('p*64 + i - 1')} * q[i]
+                              for i in range(1, 65)]) >= 0
+               THEN 1::BIGINT ELSE 0::BIGINT END
+          for p in range(0, 32)] AS bits
+  FROM q
+),
+buckets AS (
+  SELECT id, q, t AS tbl,
+         list_reduce(list_prepend(0::BIGINT, list_slice(bits, t*8 + 1, t*8 + 8)),
+                     (acc, b) -> acc*2 + b) AS bucket
+  FROM bits, range(0, 4) r(t)
+),
+cand AS (
+  SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id
+  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum([qa.q[i] * qb.q[i] for i in range(1, 65)]) AS BIGINT) AS qdot
+  FROM cand JOIN q qa ON qa.id = query_id JOIN q qb ON qb.id = neighbor_id
+)
+SELECT query_id, neighbor_id, qdot, nn_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS nn_rank
+  FROM scored
+)
+WHERE nn_rank <= 5
+"""
 
 
 def sim_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
@@ -5150,6 +5279,9 @@ QUERIES: dict[str, QueryFn] = {
     "ap_hll_rollup": ap_hll_rollup,
     "sim_hard_negatives": sim_hard_negatives,
     "ag_weighted_median": ag_weighted_median,
+    "dd_minhash_portable": dd_minhash_portable,
+    "dd_simhash_portable": dd_simhash_portable,
+    "sim_knn_portable": sim_knn_portable,
 }
 
 ORACLES: dict[str, str] = {
@@ -5280,6 +5412,9 @@ ORACLES: dict[str, str] = {
     "ap_hll_rollup": _AP_HLL_SQL,
     "sim_hard_negatives": _SIM_HARDNEG_SQL,
     "ag_weighted_median": _AG_WMEDIAN_SQL,
+    "dd_minhash_portable": _DD_MINHASH_PORT_SQL,
+    "dd_simhash_portable": _DD_SIMHASH_PORT_SQL,
+    "sim_knn_portable": _SIM_KNN_PORT_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
