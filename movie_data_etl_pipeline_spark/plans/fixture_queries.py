@@ -34,6 +34,7 @@ from movie_data_etl_pipeline_spark.operators import (
     bloom,
     dedup,
     export,
+    graph,
     indexing,
     joins,
     layout,
@@ -604,6 +605,53 @@ def dd_simhash(spark: SparkSession, sf: str) -> DataFrame:
     verify). Hash-function-dependent output → rows-only check."""
     docs = load_table(spark, sf, "documents")
     return dedup.simhash_near_dup_pairs(docs, max_hamming=6, chunks=4)
+
+
+def gr_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 PageRank over the customer↔supplier co-transaction graph
+    — an ITERATIVE algorithm with a full value-checked oracle: integer
+    fixed-point arithmetic (``operators/graph.py``) makes all three
+    propagation rounds engine-exact, so the DuckDB twin simply unrolls
+    the same iterations as chained CTEs. Join+groupBy per round, lineage
+    checkpointed — the Pregel-on-DataFrames shape."""
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    edges = graph.cotransaction_edges(orders, lineitem)
+    ranks = graph.pagerank_fixed_point(edges, iters=3)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+c_{out} AS (
+  SELECT e.dst, SUM(r.rank // d.outdeg) AS contrib
+  FROM edges e JOIN deg d ON d.src = e.src JOIN {prev} r ON r.node = e.src
+  GROUP BY 1
+),
+{out} AS (
+  SELECT node, CAST(150000000000 + (17 * COALESCE(contrib, 0)) // 20 AS BIGINT) AS rank
+  FROM nodes LEFT JOIN c_{out} ON dst = node
+)"""
+
+
+_GR_PAGERANK_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT node, 1000000000000::BIGINT AS rank FROM nodes),
+{_pagerank_iter_sql('r0', 'r1')},
+{_pagerank_iter_sql('r1', 'r2')},
+{_pagerank_iter_sql('r2', 'r3')}
+SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20
+"""
 
 
 def dd_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
@@ -5282,6 +5330,7 @@ QUERIES: dict[str, QueryFn] = {
     "dd_minhash_portable": dd_minhash_portable,
     "dd_simhash_portable": dd_simhash_portable,
     "sim_knn_portable": sim_knn_portable,
+    "gr_pagerank": gr_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -5415,6 +5464,7 @@ ORACLES: dict[str, str] = {
     "dd_minhash_portable": _DD_MINHASH_PORT_SQL,
     "dd_simhash_portable": _DD_SIMHASH_PORT_SQL,
     "sim_knn_portable": _SIM_KNN_PORT_SQL,
+    "gr_pagerank": _GR_PAGERANK_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
