@@ -492,6 +492,36 @@ def _portable_shingle_sets(
     )
 
 
+def _portable_banded(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH index rows via the portable hash family:
+    zero-shuffle signatures (LCG-permutation minima per slot), each
+    band's slice folded to one bucket id — the portable rendering of
+    :func:`_minhash_banded`."""
+    from movie_data_etl_pipeline_spark.functions import portable_hash as ph
+
+    rows_per_band = num_hashes // bands
+    sigs = sh.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(F.col("sh"), lambda x: ph.lcg_perm(i, x))
+            ),
+        ).alias("signature"),
+    )
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.array(*[F.lit(b) for b in range(bands)]),
+                lambda b: ph.fold_longs(
+                    F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_pairs_portable(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -507,30 +537,8 @@ def minhash_lsh_pairs_portable(
     equality self-join, verify-on-candidates — but with output that a
     DuckDB oracle reproduces value-for-value. Same plan, provable bits.
     """
-    from movie_data_etl_pipeline_spark.functions import portable_hash as ph
-
-    rows_per_band = num_hashes // bands
     sh = _portable_shingle_sets(docs, id_col, text_col, n).persist()
-    sigs = sh.select(
-        "id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform(F.col("sh"), lambda x: ph.lcg_perm(i, x))
-            ),
-        ).alias("signature"),
-    )
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.array(*[F.lit(b) for b in range(bands)]),
-                lambda b: ph.fold_longs(
-                    F.slice("signature", b * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("band", "bucket"),
-    ).persist()
+    banded = _portable_banded(sh, num_hashes, bands).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -544,6 +552,43 @@ def minhash_lsh_pairs_portable(
         .distinct()
     )
     return _verify_pairs(candidates, sh, threshold)
+
+
+def incremental_minhash_pairs_portable(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`incremental_minhash_pairs` over the portable hash family:
+    batch-buckets ⨝ all-buckets (work scales with the arriving batch,
+    never corpus×corpus), with hash values a DuckDB oracle reproduces —
+    so the INCREMENTAL indexing path gets value-checked evidence too,
+    not just the batch==full-recompute property test."""
+    sh_c = _portable_shingle_sets(corpus, id_col, text_col, n).persist()
+    sh_b = _portable_shingle_sets(batch, id_col, text_col, n).persist()
+    banded_b = _portable_banded(sh_b, num_hashes, bands).persist()
+    all_banded = _portable_banded(sh_c, num_hashes, bands).unionByName(banded_b)
+    a = banded_b.alias("a")
+    b = all_banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("a_id"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("b_id"),
+        )
+        .distinct()
+    )
+    return _verify_pairs(candidates, sh_c.unionByName(sh_b), threshold)
 
 
 def simhash_portable(

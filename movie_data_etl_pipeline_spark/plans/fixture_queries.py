@@ -665,7 +665,10 @@ def dd_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs_portable(docs, n=3, num_hashes=32, bands=8, threshold=0.5)
 
 
-_DD_MINHASH_PORT_SQL = f"""
+# shared CTE prefix: portable-hashed shingle sets → 32-slot LCG minhash
+# signatures → 8 bands of 4 folded to bucket ids (mirrors
+# dedup._portable_shingle_sets + _portable_banded value-for-value)
+_MINHASH_PORT_CTES = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
 ),
@@ -683,11 +686,9 @@ sigs AS (
 banded AS (
   SELECT id, b AS band, {ph.sql_fold_longs("list_slice(sig, b*4 + 1, b*4 + 4)")} AS bucket
   FROM sigs, range(0, 8) r(b)
-),
-cand AS (
-  SELECT DISTINCT a.id AS a_id, b.id AS b_id
-  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-)
+)"""
+
+_MINHASH_PORT_VERIFY = """
 SELECT a_id, b_id, ROUND(n_shared / (a_n + b_n - n_shared), 6) AS jaccard
 FROM (
   SELECT a_id, b_id,
@@ -697,6 +698,33 @@ FROM (
 )
 WHERE n_shared / (a_n + b_n - n_shared) >= 0.5
 """
+
+_DD_MINHASH_PORT_SQL = f"""{_MINHASH_PORT_CTES},
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+{_MINHASH_PORT_VERIFY}"""
+
+_DD_MINHASH_INCR_PORT_SQL = f"""{_MINHASH_PORT_CTES},
+cand AS (
+  SELECT DISTINCT least(a.id, b.id) AS a_id, greatest(a.id, b.id) AS b_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id <> b.id
+  WHERE a.id % 10 = 0
+)
+{_MINHASH_PORT_VERIFY}"""
+
+
+def dd_minhash_incr_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (batch-vs-indexed-corpus) MinHash banding over the
+    portable hash family: same batch split as ``dd_minhash_incremental``
+    (doc_id % 10 == 0 arrives, rest indexed) with a full value-checked
+    oracle — the incremental indexing path's collisions are hash-proved,
+    not just property-tested."""
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    return dedup.incremental_minhash_pairs_portable(corpus, batch)
 
 
 def dd_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
@@ -5331,6 +5359,7 @@ QUERIES: dict[str, QueryFn] = {
     "dd_simhash_portable": dd_simhash_portable,
     "sim_knn_portable": sim_knn_portable,
     "gr_pagerank": gr_pagerank,
+    "dd_minhash_incr_portable": dd_minhash_incr_portable,
 }
 
 ORACLES: dict[str, str] = {
@@ -5465,6 +5494,7 @@ ORACLES: dict[str, str] = {
     "dd_simhash_portable": _DD_SIMHASH_PORT_SQL,
     "sim_knn_portable": _SIM_KNN_PORT_SQL,
     "gr_pagerank": _GR_PAGERANK_SQL,
+    "dd_minhash_incr_portable": _DD_MINHASH_INCR_PORT_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

@@ -83,7 +83,8 @@ def test_minhash_portable_subset_of_exact_jaccard(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "qname", ["dd_minhash_portable", "dd_simhash_portable", "sim_knn_portable"]
+    "qname",
+    ["dd_minhash_portable", "dd_simhash_portable", "sim_knn_portable", "dd_minhash_incr_portable"],
 )
 def test_portable_twins_match_duckdb_oracle(spark, sf_dir, qname):
     sdf = FQ.QUERIES[qname](spark, sf_dir).toPandas()
@@ -104,7 +105,8 @@ def test_portable_twins_match_duckdb_oracle(spark, sf_dir, qname):
 
 
 @pytest.mark.parametrize(
-    "qname", ["dd_minhash_portable", "dd_simhash_portable", "sim_knn_portable"]
+    "qname",
+    ["dd_minhash_portable", "dd_simhash_portable", "sim_knn_portable", "dd_minhash_incr_portable"],
 )
 def test_portable_twins_stay_jvm_side(spark, sf_dir, qname):
     plan = FQ.QUERIES[qname](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
