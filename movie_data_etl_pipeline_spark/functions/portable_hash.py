@@ -17,10 +17,11 @@ All arithmetic stays strictly inside int64: operands are < 2^31, so
 products are < 2^62. Both engines use exact two's-complement BIGINT
 semantics for `*`, `+`, `%` on non-negative operands.
 
-Portability preconditions (asserted by the corpus, documented here):
-- text is ASCII (`ascii()` in Spark and `unicode()` in DuckDB both
-  return the code point of the first character; for ASCII they agree
-  byte-for-byte — the fixture corpus is verified ASCII-only).
+Portability preconditions (verified live against both engines):
+- Spark's `ascii()` and DuckDB's `unicode()` both return the full
+  Unicode CODE POINT of the first character — they agree beyond ASCII
+  (probed: 'é'→233, '中'→20013, NBSP→160), so the fold is Unicode-safe,
+  not merely ASCII-safe.
 - Spark's `split(s, '')` and DuckDB's `string_split(s, '')` both yield
   the character sequence; empties are filtered on both sides.
 

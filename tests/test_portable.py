@@ -33,7 +33,7 @@ def _py_str_hash(s: str) -> int:
 
 
 def test_str_hash_three_way_agreement(spark):
-    samples = ["", "a", "hel lo", "The quick brown fox 42!", "x" * 200]
+    samples = ["", "a", "hel lo", "The quick brown fox 42!", "x" * 200, "naïve 中文 end"]
     sdf = spark.createDataFrame([(s,) for s in samples], "s STRING")
     got_spark = [r[0] for r in sdf.select(ph.str_hash("s")).collect()]
     con = duckdb.connect()
