@@ -693,3 +693,82 @@ def corpus_datacard(docs: DataFrame) -> DataFrame:
         .withColumn("n_exact_dups", (F.col("n_docs") - F.col("n_unique")).cast("bigint"))
         .orderBy("source", "lang")
     )
+
+
+def source_divergence(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Distribution drift per corpus slice: for each ``source``, the
+    total-variation distance and KL divergence between that source's
+    unigram distribution and the whole-corpus distribution — the gate a
+    training-data pipeline runs when a new crawl/source lands ("does
+    this slice look like the mixture we trained on?").
+
+    Determinism discipline (same as the unigram LM scorer above):
+
+    - **TV is exact rational end-to-end**: TV(s) = ½·Σ_tok |p_s − p| =
+      Σ|c_s·T − c·T_s| / (2·T_s·T); numerator summed in int64, one
+      final division. Tokens absent from the source contribute
+      T_s·(T − Σ_{tok∈s} c), computed from the same joined relation —
+      no vocab×source cross join.
+    - **KL quantizes per row, sums in int64**: each present token's
+      log-ratio ln(c_s·T / (c·T_s)) converts ONCE to 2^-20 units (a
+      per-row IEEE expression, no accumulation ordering), weighted by
+      the exact count c_s and integer-summed; the single final division
+      renders the double.
+
+    Plan: explode → (source,tok) counts → tok-keyed join to the vocab
+    relation (the Zipf-skew-bounding pre-aggregation) → one groupBy
+    source with broadcast totals. int64 headroom: |c_s·T| ≤ T² needs
+    T < 3·10⁹ tokens per exact-TV job; beyond that, shard the vocab by
+    token range and sum per-shard TV numerators (associative), or drop
+    to the double rendering.
+    """
+    toks = ensure_min_partitions(docs.select(F.col(source_col).alias("source"), "text")).select(
+        "source", F.explode(TX.tokens("text")).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_s"))
+    vocab = st.groupBy("tok").agg(F.sum("c_s").alias("c"))
+    s_tot = st.groupBy("source").agg(F.sum("c_s").alias("t_s"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    joined = (
+        st.join(vocab, "tok")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "t_s",
+            "t",
+            "c",
+            "c_s",
+            F.abs(F.col("c_s") * F.col("t") - F.col("c") * F.col("t_s")).alias("tv_term"),
+            (
+                F.col("c_s")
+                * F.floor(
+                    F.log(
+                        (F.col("c_s") * F.col("t")).cast("double")
+                        / (F.col("c") * F.col("t_s")).cast("double")
+                    )
+                    * F.lit(1048576.0)
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("kl_term"),
+        )
+    )
+    return (
+        joined.groupBy("source", "t_s", "t")
+        .agg(
+            F.sum("tv_term").alias("tv_present"),
+            F.sum("c").alias("c_covered"),
+            F.sum("kl_term").alias("kl_q"),
+        )
+        .select(
+            "source",
+            F.col("t_s").alias("n_tokens"),
+            F.round(
+                (F.col("tv_present") + F.col("t_s") * (F.col("t") - F.col("c_covered")))
+                / (F.lit(2.0) * F.col("t_s") * F.col("t")),
+                6,
+            ).alias("tv_dist"),
+            F.round(F.col("kl_q") / (F.lit(1048576.0) * F.col("t_s")), 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

@@ -715,6 +715,44 @@ cand AS (
 {_MINHASH_PORT_VERIFY}"""
 
 
+def tx_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source distribution drift vs the whole corpus: exact-rational
+    total-variation distance + 2^-20-quantized KL divergence
+    (``text_analysis.source_divergence``) — the new-source acceptance
+    gate for a training-data mixture."""
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.source_divergence(docs)
+
+
+_TX_SRCDIV_SQL = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+st AS (SELECT source, tok, COUNT(*)::BIGINT AS c_s FROM toks GROUP BY 1, 2),
+vocab AS (SELECT tok, SUM(c_s)::BIGINT AS c FROM st GROUP BY 1),
+s_tot AS (SELECT source, SUM(c_s)::BIGINT AS t_s FROM st GROUP BY 1),
+total AS (SELECT SUM(c)::BIGINT AS t FROM vocab),
+joined AS (
+  SELECT st.source, t_s, t, c, c_s,
+         abs(c_s*t - c*t_s) AS tv_term,
+         c_s * CAST(floor(ln(CAST(c_s*t AS DOUBLE) / CAST(c*t_s AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS kl_term
+  FROM st JOIN vocab USING (tok) JOIN s_tot USING (source) CROSS JOIN total
+),
+g AS (
+  SELECT source, t_s, t,
+         SUM(tv_term)::BIGINT AS tv_present,
+         SUM(c)::BIGINT AS c_covered,
+         SUM(kl_term)::BIGINT AS kl_q
+  FROM joined GROUP BY 1, 2, 3
+)
+SELECT source, t_s AS n_tokens,
+       ROUND((tv_present + t_s*(t - c_covered)) / (2.0 * t_s * t), 6) AS tv_dist,
+       ROUND(kl_q / (1048576.0 * t_s), 6) AS kl_nats
+FROM g ORDER BY source
+"""
+
+
 def dd_minhash_incr_portable(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental (batch-vs-indexed-corpus) MinHash banding over the
     portable hash family: same batch split as ``dd_minhash_incremental``
@@ -5360,6 +5398,7 @@ QUERIES: dict[str, QueryFn] = {
     "sim_knn_portable": sim_knn_portable,
     "gr_pagerank": gr_pagerank,
     "dd_minhash_incr_portable": dd_minhash_incr_portable,
+    "tx_source_divergence": tx_source_divergence,
 }
 
 ORACLES: dict[str, str] = {
@@ -5495,6 +5534,7 @@ ORACLES: dict[str, str] = {
     "sim_knn_portable": _SIM_KNN_PORT_SQL,
     "gr_pagerank": _GR_PAGERANK_SQL,
     "dd_minhash_incr_portable": _DD_MINHASH_INCR_PORT_SQL,
+    "tx_source_divergence": _TX_SRCDIV_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
