@@ -120,6 +120,8 @@ HEADLINE = [
     "ap_hll_rollup",
     "sim_hard_negatives",
     "ag_weighted_median",
+    "gr_pagerank",
+    "tx_source_divergence",
 ]
 
 

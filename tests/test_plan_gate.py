@@ -38,6 +38,7 @@ NESTED_LOOP_OK = {
     "dd_ngram_jaccard",  # length-bound ±1 bin join, bounded replication
     "tx_vocab_coverage",  # k-list × vocab-histogram prefix
     "tx_unigram_logprob",  # 1-row total ⨯ vocab pricing
+    "tx_source_divergence",  # 1-row corpus-total ⨯ (source,tok) counts
     "ap_exact_quantiles",
     "qa_volume_anomaly",
     "qa_key_skew",
