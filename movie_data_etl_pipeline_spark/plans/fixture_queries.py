@@ -715,6 +715,46 @@ cand AS (
 {_MINHASH_PORT_VERIFY}"""
 
 
+def pit_topk_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time top-3 feature join (``joins.point_in_time_topk``):
+    for every purchase, the user's 3 latest non-purchase events within a
+    7-day lookback — the leakage-free "features as of event time" shape
+    a feature store serves for training. One hash exchange + horizon-
+    bounded window, no join fan-out; deterministic (ts, event_id)
+    tie-break."""
+    ev = load_table(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return joins.point_in_time_topk(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts", right_seq="event_id", k=3
+    )
+
+
+_PIT_TOPK_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT event_id AS ctx_id, user_id, event_type AS ctx_type, ts AS ctx_ts
+  FROM events WHERE event_type <> 'purchase'
+),
+j AS (
+  SELECT l.event_id, l.user_id, l.ts, r.ctx_ts, r.ctx_id, r.ctx_type,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY epoch_us(r.ctx_ts) DESC, r.ctx_id DESC
+         ) AS pit_rank
+  FROM l JOIN r ON r.user_id = l.user_id
+   AND epoch_us(r.ctx_ts) BETWEEN epoch_us(l.ts) - 604800000000 AND epoch_us(l.ts)
+)
+SELECT event_id, user_id, ts, pit_rank,
+       ctx_ts AS ts_r, ctx_id AS event_id_r, ctx_type AS event_type_r
+FROM j WHERE pit_rank <= 3
+"""
+
+
 def tx_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source distribution drift vs the whole corpus: exact-rational
     total-variation distance + 2^-20-quantized KL divergence
@@ -5399,6 +5439,7 @@ QUERIES: dict[str, QueryFn] = {
     "gr_pagerank": gr_pagerank,
     "dd_minhash_incr_portable": dd_minhash_incr_portable,
     "tx_source_divergence": tx_source_divergence,
+    "pit_topk_events": pit_topk_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -5535,6 +5576,7 @@ ORACLES: dict[str, str] = {
     "gr_pagerank": _GR_PAGERANK_SQL,
     "dd_minhash_incr_portable": _DD_MINHASH_INCR_PORT_SQL,
     "tx_source_divergence": _TX_SRCDIV_SQL,
+    "pit_topk_events": _PIT_TOPK_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
