@@ -200,7 +200,7 @@ def f1_explode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _F1_SQL = """
-SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
 FROM documents
 """
 
@@ -414,7 +414,7 @@ _O9_SQL = "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
 # ---------------------------------------------------------------------------
 
 # Shared DuckDB fragments: tokens exactly as functions.text.tokens().
-_D_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_D_TOKS = "list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
 
 
 def tx_token_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -569,7 +569,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 _DD_JACCARD_SQL = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM documents
 ),
 sh AS (
   SELECT doc_id,
@@ -670,7 +670,7 @@ def dd_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
 # dedup._portable_shingle_sets + _portable_banded value-for-value)
 _MINHASH_PORT_CTES = f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM documents
 ),
 shs AS (
   SELECT doc_id AS id,
@@ -766,7 +766,7 @@ def tx_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
 
 _TX_SRCDIV_SQL = """
 WITH toks AS (
-  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  SELECT source, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
   FROM documents
 ),
 st AS (SELECT source, tok, COUNT(*)::BIGINT AS c_s FROM toks GROUP BY 1, 2),
@@ -815,7 +815,7 @@ def dd_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
 
 _DD_SIMHASH_PORT_SQL = f"""
 WITH toks AS (
-  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  SELECT doc_id AS id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
   FROM documents
 ),
 th AS (SELECT id, {ph.sql_str_hash('tok')} AS h FROM toks),
@@ -1777,7 +1777,7 @@ def tx_repetition(spark: SparkSession, sf: str) -> DataFrame:
 
 _TX_REP_SQL = """
 WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents
 ),
 sh AS (
   SELECT doc_id,
@@ -3124,7 +3124,7 @@ def dd_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 _DD_CLUSTERS_SQL = """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM documents
 ),
 sh AS (
   SELECT doc_id,
@@ -3796,7 +3796,7 @@ def dd_contamination(spark: SparkSession, sf: str) -> DataFrame:
 
 _DD_CONTAM_SQL = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM documents
 ),
 sh AS (
   SELECT doc_id,
