@@ -61,3 +61,92 @@ def hll_estimate_cells(profile: DataFrame, keys: Sequence[str]) -> DataFrame:
     return profile.select(
         *keys, F.hll_sketch_estimate("sk").alias("n_distinct_est")
     ).orderBy(*keys)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: fixed-bin integer histogram state
+# ---------------------------------------------------------------------------
+#
+# Same pre-aggregation argument as the HLL profile, for quantiles: exact
+# percentiles cannot be pre-aggregated, but a fixed-bin histogram over a
+# declared integer domain can — states merge by summing bin counts
+# (commutative/associative/deterministic), and any roll-up answers any
+# quantile to ±bin-width without re-scanning the data. Unlike t-digest /
+# KLL (whose merge is order-sensitive in the low bits), every operation
+# here is int64 arithmetic: the same inputs give the same sketch on any
+# partitioning, any engine — so the whole path is oracle-checkable.
+
+
+def histogram_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Finest-grain histogram state: one row per (keys…, bin) with the
+    int64 count. ``col`` must be integer-valued (cents discipline);
+    values outside [lo, hi) saturate into the edge bins (documented
+    sketch behavior, not data loss — the count is preserved).
+    Overflow bound: (hi-lo)·n_bins must fit int64."""
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.expr(f"(({col} - {lo}) * {n_bins}) div ({hi} - {lo})").cast("long"),
+        ),
+    )
+    return df.groupBy(*keys, b.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def histogram_rollup(profile: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge histogram states to coarser ``keys``: element-wise sum of
+    bin counts. Input is the profile relation — cost scales with #cells,
+    never with the raw data."""
+    return profile.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    profile: DataFrame,
+    keys: Sequence[str],
+    qs: Sequence[tuple[str, int, int]],
+    lo: int,
+    hi: int,
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Quantile estimates off a (possibly rolled-up) histogram state.
+
+    For each ``(name, num, den)`` in ``qs`` the estimate is the LEFT
+    EDGE of the smallest bin whose cumulative count reaches
+    ``num/den`` of the cell total — the lower-quantile convention on
+    binned data, every comparison exact int64 (``cum·den ≥ num·total``),
+    so the result is engine- and partitioning-exact. Error vs the true
+    quantile is bounded by one bin width.
+    """
+    from pyspark.sql import Window
+
+    klist = list(keys)
+    w = Window.partitionBy(*klist).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(*klist)
+    cum = profile.select(
+        *klist,
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    aggs = [F.max("total").alias("n_rows")]
+    for name, num, den in qs:
+        aggs.append(
+            F.min(F.when(F.col("cum") * den >= F.lit(num) * F.col("total"), F.col("bin")))
+            .alias(f"min_bin_{name}")
+        )
+    found = cum.groupBy(*klist).agg(*aggs)
+    outs = [F.col(c) for c in klist] + [F.col("n_rows")]
+    for name, _, _ in qs:
+        outs.append(
+            (F.lit(lo) + F.expr(f"(min_bin_{name} * ({hi} - {lo})) div {n_bins}"))
+            .cast("long")
+            .alias(name)
+        )
+    return found.select(*outs).orderBy(*klist)

@@ -715,6 +715,71 @@ cand AS (
 {_MINHASH_PORT_VERIFY}"""
 
 
+def ap_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile sketch (``sketches.histogram_profile`` family):
+    per-nation integer-histogram states over order totals (cents), rolled
+    up to region by summing bin counts, then p50/p90/p99 left-edge
+    estimates — every step int64-exact, so unlike t-digest/KLL the whole
+    sketch path is value-checked by the oracle. ±1-bin error bound vs
+    exact quantiles asserted in tests."""
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    base = (
+        orders.select("o_custkey", SC.cents(F.col("o_totalprice")).alias("tc"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "n_name", "tc")
+    )
+    profile = sketches.histogram_profile(
+        base, ["r_name", "n_name"], "tc", lo=0, hi=60_000_000, n_bins=4096
+    )
+    rolled = sketches.histogram_rollup(profile, ["r_name"])
+    return sketches.histogram_quantiles(
+        rolled,
+        ["r_name"],
+        [("p50_cents", 1, 2), ("p90_cents", 9, 10), ("p99_cents", 99, 100)],
+        lo=0,
+        hi=60_000_000,
+        n_bins=4096,
+    )
+
+
+_AP_QROLLUP_SQL = """
+WITH base AS (
+  SELECT r_name, CAST(round(o_totalprice * 100) AS BIGINT) AS tc
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+prof AS (
+  SELECT r_name,
+         least(4095, greatest(0, (tc * 4096) // 60000000)) AS bin,
+         COUNT(*)::BIGINT AS cnt
+  FROM base GROUP BY 1, 2
+),
+cum AS (
+  SELECT r_name, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY r_name ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         SUM(cnt) OVER (PARTITION BY r_name)::BIGINT AS total
+  FROM prof
+)
+SELECT r_name,
+       MAX(total)::BIGINT AS n_rows,
+       (MIN(CASE WHEN cum * 2 >= 1 * total THEN bin END) * 60000000 // 4096)::BIGINT AS p50_cents,
+       (MIN(CASE WHEN cum * 10 >= 9 * total THEN bin END) * 60000000 // 4096)::BIGINT AS p90_cents,
+       (MIN(CASE WHEN cum * 100 >= 99 * total THEN bin END) * 60000000 // 4096)::BIGINT AS p99_cents
+FROM cum GROUP BY r_name ORDER BY r_name
+"""
+
+
 def pit_topk_events(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time top-3 feature join (``joins.point_in_time_topk``):
     for every purchase, the user's 3 latest non-purchase events within a
@@ -5440,6 +5505,7 @@ QUERIES: dict[str, QueryFn] = {
     "dd_minhash_incr_portable": dd_minhash_incr_portable,
     "tx_source_divergence": tx_source_divergence,
     "pit_topk_events": pit_topk_events,
+    "ap_quantile_rollup": ap_quantile_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -5577,6 +5643,7 @@ ORACLES: dict[str, str] = {
     "dd_minhash_incr_portable": _DD_MINHASH_INCR_PORT_SQL,
     "tx_source_divergence": _TX_SRCDIV_SQL,
     "pit_topk_events": _PIT_TOPK_SQL,
+    "ap_quantile_rollup": _AP_QROLLUP_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
