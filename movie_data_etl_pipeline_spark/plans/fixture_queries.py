@@ -715,6 +715,28 @@ cand AS (
 {_MINHASH_PORT_VERIFY}"""
 
 
+def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """JL random projection 64→16 dims (``similarity.random_projection``):
+    Rademacher ±1 rows over 2^20-quantized components — map-only, int64-
+    exact, the byte-shrinking pre-step for ANN at scale. Query scoped to
+    vec_id < 50 (the ANN query set)."""
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 50)
+    return similarity.random_projection(emb, dim=64, out_dim=16)
+
+
+_EMB_RP_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) for x in embedding] AS q
+  FROM embeddings WHERE vec_id < 50
+)
+SELECT vec_id, j - 1 AS j,
+       CAST(list_sum([{ph.sql_rademacher_sign('(j-1)*64 + i - 1')} * q[i]
+                      for i in range(1, 65)]) AS BIGINT) AS y
+FROM q, range(1, 17) r(j)
+"""
+
+
 def ap_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable quantile sketch (``sketches.histogram_profile`` family):
     per-nation integer-histogram states over order totals (cents), rolled
@@ -5506,6 +5528,7 @@ QUERIES: dict[str, QueryFn] = {
     "tx_source_divergence": tx_source_divergence,
     "pit_topk_events": pit_topk_events,
     "ap_quantile_rollup": ap_quantile_rollup,
+    "emb_random_projection": emb_random_projection,
 }
 
 ORACLES: dict[str, str] = {
@@ -5644,6 +5667,7 @@ ORACLES: dict[str, str] = {
     "tx_source_divergence": _TX_SRCDIV_SQL,
     "pit_topk_events": _PIT_TOPK_SQL,
     "ap_quantile_rollup": _AP_QROLLUP_SQL,
+    "emb_random_projection": _EMB_RP_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

@@ -55,15 +55,32 @@ def test_lcg_perm_and_sign_agreement(spark):
     for (i, x), row in zip(xs, got):
         a, b = ph.perm_coeffs(i)
         assert row["perm"] == (a * x + b) % ph.P
-        assert row["sign"] == (1 if ((ph.MULT * (i + 1)) % ph.P) % 2 == 1 else -1)
+        assert row["sign"] == ph.py_rademacher_sign(i)
 
 
-def test_rademacher_signs_balanced():
-    signs = [((ph.MULT * (i + 1)) % ph.P) % 2 for i in range(2048)]
-    assert 0.45 < sum(signs) / len(signs) < 0.55
-    # every 64-dim plane row distinct (no degenerate duplicate planes)
-    rows = {tuple(signs[p * 64 : (p + 1) * 64]) for p in range(32)}
-    assert len(rows) == 32
+def test_sql_rademacher_sign_matches_python():
+    import duckdb
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT [{ph.sql_rademacher_sign('i')} for i in range(0, 256)]"
+    ).fetchone()[0]
+    assert list(got) == [ph.py_rademacher_sign(i) for i in range(256)]
+
+
+def test_rademacher_signs_balanced_and_unstructured():
+    signs = [ph.py_rademacher_sign(i) for i in range(4096)]
+    frac = sum(1 for s in signs if s == 1) / len(signs)
+    assert 0.45 < frac < 0.55
+    # 64-dim plane rows must be distinct AND not near-duplicates: the
+    # mixed finalizer keeps |row·row|/dim bounded away from 1 (the raw
+    # LCG parity rows were ~0.97-correlated, which froze JL quality)
+    rows = [signs[p * 64 : (p + 1) * 64] for p in range(32)]
+    assert len({tuple(r) for r in rows}) == 32
+    for a in range(32):
+        for b in range(a + 1, 32):
+            corr = abs(sum(x * y for x, y in zip(rows[a], rows[b]))) / 64
+            assert corr <= 0.5, (a, b, corr)
 
 
 def test_minhash_portable_subset_of_exact_jaccard(spark, sf_dir):
