@@ -772,3 +772,61 @@ def source_divergence(docs: DataFrame, source_col: str = "source") -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def frequent_token_pairs(
+    docs: DataFrame, min_support: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Frequent co-occurring token pairs with lift — the first two
+    passes of a-priori frequent-itemset mining, the market-basket shape
+    over documents (finds collocations / template phrases a cleaning
+    pass should treat as units).
+
+    Scale discipline: the pair explosion is the quadratic danger, so the
+    classic a-priori prune runs FIRST — only tokens present in ≥
+    ``min_support`` documents enter the per-document self-join (any
+    frequent pair's members are themselves frequent, so this loses
+    nothing). Join is equality on ``doc_id`` with ``tok_a < tok_b``;
+    per-doc fan-out is (frequent-tokens-per-doc choose 2), the quantity
+    ``min_support`` tunes. Lift = n_ab·N / (n_a·n_b) is rendered by ONE
+    division of exact int64 products.
+    """
+    dt = (
+        ensure_min_partitions(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(TX.tokens(text_col)).alias("tok"))
+        .distinct()
+    )
+    n_docs = docs.select(F.countDistinct(id_col).alias("n")).withColumn("__x", F.lit(1))
+    freq = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .filter(F.col("n_tok") >= min_support)
+    )
+    filtered = dt.join(F.broadcast(freq), "tok")
+    pairs = (
+        filtered.alias("a")
+        .join(
+            filtered.alias("b"),
+            (F.col("a.id") == F.col("b.id")) & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"),
+            F.col("b.tok").alias("tok_b"),
+            F.col("a.n_tok").alias("n_a"),
+            F.col("b.n_tok").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    return (
+        pairs.withColumn("__x", F.lit(1))
+        .join(F.broadcast(n_docs), "__x")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round((F.col("n_ab") * F.col("n")) / (F.col("n_a") * F.col("n_b")), 6).alias(
+                "lift"
+            ),
+        )
+    )

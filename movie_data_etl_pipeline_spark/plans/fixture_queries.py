@@ -715,6 +715,36 @@ cand AS (
 {_MINHASH_PORT_VERIFY}"""
 
 
+def fp_token_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent co-occurring token pairs with lift (a-priori passes 1-2,
+    ``text_analysis.frequent_token_pairs``): the market-basket shape
+    over documents, quadratic fan-out tamed by the support prune."""
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.frequent_token_pairs(docs, min_support=100)
+
+
+_FP_PAIRS_SQL = """
+WITH dt AS (
+  SELECT DISTINCT doc_id AS id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+nd AS (SELECT COUNT(DISTINCT doc_id)::BIGINT AS n FROM documents),
+freq AS (
+  SELECT tok, COUNT(*)::BIGINT AS n_tok FROM dt GROUP BY 1 HAVING COUNT(*) >= 100
+),
+filtered AS (SELECT dt.id, dt.tok, freq.n_tok FROM dt JOIN freq USING (tok)),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, a.n_tok AS n_a, b.n_tok AS n_b,
+         COUNT(*)::BIGINT AS n_ab
+  FROM filtered a JOIN filtered b ON a.id = b.id AND a.tok < b.tok
+  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 100
+)
+SELECT tok_a, tok_b, n_ab,
+       ROUND((n_ab * n) / (n_a * n_b), 6) AS lift
+FROM pairs CROSS JOIN nd
+"""
+
+
 def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     """JL random projection 64→16 dims (``similarity.random_projection``):
     Rademacher ±1 rows over 2^20-quantized components — map-only, int64-
@@ -5529,6 +5559,7 @@ QUERIES: dict[str, QueryFn] = {
     "pit_topk_events": pit_topk_events,
     "ap_quantile_rollup": ap_quantile_rollup,
     "emb_random_projection": emb_random_projection,
+    "fp_token_pairs": fp_token_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5668,6 +5699,7 @@ ORACLES: dict[str, str] = {
     "pit_topk_events": _PIT_TOPK_SQL,
     "ap_quantile_rollup": _AP_QROLLUP_SQL,
     "emb_random_projection": _EMB_RP_SQL,
+    "fp_token_pairs": _FP_PAIRS_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
