@@ -125,3 +125,69 @@ def cotransaction_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     return pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation: seed nodes are clamped to
+    their known label; every other node adopts, per round, the majority
+    label of its labeled neighbors — the metadata-imputation pass a
+    training pipeline runs to spread sparse annotations (language,
+    license, quality tier) across a similarity or interaction graph.
+
+    Determinism: the vote argmax is total-ordered as (count DESC, label
+    ASC) — rendered as ``min(struct(-count, label))``, so ties cannot
+    flip between runs, partitionings, or engines; with integer votes the
+    whole fixpoint is oracle-checkable by unrolling rounds in SQL.
+
+    Per round: one join (edges ⋈ current labels on dst) + one two-key
+    groupBy (src, label) + one per-src argmax — all key-partitioned
+    exchanges, lineage truncated per round like the other iterative
+    operators here. Nodes with no labeled neighbor keep their previous
+    state (possibly NULL) and may acquire a label in a later round as
+    the frontier expands.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        sym.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    seed = seeds.select(F.col(node_col).alias("node"), F.col(label_col).alias("__seed"))
+    labels = nodes.join(seed, "node", "left").select(
+        "node", F.col("__seed").alias("label")
+    )
+    for _ in range(iters):
+        votes = (
+            sym.join(
+                labels.filter(F.col("label").isNotNull()).select(
+                    F.col("node").alias("dst"), F.col("label").alias("__nl")
+                ),
+                "dst",
+            )
+            .groupBy("src", "__nl")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        best = (
+            votes.groupBy("src")
+            .agg(F.min(F.struct((-F.col("__cnt")).alias("nc"), F.col("__nl").alias("l"))).alias("b"))
+            .select(F.col("src").alias("node"), F.col("b.l").alias("__best"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .join(seed, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__seed"), F.col("__best"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

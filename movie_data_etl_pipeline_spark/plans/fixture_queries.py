@@ -715,6 +715,76 @@ cand AS (
 {_MINHASH_PORT_VERIFY}"""
 
 
+def gr_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-supervised label propagation (``graph.label_propagation``):
+    25% of customers arrive seeded with their market segment; three
+    rounds of deterministic majority voting spread segments across the
+    customer↔supplier co-transaction graph — the sparse-annotation
+    imputation pass (language/license/quality tiers) at corpus scale.
+    Iterative like PageRank, and like it fully oracle-checked via
+    unrolled rounds (integer votes, (count desc, label asc) tie-break).
+    """
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    customer = load_table(spark, sf, "customer")
+    edges = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select((F.col("o_custkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst"))
+        .distinct()
+    )
+    seeds = customer.filter(F.col("c_custkey") % 4 == 0).select(
+        (F.col("c_custkey") * 2).alias("node"), F.col("c_mktsegment").alias("label")
+    )
+    out = graph.label_propagation(edges, seeds, iters=3)
+    return out.filter(F.col("label").isNotNull()).orderBy("node")
+
+
+def _lp_round_sql(prev: str, out: str) -> str:
+    return f"""
+v_{out} AS (
+  SELECT sym.src, l.label AS nl, COUNT(*)::BIGINT AS cnt
+  FROM sym JOIN {prev} l ON l.node = sym.dst AND l.label IS NOT NULL
+  GROUP BY 1, 2
+),
+b_{out} AS (
+  SELECT src AS node, nl AS best FROM (
+    SELECT src, nl, row_number() OVER (PARTITION BY src ORDER BY cnt DESC, nl ASC) AS rn
+    FROM v_{out}
+  ) WHERE rn = 1
+),
+{out} AS (
+  SELECT n.node, COALESCE(s.label, b.best, p.label) AS label
+  FROM nodes n
+  LEFT JOIN seeds s USING (node)
+  LEFT JOIN b_{out} b USING (node)
+  LEFT JOIN {prev} p USING (node)
+)"""
+
+
+_GR_LABELPROP_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+sym AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+seeds AS (
+  SELECT c_custkey * 2 AS node, c_mktsegment AS label
+  FROM customer WHERE c_custkey % 4 = 0
+),
+l0 AS (SELECT n.node, s.label FROM nodes n LEFT JOIN seeds s USING (node)),
+{_lp_round_sql('l0', 'l1')},
+{_lp_round_sql('l1', 'l2')},
+{_lp_round_sql('l2', 'l3')}
+SELECT node, label FROM l3 WHERE label IS NOT NULL ORDER BY node
+"""
+
+
 def fp_token_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Frequent co-occurring token pairs with lift (a-priori passes 1-2,
     ``text_analysis.frequent_token_pairs``): the market-basket shape
@@ -5560,6 +5630,7 @@ QUERIES: dict[str, QueryFn] = {
     "ap_quantile_rollup": ap_quantile_rollup,
     "emb_random_projection": emb_random_projection,
     "fp_token_pairs": fp_token_pairs,
+    "gr_label_prop": gr_label_prop,
 }
 
 ORACLES: dict[str, str] = {
@@ -5700,6 +5771,7 @@ ORACLES: dict[str, str] = {
     "ap_quantile_rollup": _AP_QROLLUP_SQL,
     "emb_random_projection": _EMB_RP_SQL,
     "fp_token_pairs": _FP_PAIRS_SQL,
+    "gr_label_prop": _GR_LABELPROP_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

@@ -70,3 +70,43 @@ def test_cotransaction_edges_bidirectional_and_disjoint_ids(spark, sf_dir):
         | ((F.col("src") % 2 == 1) & (F.col("dst") % 2 == 1))
     ).count()
     assert bad == 0
+
+
+def _seeds(spark, rows):
+    return spark.createDataFrame(rows, "node LONG, label STRING")
+
+
+def test_label_prop_frontier_expands_per_round(spark):
+    # chain 1-2-3-4, seed at 1: labels reach node 4 only at round 3
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    s = _seeds(spark, [(1, "L")])
+    two = {r["node"]: r["label"] for r in graph.label_propagation(e, s, iters=2).collect()}
+    assert two[3] == "L" and two[4] is None
+    three = {r["node"]: r["label"] for r in graph.label_propagation(e, s, iters=3).collect()}
+    assert three == {1: "L", 2: "L", 3: "L", 4: "L"}
+
+
+def test_label_prop_seeds_are_clamped(spark):
+    # node 1 seeded "X" surrounded by "Y"-seeded neighbors: stays "X"
+    e = _edges(spark, [(1, 2), (1, 3)])
+    s = _seeds(spark, [(1, "X"), (2, "Y"), (3, "Y")])
+    out = {r["node"]: r["label"] for r in graph.label_propagation(e, s, iters=4).collect()}
+    assert out[1] == "X" and out[2] == "Y" and out[3] == "Y"
+
+
+def test_label_prop_majority_and_tie_break(spark):
+    # node 10: two "B" neighbors, one "A" → B ; node 20: one of each → A (asc tie-break)
+    e = _edges(spark, [(10, 1), (10, 2), (10, 3), (20, 4), (20, 5)])
+    s = _seeds(spark, [(1, "B"), (2, "B"), (3, "A"), (4, "B"), (5, "A")])
+    out = {r["node"]: r["label"] for r in graph.label_propagation(e, s, iters=1).collect()}
+    assert out[10] == "B" and out[20] == "A"
+
+
+def test_label_prop_partition_independence(spark):
+    pairs = [(i, (i * 3 + 1) % 17) for i in range(40) if i != (i * 3 + 1) % 17]
+    s = _seeds(spark, [(0, "P"), (5, "Q"), (11, "R")])
+    e1 = _edges(spark, pairs).repartition(1)
+    e2 = _edges(spark, pairs).repartition(16)
+    a = sorted(map(tuple, graph.label_propagation(e1, s, iters=3).collect()))
+    b = sorted(map(tuple, graph.label_propagation(e2, s, iters=3).collect()))
+    assert a == b
