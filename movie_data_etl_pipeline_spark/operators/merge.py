@@ -203,3 +203,40 @@ def insert_if_absent(
     keys = list(key_cols)
     fresh = incoming.dropDuplicates(keys).join(target, keys, "left_anti")
     return target.unionByName(fresh)
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC apply (the ``APPLY CHANGES INTO`` shape): collapse a
+    change-feed batch to its NET effect per key, then apply in one pass —
+    the reference's ON CONFLICT upsert (``02_etl.py:84-101``) extended
+    with ordered out-of-order arrival and deletes.
+
+    Semantics: for every key the change with the highest ``seq_col``
+    wins (ties broken by arrival order are refused — use a total
+    sequence); if the winner's ``op_col`` equals ``delete_op`` the key is
+    removed, otherwise its payload replaces/creates the target row.
+    Earlier changes for the same key are absorbed BEFORE touching the
+    target — a batch containing insert→update→delete for one key nets to
+    a delete, exactly once.
+
+    Plan: one window over the changes (last-wins), one left-anti join to
+    drop every touched key from the target, one union — the target is
+    scanned once regardless of how many changes a key received. Pairs
+    with ``BucketedCowTable``/``VersionedCowTable`` for bucket-pruned
+    physical application.
+    """
+    from movie_data_etl_pipeline_spark.operators.dedup import dedup_last_wins
+
+    latest = dedup_last_wins(changes, key_cols, [F.desc(seq_col)])
+    payload_cols = [c for c in changes.columns if c not in (seq_col, op_col)]
+    upserts = latest.filter(F.col(op_col) != delete_op).select(*payload_cols)
+    touched = latest.select(*key_cols)
+    kept = target.join(touched, list(key_cols), "left_anti")
+    return kept.select(*payload_cols).unionByName(upserts)

@@ -715,6 +715,64 @@ cand AS (
 {_MINHASH_PORT_VERIFY}"""
 
 
+def o12_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC apply (``merge.apply_changes``): a deterministic synthetic
+    change batch — two update generations, deletes, and inserts, with
+    per-key collisions — collapses to its net effect (highest seq wins)
+    and applies to the supplier table in one target scan. The reference's
+    ON CONFLICT upsert extended with ordering and deletes."""
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+
+    def chg(pred, key, name, seq, op):
+        return sup.filter(pred).select(
+            key.alias("s_suppkey"),
+            name.alias("s_name"),
+            F.col("s_nationkey"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    k = F.col("s_suppkey")
+    changes = (
+        chg(k % 10 == 0, k, F.concat(F.lit("upd1-"), k.cast("string")), 1, "U")
+        .unionByName(chg(k % 20 == 0, k, F.concat(F.lit("upd2-"), k.cast("string")), 2, "U"))
+        .unionByName(chg(k % 17 == 0, k, F.col("s_name"), 3, "D"))
+        .unionByName(
+            chg(k <= 5, k + 1000, F.concat(F.lit("new-"), (k + 1000).cast("string")), 1, "I")
+        )
+    )
+    return merge.apply_changes(sup, changes, ["s_suppkey"], "seq").orderBy("s_suppkey")
+
+
+_O12_CDC_SQL = """
+WITH sup AS (SELECT s_suppkey, s_name, s_nationkey FROM supplier),
+changes AS (
+  SELECT s_suppkey, 'upd1-' || s_suppkey AS s_name, s_nationkey, 1 AS seq, 'U' AS op
+  FROM sup WHERE s_suppkey % 10 = 0
+  UNION ALL
+  SELECT s_suppkey, 'upd2-' || s_suppkey, s_nationkey, 2, 'U' FROM sup WHERE s_suppkey % 20 = 0
+  UNION ALL
+  SELECT s_suppkey, s_name, s_nationkey, 3, 'D' FROM sup WHERE s_suppkey % 17 = 0
+  UNION ALL
+  SELECT s_suppkey + 1000, 'new-' || (s_suppkey + 1000), s_nationkey, 1, 'I'
+  FROM sup WHERE s_suppkey <= 5
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY s_suppkey ORDER BY seq DESC) AS rn FROM changes
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT s.* FROM sup s LEFT JOIN latest l ON s.s_suppkey = l.s_suppkey
+  WHERE l.s_suppkey IS NULL
+)
+SELECT s_suppkey, s_name, s_nationkey FROM kept
+UNION ALL
+SELECT s_suppkey, s_name, s_nationkey FROM latest WHERE op <> 'D'
+ORDER BY s_suppkey
+"""
+
+
 def gr_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-supervised label propagation (``graph.label_propagation``):
     25% of customers arrive seeded with their market segment; three
@@ -5631,6 +5689,7 @@ QUERIES: dict[str, QueryFn] = {
     "emb_random_projection": emb_random_projection,
     "fp_token_pairs": fp_token_pairs,
     "gr_label_prop": gr_label_prop,
+    "o12_apply_changes": o12_apply_changes,
 }
 
 ORACLES: dict[str, str] = {
@@ -5772,6 +5831,7 @@ ORACLES: dict[str, str] = {
     "emb_random_projection": _EMB_RP_SQL,
     "fp_token_pairs": _FP_PAIRS_SQL,
     "gr_label_prop": _GR_LABELPROP_SQL,
+    "o12_apply_changes": _O12_CDC_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

@@ -437,3 +437,39 @@ def test_versioned_cow_change_feed(spark, tmp_path):
 
     # no changes between identical versions
     assert t.changes(spark, v3, v3).count() == 0
+
+
+def test_apply_changes_nets_insert_update_delete_to_delete(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k LONG, v STRING")
+    changes = spark.createDataFrame(
+        [
+            (3, "ins", 1, "I"),
+            (3, "upd", 2, "U"),
+            (3, "x", 3, "D"),  # whole lifecycle in one batch → net delete
+            (1, "a2", 1, "U"),
+        ],
+        "k LONG, v STRING, seq LONG, op STRING",
+    )
+    out = sorted(map(tuple, merge.apply_changes(target, changes, ["k"], "seq").collect()))
+    assert out == [(1, "a2"), (2, "b")]
+
+
+def test_apply_changes_out_of_order_highest_seq_wins(spark):
+    target = spark.createDataFrame([(1, "old")], "k LONG, v STRING")
+    changes = spark.createDataFrame(
+        [(1, "late", 5, "U"), (1, "early", 2, "U"), (1, "mid", 3, "U")],
+        "k LONG, v STRING, seq LONG, op STRING",
+    )
+    out = merge.apply_changes(target, changes, ["k"], "seq").collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "late")]
+
+
+def test_apply_changes_reapply_is_idempotent(spark):
+    target = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "k LONG, v STRING")
+    changes = spark.createDataFrame(
+        [(2, "u2", 1, "U"), (3, "x", 1, "D"), (100, "new", 1, "I")],
+        "k LONG, v STRING, seq LONG, op STRING",
+    )
+    once = merge.apply_changes(target, changes, ["k"], "seq")
+    twice = merge.apply_changes(once, changes, ["k"], "seq")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
