@@ -229,3 +229,47 @@ def dlq_parse(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
         ),
     )
+
+
+def mad_outlier_report(
+    df: DataFrame, keys: Sequence[str], col: str, k: int = 5
+) -> DataFrame:
+    """Robust per-group outlier gate: flag rows more than ``k`` median-
+    absolute-deviations from their group median — the load-screening
+    rule that, unlike mean/stddev gates, a few extreme rows cannot drag
+    (50% breakdown point vs 0%).
+
+    Exactness: ``col`` must be integer-valued (cents discipline). The
+    median of int64s is x.0 or x.5 — exact in binary double; deviations
+    are then halves, their median is quarters — still exact binary, so
+    every comparison (`dev > k·mad`) is engine- and partition-exact and
+    the whole report is oracle-checkable. No approx_percentile drift.
+
+    Plan: one (keys) median pass, one join back + deviation median pass,
+    one conditional count — the per-key stats relation is broadcast for
+    the flagging join.
+    """
+    klist = list(keys)
+    med = df.groupBy(*klist).agg(
+        F.median(F.col(col)).alias("__med"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    with_dev = df.join(F.broadcast(med), klist).withColumn(
+        "__dev", F.abs(F.col(col) - F.col("__med"))
+    )
+    mad = with_dev.groupBy(*klist).agg(F.median("__dev").alias("__mad"))
+    flagged = (
+        with_dev.join(F.broadcast(mad), klist)
+        .groupBy(*klist)
+        .agg(
+            F.max("__med").alias("median_val"),
+            F.max("__mad").alias("mad_val"),
+            F.max("n_rows").alias("n_rows"),
+            F.sum(
+                F.when(F.col("__dev") > F.lit(k) * F.col("__mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+    return flagged.select(*klist, "n_rows", "median_val", "mad_val", "n_outliers").orderBy(
+        *klist
+    )

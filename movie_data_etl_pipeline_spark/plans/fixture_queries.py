@@ -715,6 +715,40 @@ cand AS (
 {_MINHASH_PORT_VERIFY}"""
 
 
+def qa_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier screening (``quality.mad_outlier_report``): orders
+    more than 5 MADs from their status-group median price — the
+    breakdown-resistant gate; exact because cents-median arithmetic
+    stays on binary-exact halves/quarters."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderstatus", SC.cents(F.col("o_totalprice")).alias("price_c")
+    )
+    return quality.mad_outlier_report(o, ["o_orderstatus"], "price_c", k=5)
+
+
+_QA_MAD_SQL = """
+WITH o AS (
+  SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders
+),
+med AS (
+  SELECT o_orderstatus, median(price_c) AS m, COUNT(*)::BIGINT AS n_rows
+  FROM o GROUP BY 1
+),
+dev AS (
+  SELECT o.o_orderstatus, abs(price_c - m) AS d, m, n_rows
+  FROM o JOIN med USING (o_orderstatus)
+),
+mad AS (SELECT o_orderstatus, median(d) AS md FROM dev GROUP BY 1)
+SELECT o_orderstatus,
+       MAX(n_rows)::BIGINT AS n_rows,
+       MAX(m) AS median_val,
+       MAX(md) AS mad_val,
+       SUM(CASE WHEN d > 5 * md THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM dev JOIN mad USING (o_orderstatus)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def o12_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
     """CDC apply (``merge.apply_changes``): a deterministic synthetic
     change batch — two update generations, deletes, and inserts, with
@@ -5690,6 +5724,7 @@ QUERIES: dict[str, QueryFn] = {
     "fp_token_pairs": fp_token_pairs,
     "gr_label_prop": gr_label_prop,
     "o12_apply_changes": o12_apply_changes,
+    "qa_mad_outliers": qa_mad_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -5832,6 +5867,7 @@ ORACLES: dict[str, str] = {
     "fp_token_pairs": _FP_PAIRS_SQL,
     "gr_label_prop": _GR_LABELPROP_SQL,
     "o12_apply_changes": _O12_CDC_SQL,
+    "qa_mad_outliers": _QA_MAD_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

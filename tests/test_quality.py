@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from movie_data_etl_pipeline_spark.operators import quality
 from movie_data_etl_pipeline_spark.operators.quality import audit
 
 
@@ -137,3 +138,25 @@ def test_dlq_split_ok_side_has_no_corrupt_column(spark):
     df = spark.createDataFrame([(1, '{"k": 1}')], "id long, props string")
     ok, _ = dlq_split(df, "props", "k INT")
     assert [f.name for f in ok.schema["parsed"].dataType.fields] == ["k"]
+
+
+def test_mad_outlier_report_hand_case(spark):
+    # group g: values 1..9 plus a 1000 outlier → med of 10 vals, exact halves
+    rows = [("g", v) for v in range(1, 10)] + [("g", 1000)]
+    df = spark.createDataFrame(rows, "k STRING, x LONG")
+    out = quality.mad_outlier_report(df, ["k"], "x", k=5).collect()[0]
+    # sorted: 1..9,1000 → median = (5+6)/2 = 5.5 ; devs sorted:
+    # 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5 → mad = 2.5
+    assert out["n_rows"] == 10
+    assert out["median_val"] == 5.5
+    assert out["mad_val"] == 2.5
+    # |x-5.5| > 12.5 → only the 1000
+    assert out["n_outliers"] == 1
+
+
+def test_mad_report_breakdown_resistance(spark):
+    # mean/std would flag nothing useful with 40% junk; MAD still isolates it
+    rows = [("g", v) for v in range(100, 160)] + [("g", 10_000 + v) for v in range(40)]
+    df = spark.createDataFrame(rows, "k STRING, x LONG")
+    out = quality.mad_outlier_report(df, ["k"], "x", k=5).collect()[0]
+    assert out["n_outliers"] == 40
