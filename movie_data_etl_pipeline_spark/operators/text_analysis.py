@@ -725,7 +725,11 @@ def source_divergence(docs: DataFrame, source_col: str = "source") -> DataFrame:
     toks = ensure_min_partitions(docs.select(F.col(source_col).alias("source"), "text")).select(
         "source", F.explode(TX.tokens("text")).alias("tok")
     )
-    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_s"))
+    # three consumers (vocab, per-source totals, the scoring join) hang
+    # off this pre-aggregation; persist it so the corpus is scanned and
+    # tokenized ONCE — the (source,tok) relation is vocabulary-sized,
+    # orders of magnitude smaller than the corpus it summarizes
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_s")).persist()
     vocab = st.groupBy("tok").agg(F.sum("c_s").alias("c"))
     s_tot = st.groupBy("source").agg(F.sum("c_s").alias("t_s"))
     total = vocab.agg(F.sum("c").alias("t"))
@@ -791,10 +795,13 @@ def frequent_token_pairs(
     ``min_support`` tunes. Lift = n_ab·N / (n_a·n_b) is rendered by ONE
     division of exact int64 products.
     """
+    # consumed by the support count, both sides of the pair self-join,
+    # and the doc count — tokenize + distinct once
     dt = (
         ensure_min_partitions(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
         .select("id", F.explode(TX.tokens(text_col)).alias("tok"))
         .distinct()
+        .persist()
     )
     n_docs = docs.select(F.countDistinct(id_col).alias("n")).withColumn("__x", F.lit(1))
     freq = (
