@@ -837,3 +837,80 @@ def frequent_token_pairs(
             ),
         )
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-1 language-model scoring: per document, the mean add-one-
+    smoothed bigram surprisal −ln P(w₂|w₁) under the corpus bigram
+    distribution — the next step up from the unigram gate (catches
+    scrambled/concatenated text that unigram frequencies cannot: the
+    tokens are normal, their SEQUENCE is not).
+
+    Determinism (same discipline as the unigram scorer): each bigram
+    TYPE's surprisal ln((c₁+V)/(c₁₂+1)) quantizes ONCE to integer 2^-20
+    units — a per-row IEEE expression with no accumulation order — then
+    per-doc occurrence counts weight it in int64 sums; one final
+    division renders the double.
+
+    Plan: bigrams are built JVM-side from the token array (zip_with of
+    two slices — zero shuffle, no posexplode self-join), pre-aggregated
+    to (doc, w1, w2, k) before any join (the Zipf-skew bound), then one
+    tok-pair-keyed join to the priced bigram vocabulary and one groupBy
+    doc.
+    """
+    t = TX.tokens(text_col)
+    base = ensure_min_partitions(
+        docs.select(F.col(id_col).alias("id"), t.alias("t"))
+    ).filter(F.size("t") >= 2)
+    pairs = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    dk = (
+        base.select("id", F.explode(pairs).alias("b"))
+        .select("id", "b.w1", "b.w2")
+        .groupBy("id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .persist()
+    )
+    c12 = dk.groupBy("w1", "w2").agg(F.sum("k").alias("c12")).persist()
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c12.agg(F.countDistinct("w2").alias("v")).withColumn("__x", F.lit(1))
+    priced = (
+        c12.join(c1, "w1")
+        .withColumn("__x", F.lit(1))
+        .join(F.broadcast(v), "__x")
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    (F.col("c1") + F.col("v")).cast("double")
+                    / (F.col("c12") + 1).cast("double")
+                )
+                * F.lit(1048576.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("u"),
+        )
+    )
+    return (
+        dk.join(priced, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("u")).alias("su"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            F.round(F.col("su") / (F.lit(1048576.0) * F.col("n_bigrams")), 6).alias(
+                "mean_surprisal"
+            ),
+        )
+        .orderBy(id_col)
+    )

@@ -715,6 +715,45 @@ cand AS (
 {_MINHASH_PORT_VERIFY}"""
 
 
+def tx_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-1 LM gate (``text_analysis.bigram_surprisal``): mean
+    add-one-smoothed bigram surprisal per document — catches scrambled
+    token SEQUENCES the unigram gate cannot. Zero-shuffle bigram
+    construction; per-type 2^-20 surprisal quantization then int64
+    sums."""
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.bigram_surprisal(docs)
+
+
+_TX_BIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+bi AS (
+  SELECT id, b['w1'] AS w1, b['w2'] AS w2
+  FROM (
+    SELECT id, unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS b
+    FROM toks WHERE len(t) >= 2
+  )
+),
+dk AS (SELECT id, w1, w2, COUNT(*)::BIGINT AS k FROM bi GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, SUM(k)::BIGINT AS c12 FROM dk GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w2)::BIGINT AS v FROM c12),
+priced AS (
+  SELECT w1, w2,
+         CAST(floor(ln(CAST(c1 + v AS DOUBLE) / CAST(c12 + 1 AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS u
+  FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT id AS doc_id,
+       SUM(k)::BIGINT AS n_bigrams,
+       ROUND(SUM(k * u) / (1048576.0 * SUM(k)), 6) AS mean_surprisal
+FROM dk JOIN priced USING (w1, w2)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def qa_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Robust outlier screening (``quality.mad_outlier_report``): orders
     more than 5 MADs from their status-group median price — the
@@ -5725,6 +5764,7 @@ QUERIES: dict[str, QueryFn] = {
     "gr_label_prop": gr_label_prop,
     "o12_apply_changes": o12_apply_changes,
     "qa_mad_outliers": qa_mad_outliers,
+    "tx_bigram_surprisal": tx_bigram_surprisal,
 }
 
 ORACLES: dict[str, str] = {
@@ -5868,6 +5908,7 @@ ORACLES: dict[str, str] = {
     "gr_label_prop": _GR_LABELPROP_SQL,
     "o12_apply_changes": _O12_CDC_SQL,
     "qa_mad_outliers": _QA_MAD_SQL,
+    "tx_bigram_surprisal": _TX_BIGRAM_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

@@ -40,3 +40,31 @@ def test_bounds_on_fixture(spark, sf_dir):
         assert 0.0 <= r["tv_dist"] <= 1.0
         # KL ≥ 0 up to the 2^-20 per-token quantization slack
         assert r["kl_nats"] >= -1e-5
+
+
+def test_bigram_surprisal_hand_case(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "src", "a b a b"), (2, "src", "b a")], "doc_id LONG, source STRING, text STRING"
+    )
+    out = {r["doc_id"]: r for r in text_analysis.bigram_surprisal(df).collect()}
+    # corpus bigrams: (a,b):2 (b,a):2 → c1[a]=2 c1[b]=2, V=2
+    u_ab = math.floor(math.log((2 + 2) / (2 + 1)) * 1048576 + 0.5)
+    u_ba = math.floor(math.log((2 + 2) / (2 + 1)) * 1048576 + 0.5)
+    assert out[1]["n_bigrams"] == 3
+    want1 = (2 * u_ab + 1 * u_ba) / (1048576.0 * 3)
+    assert abs(out[1]["mean_surprisal"] - round(want1, 6)) < 1e-9
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["mean_surprisal"] - round(u_ba / 1048576.0, 6)) < 1e-9
+
+
+def test_bigram_surprisal_flags_scrambled_sequences(spark):
+    # corpus of strongly-patterned text + one doc with the same tokens scrambled:
+    # unigram stats identical, bigram surprisal must rank the scrambled doc highest
+    patterned = [(i, "s", "the cat sat on the mat " * 3) for i in range(20)]
+    scrambled = [(99, "s", "mat the on sat the cat " * 3)]
+    df = spark.createDataFrame(patterned + scrambled, "doc_id LONG, source STRING, text STRING")
+    out = {r["doc_id"]: r["mean_surprisal"] for r in text_analysis.bigram_surprisal(df).collect()}
+    assert out[99] == max(out.values())
+    assert out[99] > out[0]
