@@ -715,6 +715,39 @@ cand AS (
 {_MINHASH_PORT_VERIFY}"""
 
 
+def st_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment (``streaming.stream_static_enrich``):
+    events decorated with the customer market segment via a broadcast
+    dimension join, then hourly tumbling counts per segment — the
+    firehose-decoration pattern; the streaming run's batch equivalence
+    is asserted in `tests/test_streaming.py`, this is the batch
+    rendering the oracle checks."""
+    ev = load_table(spark, sf, "events")
+    dim = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = SW.stream_static_enrich(ev, dim, "user_id")
+    return (
+        joined.groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+        )
+        .orderBy("window_start", "segment")
+    )
+
+
+_ST_ENRICH_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       c_mktsegment AS segment,
+       COUNT(*)::BIGINT AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def tx_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     """Order-1 LM gate (``text_analysis.bigram_surprisal``): mean
     add-one-smoothed bigram surprisal per document — catches scrambled
@@ -5765,6 +5798,7 @@ QUERIES: dict[str, QueryFn] = {
     "o12_apply_changes": o12_apply_changes,
     "qa_mad_outliers": qa_mad_outliers,
     "tx_bigram_surprisal": tx_bigram_surprisal,
+    "st_enrich": st_enrich,
 }
 
 ORACLES: dict[str, str] = {
@@ -5909,6 +5943,7 @@ ORACLES: dict[str, str] = {
     "o12_apply_changes": _O12_CDC_SQL,
     "qa_mad_outliers": _QA_MAD_SQL,
     "tx_bigram_surprisal": _TX_BIGRAM_SQL,
+    "st_enrich": _ST_ENRICH_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
