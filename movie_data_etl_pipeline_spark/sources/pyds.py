@@ -29,6 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -38,6 +39,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -212,3 +214,96 @@ def register_python_sources(spark) -> None:
     """Idempotently register both connectors on a session."""
     spark.dataSource.register(TmdbPagesDataSource)
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlDirDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write path: JSONL directory sink with a staged two-phase commit
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class _JsonlDirWriter(DataSourceWriter):
+    """Task-parallel JSONL writer with the classic staging commit
+    protocol: every task writes to ``<path>/_staging/<task-attempt>``,
+    the DRIVER promotes staged files to ``part-NNNNN.jsonl`` and drops a
+    ``_SUCCESS`` manifest only after every task reported success; abort
+    removes the staging area. Readers that require ``_SUCCESS`` (or list
+    only ``part-*``) therefore never observe a partial write — the
+    atomicity contract a production committer provides on object
+    storage, demonstrated on the local filesystem (executors and driver
+    share it in local mode; on a cluster the same protocol targets
+    shared/cloud storage)."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.overwrite = overwrite
+        self.fail_partition = int(options.get("fail_partition", -1))
+
+    def write(self, iterator):  # executor-side
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        if pid == self.fail_partition:
+            raise RuntimeError(f"injected failure in partition {pid}")
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        fname = os.path.join(staging, f"task-{pid}-{attempt}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _StagedFile(staged=fname, rows=n)
+
+    def commit(self, messages):  # driver-side, all tasks succeeded
+        import json
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-") and f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        finals = []
+        total = 0
+        for i, m in enumerate(sorted(messages, key=lambda m: m.staged)):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.staged, final)
+            finals.append(os.path.basename(final))
+            total += m.rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"files": finals, "total_rows": total}, f)
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging) and not os.listdir(staging):
+            os.rmdir(staging)
+
+    def abort(self, messages):  # driver-side, something failed
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class JsonlDirDataSource(DataSource):
+    """``df.write.format("jsonl_dir").option("path", dir).save()`` —
+    the write-path counterpart of the read connectors above, completing
+    the custom-connector surface (the reference only ever INSERTs into
+    Postgres, ``02_etl.py:84-101``; this is the lake-sink analogue with
+    an explicit two-phase commit)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _JsonlDirWriter(self.options, overwrite)
