@@ -29,6 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -307,3 +308,62 @@ class JsonlDirDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return _JsonlDirWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "DataSourceStreamWriter":
+        return _JsonlDirStreamWriter(self.options)
+
+
+class _JsonlDirStreamWriter(DataSourceStreamWriter):
+    """Streaming counterpart of the batch sink: per micro-batch the same
+    stage→promote protocol, with files and manifest namespaced by EPOCH
+    (``part-<batch>-NNNNN.jsonl`` + ``_EPOCH-<batch>``). Re-committing
+    an epoch after crash/replay first clears that epoch's artifacts —
+    re-delivery converges to one copy per epoch (idempotent commit), the
+    exactly-once contract Structured Streaming expects its sinks to
+    provide on top of its replayed offsets."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator):  # executor-side, per micro-batch task
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"task-{pid}-{attempt}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _StagedFile(staged=fname, rows=n)
+
+    def commit(self, messages, batchId: int) -> None:  # driver-side
+        import json
+        import os
+
+        # idempotent re-commit: wipe any artifacts this epoch left before
+        for f in os.listdir(self.path):
+            if f.startswith(f"part-{batchId:010d}-") or f == f"_EPOCH-{batchId:010d}":
+                os.remove(os.path.join(self.path, f))
+        finals = []
+        total = 0
+        for i, m in enumerate(sorted((m for m in messages if m), key=lambda m: m.staged)):
+            final = os.path.join(self.path, f"part-{batchId:010d}-{i:05d}.jsonl")
+            os.replace(m.staged, final)
+            finals.append(os.path.basename(final))
+            total += m.rows
+        with open(os.path.join(self.path, f"_EPOCH-{batchId:010d}"), "w") as f:
+            json.dump({"batch": batchId, "files": finals, "total_rows": total}, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+        import os
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
