@@ -80,6 +80,10 @@ SCALE_QUERIES = [
     "px_shard_manifest",  # hash-shard agg
     "qa_audit",  # conditional-agg audit
     "ap_hll_rollup",  # sketch build+merge
+    "gr_pagerank",  # iterative join+agg rounds (Pregel shape)
+    "pit_topk_events",  # horizon-window feature join
+    "ap_quantile_rollup",  # mergeable histogram sketch
+    "tx_source_divergence",  # vocab-grain drift agg
 ]
 
 
