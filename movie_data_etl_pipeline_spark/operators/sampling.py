@@ -118,3 +118,33 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return docs.withColumn(split_col, expr)
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff: str,
+    embargo_days: int = 1,
+    label_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe temporal train/test split: rows strictly before
+    ``cutoff − embargo`` train, rows at/after ``cutoff`` test, and the
+    embargo gap between them is QUARANTINED (labeled, not silently
+    dropped — auditable row accounting). The time-series complement of
+    the hash split above: random splits leak future information through
+    temporally-correlated rows; the embargo also absorbs label lookahead
+    windows (a model labeled with "next-24h outcome" must not train on
+    rows whose label window crosses the cutoff).
+
+    Pure projection — no shuffle; the split column composes with any
+    downstream export/filter.
+    """
+    c = F.to_timestamp(F.lit(cutoff))
+    lo = c - F.expr(f"INTERVAL {int(embargo_days)} DAYS")
+    t = F.col(ts_col)
+    return df.withColumn(
+        label_col,
+        F.when(t < lo, F.lit("train"))
+        .when(t < c, F.lit("embargo"))
+        .otherwise(F.lit("test")),
+    )

@@ -715,6 +715,30 @@ cand AS (
 {_MINHASH_PORT_VERIFY}"""
 
 
+def sa_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe temporal split (``sampling.temporal_split``):
+    events labeled train / embargo / test around a fixed cutoff with a
+    1-day quarantine gap; per-split × event-type row accounting — every
+    row is labeled, none silently dropped."""
+    ev = load_table(spark, sf, "events")
+    lab = sampling.temporal_split(ev, "ts", cutoff="2024-01-20 00:00:00", embargo_days=1)
+    return (
+        lab.groupBy("split", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy("split", "event_type")
+    )
+
+
+_SA_TEMPORAL_SQL = """
+SELECT CASE WHEN ts < TIMESTAMP '2024-01-19 00:00:00' THEN 'train'
+            WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'embargo'
+            ELSE 'test' END AS split,
+       event_type,
+       COUNT(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def st_enrich(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-static enrichment (``streaming.stream_static_enrich``):
     events decorated with the customer market segment via a broadcast
@@ -5799,6 +5823,7 @@ QUERIES: dict[str, QueryFn] = {
     "qa_mad_outliers": qa_mad_outliers,
     "tx_bigram_surprisal": tx_bigram_surprisal,
     "st_enrich": st_enrich,
+    "sa_temporal_split": sa_temporal_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -5944,6 +5969,7 @@ ORACLES: dict[str, str] = {
     "qa_mad_outliers": _QA_MAD_SQL,
     "tx_bigram_surprisal": _TX_BIGRAM_SQL,
     "st_enrich": _ST_ENRICH_SQL,
+    "sa_temporal_split": _SA_TEMPORAL_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

@@ -41,3 +41,22 @@ def test_apriori_prune_drops_rare_tokens(spark):
     rows = text_analysis.frequent_token_pairs(_docs(spark, texts), min_support=2).collect()
     toks = {t for r in rows for t in (r["tok_a"], r["tok_b"])}
     assert "r" not in toks and ("p", "q") in {(r["tok_a"], r["tok_b"]) for r in rows}
+
+
+def test_temporal_split_accounting(spark):
+    import datetime as dt
+
+    from movie_data_etl_pipeline_spark.operators import sampling
+
+    t0 = dt.datetime(2024, 1, 18, 12)
+    rows = [(i, t0 + dt.timedelta(hours=6 * i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "id LONG, ts TIMESTAMP")
+    out = sampling.temporal_split(df, "ts", cutoff="2024-01-20 00:00:00", embargo_days=1)
+    got = {r["id"]: r["split"] for r in out.collect()}
+    for i, t in rows:
+        want = "train" if t < dt.datetime(2024, 1, 19) else (
+            "embargo" if t < dt.datetime(2024, 1, 20) else "test"
+        )
+        assert got[i] == want
+    # every row labeled — nothing dropped
+    assert len(got) == len(rows)
