@@ -273,3 +273,27 @@ def mad_outlier_report(
     return flagged.select(*klist, "n_rows", "median_val", "mad_val", "n_outliers").orderBy(
         *klist
     )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Privacy audit before a data release: group rows by the quasi-
+    identifier combination and report how re-identifiable the table is —
+    the k-anonymity check (Sweeney): any group smaller than ``k`` means
+    those rows are isolatable by joining public attributes.
+
+    Returns one row: group count, minimum group size (the table's
+    actual k), number of violating groups (< k), and rows at risk.
+    One two-phase groupBy on the quasi columns + a global aggregate of
+    the (small) group-size relation — no row-level second pass.
+    NULL quasi values form their own group (NULL-safe grouping), the
+    conservative choice: "unknown" is itself a linkable value.
+    """
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("n").cast("bigint").alias("min_group_size"),
+        F.sum(F.when(F.col("n") < k, 1).otherwise(0)).cast("bigint").alias("violating_groups"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)).cast("bigint").alias("rows_at_risk"),
+    )

@@ -715,6 +715,28 @@ cand AS (
 {_MINHASH_PORT_VERIFY}"""
 
 
+def qa_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """Release-gate privacy audit (``quality.k_anonymity_report``):
+    k-anonymity of customers under the quasi-identifier combination
+    (nation, market segment) at k=5 — groups, min group size, violating
+    groups, rows at risk."""
+    c = load_table(spark, sf, "customer")
+    return quality.k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+_QA_KANON_SQL = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT COUNT(*)::BIGINT AS n_groups,
+       MIN(n)::BIGINT AS min_group_size,
+       SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+       SUM(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS rows_at_risk
+FROM g
+"""
+
+
 def sa_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
     """Leakage-safe temporal split (``sampling.temporal_split``):
     events labeled train / embargo / test around a fixed cutoff with a
@@ -5824,6 +5846,7 @@ QUERIES: dict[str, QueryFn] = {
     "tx_bigram_surprisal": tx_bigram_surprisal,
     "st_enrich": st_enrich,
     "sa_temporal_split": sa_temporal_split,
+    "qa_k_anonymity": qa_k_anonymity,
 }
 
 ORACLES: dict[str, str] = {
@@ -5970,6 +5993,7 @@ ORACLES: dict[str, str] = {
     "tx_bigram_surprisal": _TX_BIGRAM_SQL,
     "st_enrich": _ST_ENRICH_SQL,
     "sa_temporal_split": _SA_TEMPORAL_SQL,
+    "qa_k_anonymity": _QA_KANON_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

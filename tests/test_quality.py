@@ -160,3 +160,14 @@ def test_mad_report_breakdown_resistance(spark):
     df = spark.createDataFrame(rows, "k STRING, x LONG")
     out = quality.mad_outlier_report(df, ["k"], "x", k=5).collect()[0]
     assert out["n_outliers"] == 40
+
+
+def test_k_anonymity_hand_case(spark):
+    rows = [("A", "x")] * 6 + [("B", "x")] * 2 + [("C", "y")] * 1 + [(None, "x")] * 3
+    df = spark.createDataFrame(rows, "q1 STRING, q2 STRING")
+    out = quality.k_anonymity_report(df, ["q1", "q2"], k=5).collect()[0]
+    # groups: (A,x)=6 ok, (B,x)=2 viol, (C,y)=1 viol, (NULL,x)=3 viol
+    assert out["n_groups"] == 4
+    assert out["min_group_size"] == 1
+    assert out["violating_groups"] == 3
+    assert out["rows_at_risk"] == 6
