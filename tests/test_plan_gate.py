@@ -68,6 +68,7 @@ NESTED_LOOP_OK = {
     "tx_tfidf_topk",  # broadcast 1-row corpus doc-count into IDF
     "dd_bloom_incremental",  # broadcast 1-row bloom bitmap array
     "ev_type_pmi",  # broadcast 1-row n_users total
+    "tx_bigram_surprisal",  # broadcast 1-row vocab-size V into bigram pricing
 }
 
 
