@@ -77,3 +77,65 @@ def global_row_number(
         .withColumn(out_col, (F.col("__seq") + F.col("__off") + 1).cast("bigint"))
         .drop("__pid", "__seq", "__off")
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 20,
+) -> DataFrame:
+    """Corpus inverted index at token grain: for every token, its
+    document frequency (``df``), collection frequency (``cf``), and
+    the first ``max_postings`` doc ids (ascending) as a comma-joined
+    posting string — the retrieval/BM25 backbone and the fastest
+    "which documents mention X" lookup a curation pipeline has.
+
+    Scale shape: one explode pre-aggregated to (doc, token, tf) —
+    the same Zipf-skew bound as the LM scorers: per-doc repetition
+    collapses BEFORE the token-keyed shuffle — then a single groupBy
+    token. The posting LIST is the part that cannot be unbounded at
+    100 TB (the token "the" would accumulate a billion-element array
+    in one reducer): postings are truncated to ``max_postings`` ids
+    *after* an in-reducer sort of the collected set, and the cap is
+    enforced pre-collect by only collecting from docs whose id falls
+    in the token's k smallest — approximated here with a per-token
+    min-k window, which bounds reducer state to ``max_postings`` rows
+    per token before the final agg. ``df``/``cf`` stay exact (computed
+    from the full relation, not the capped one).
+    """
+    from movie_data_etl_pipeline_spark.functions import text as TX
+    from movie_data_etl_pipeline_spark.sources.parquet import ensure_min_partitions
+
+    base = ensure_min_partitions(
+        docs.select(F.col(id_col).alias("id"), TX.tokens(text_col).alias("t"))
+    )
+    dt = (
+        base.select("id", F.explode("t").alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # Exact per-token totals from the full (doc, token, tf) relation.
+    totals = dt.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
+    # Bounded posting collection: keep each token's max_postings
+    # smallest doc ids before any collect_list — a pre-shuffle
+    # WindowGroupLimit caps per-token state (same mechanism as
+    # top_n_per_group), so no reducer ever materializes a hot token's
+    # full posting list.
+    w = Window.partitionBy("token").orderBy(F.asc("id"))
+    capped = (
+        dt.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_postings)
+        .groupBy("token")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("id")), ",").alias("postings")
+        )
+    )
+    return (
+        totals.join(capped, "token")
+        .select("token", "df", "cf", "postings")
+        .orderBy("token")
+    )

@@ -185,3 +185,73 @@ def zorder_layout_n(
     else:
         out = out.repartitionByRange("_zvalue")
     return out.sortWithinPartitions("_zvalue")
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    file_col: str = "file_id",
+    size_col: str = "rows",
+    target: int = 4096,
+) -> DataFrame:
+    """Small-file compaction planner: assign each file in a table
+    manifest to a rewrite bin of ~``target`` combined size — the
+    maintenance job every long-lived 100 TB table needs (streaming
+    sinks and per-partition appends accrete kilobyte files; scans then
+    pay per-file open/footer costs that dwarf the data read).
+
+    Deterministic sequential packing: files ordered by (size DESC,
+    file_id) take ``bin = floor(exclusive_cumsum / target)`` — every
+    bin lands within one file of the target, the plan is a pure
+    function of the manifest (re-running on the same snapshot yields
+    the same plan, so a crashed compactor can resume idempotently),
+    and unlike first-fit-decreasing it is expressible as one window —
+    no driver-side loop over files.
+
+    Scale note: the window is unpartitioned BUT runs at metadata
+    grain — one row per FILE (~800k rows for 100 TB of 128 MB files),
+    the same bounded-relation exemption as the partition-totals
+    windows in ``global_row_number``/``pack_sequences``. The data
+    itself is never touched here; executing the plan is a
+    ``bin``-partitioned rewrite of only the flagged bins.
+
+    Output: one row per bin — file count, combined size, and the
+    comma-joined file list (ordered as packed) — plus ``compact``:
+    false when the bin holds a single already-at-target file (no
+    rewrite needed), the skip condition that keeps the job
+    incremental.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(size_col), F.asc(file_col))
+    cum = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    assigned = manifest.select(
+        F.col(file_col).alias("file_id"),
+        F.col(size_col).cast("bigint").alias("sz"),
+        F.floor(cum / F.lit(target)).cast("bigint").alias("bin"),
+    )
+    return (
+        assigned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("sz").alias("total_rows"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("sz"), F.col("file_id"))),
+                        lambda a, b: F.when(a["sz"] > b["sz"], -1)
+                        .when(a["sz"] < b["sz"], 1)
+                        .when(a["file_id"] < b["file_id"], -1)
+                        .when(a["file_id"] > b["file_id"], 1)
+                        .otherwise(0),
+                    ),
+                    lambda s: s["file_id"].cast("string"),
+                ),
+                ",",
+            ).alias("files"),
+            ((F.count(F.lit(1)) > 1) | (F.max("sz") < F.lit(target))).alias("compact"),
+        )
+        .orderBy("bin")
+    )

@@ -44,6 +44,8 @@ from movie_data_etl_pipeline_spark.operators import (
     sampling,
     similarity,
     sketches,
+    skew,
+    stats,
     text_analysis,
     topn,
 )
@@ -5680,6 +5682,242 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-3 third wave: retrieval index, skew-salted join, table maintenance,
+# grouped regression, sparse text similarity, session attribution
+# ---------------------------------------------------------------------------
+
+
+def ix_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus inverted index (``operators/indexing.inverted_index``):
+    per token, exact df/cf plus the 20 smallest doc ids as a posting
+    string. Posting state is capped BEFORE the collect by a pre-shuffle
+    WindowGroupLimit, so the hottest token costs 20 rows of reducer
+    state, not its full posting list."""
+    docs = load_table(spark, sf, "documents")
+    return indexing.inverted_index(docs, max_postings=20)
+
+
+_IX_INVIDX_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_D_TOKS}) AS token FROM documents),
+dt AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+       array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+FROM dt GROUP BY token ORDER BY token
+"""
+
+
+def jx_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-mitigated fact⋈fact join (``operators/skew.salted_join``):
+    lineitem revenue per order priority through a 4-way-salted join
+    against orders — the oracle proves the salted plan computes exactly
+    the plain join's answer (salting only spreads rows; it must never
+    change them). Exact-cents revenue arithmetic as in Q3."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        SC.cents("l_extendedprice").alias("price_c"),
+        SC.cents("l_discount").alias("disc_c"),
+    )
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = skew.salted_join(li, orders, ["okey"], n_salts=4)
+    rev_c = F.col("price_c") * (F.lit(100) - F.col("disc_c"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum(rev_c).cast("double") / F.lit(10000.0), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_JX_SALTED_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def ly_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planner
+    (``operators/layout.compaction_plan``) over a pseudo-manifest:
+    orders rolled up to 101 hash-"files" (metadata grain), packed into
+    ~2000-row rewrite bins by the deterministic sequential-packing
+    window. The plan is a pure function of the manifest — idempotent
+    resume for a crashed compactor."""
+    orders = load_table(spark, sf, "orders")
+    manifest = orders.groupBy((F.col("o_orderkey") % 101).alias("file_id")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+    return layout.compaction_plan(manifest, target=2000)
+
+
+_LY_COMPACTION_SQL = """
+WITH m AS (SELECT o_orderkey % 101 AS file_id, CAST(COUNT(*) AS BIGINT) AS sz FROM orders GROUP BY 1),
+a AS (
+  SELECT file_id, sz,
+         CAST(floor(COALESCE(SUM(sz) OVER (ORDER BY sz DESC, file_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS bin
+  FROM m
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(sz) AS BIGINT) AS total_rows,
+       string_agg(CAST(file_id AS VARCHAR), ',' ORDER BY sz DESC, file_id ASC) AS files,
+       (COUNT(*) > 1 OR MAX(sz) < 2000) AS compact
+FROM a GROUP BY bin ORDER BY bin
+"""
+
+
+def ag_ols_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact grouped regression (``operators/stats.ols_by_group``):
+    price-vs-quantity fit per part brand from integer moment sums —
+    bit-identical at any parallelism, unlike the built-in
+    ``regr_slope`` whose double accumulation is merge-order-dependent.
+    One broadcast dim join + one map-side-combining groupBy."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        SC.cents("l_extendedprice").alias("y"),
+    )
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return stats.ols_by_group(joined, ["p_brand"], "x", "y").orderBy("p_brand")
+
+
+_AG_OLS_SQL = """
+WITH j AS (
+  SELECT p_brand, CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+g AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx, CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(y * y) AS HUGEINT) AS syy
+  FROM j GROUP BY 1
+)
+SELECT p_brand, n,
+       CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) <> 0 THEN
+         ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+       CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) <> 0 THEN
+         ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6) END AS intercept,
+       CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) <> 0
+             AND CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) <> 0 THEN
+         ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+               * CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+               / (CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                  * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6) END AS r2
+FROM g ORDER BY p_brand
+"""
+
+
+def sim_tfidf_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact sparse TF-IDF cosine pairs
+    (``operators/similarity.tfidf_cosine_pairs``): 3-shingle terms,
+    df-cut at 50 bounding the posting self-join's fan-out (the
+    DISCO-style cut that keeps candidate volume linear in corpus
+    size), quantized-idf integer weights, one final IEEE division."""
+    docs = load_table(spark, sf, "documents")
+    return similarity.tfidf_cosine_pairs(
+        docs, ngram=3, max_df=50, threshold=0.2
+    )
+
+
+_SIM_TFIDF_SQL = f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS tok
+  FROM t WHERE len(t) >= 3
+),
+dt AS (SELECT doc_id AS id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM sh GROUP BY 1, 2),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+idf AS (
+  SELECT tok, df, idf_q FROM (
+    SELECT tok, df, CAST(floor(ln(n_docs / CAST(df AS DOUBLE)) * 1024.0 + 0.5) AS BIGINT) AS idf_q
+    FROM (SELECT tok, COUNT(*) AS df FROM dt GROUP BY 1) CROSS JOIN nd
+    WHERE df <= 50
+  ) WHERE idf_q > 0
+),
+w AS (SELECT dt.id, dt.tok, idf.df, dt.tf * idf.idf_q AS w FROM dt JOIN idf USING (tok)),
+norms AS (SELECT id, SUM(w * w) AS n2 FROM w GROUP BY 1),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, SUM(a.w * b.w) AS dp
+  FROM w a JOIN w b ON a.tok = b.tok AND a.id < b.id
+  WHERE a.df >= 2 GROUP BY 1, 2
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT id_a, id_b,
+         ROUND(CAST(dp AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+  FROM dots JOIN norms na ON na.id = dots.id_a JOIN norms nb ON nb.id = dots.id_b
+) WHERE cosine >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+def ev_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """First-touch attribution: purchases credited to the opening
+    event type of their 30-minute-gap session. Sessionization is two
+    windows sharing ONE ``user_id`` exchange (gap flag → running
+    session id → per-session first value); microsecond-exact gap
+    arithmetic (``unix_micros``) so the session boundary can never
+    disagree with the oracle on a sub-second tie."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    sess = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    ).withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    w2 = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    out = sess.withColumn("first_touch", F.first("event_type").over(w2)).filter(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        out.groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("first_touch")
+    )
+
+
+_EV_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM e
+),
+f AS (
+  SELECT *, FIRST_VALUE(event_type) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS first_touch
+  FROM s
+)
+SELECT first_touch, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM f WHERE event_type = 'purchase'
+GROUP BY first_touch ORDER BY first_touch
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -5847,6 +6085,12 @@ QUERIES: dict[str, QueryFn] = {
     "st_enrich": st_enrich,
     "sa_temporal_split": sa_temporal_split,
     "qa_k_anonymity": qa_k_anonymity,
+    "ix_inverted_index": ix_inverted_index,
+    "jx_salted_join": jx_salted_join,
+    "ly_compaction": ly_compaction,
+    "ag_ols_brand": ag_ols_brand,
+    "sim_tfidf_cosine": sim_tfidf_cosine,
+    "ev_attribution": ev_attribution,
 }
 
 ORACLES: dict[str, str] = {
@@ -5994,6 +6238,12 @@ ORACLES: dict[str, str] = {
     "st_enrich": _ST_ENRICH_SQL,
     "sa_temporal_split": _SA_TEMPORAL_SQL,
     "qa_k_anonymity": _QA_KANON_SQL,
+    "ix_inverted_index": _IX_INVIDX_SQL,
+    "jx_salted_join": _JX_SALTED_SQL,
+    "ly_compaction": _LY_COMPACTION_SQL,
+    "ag_ols_brand": _AG_OLS_SQL,
+    "sim_tfidf_cosine": _SIM_TFIDF_SQL,
+    "ev_attribution": _EV_ATTRIBUTION_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

@@ -1,0 +1,139 @@
+"""Round-3 third wave: inverted index, compaction planner, grouped
+OLS, sparse TF-IDF cosine, session attribution. (The salted join is
+covered in test_formats_skew.py; each operator here also has a DuckDB
+oracle query in plans/fixture_queries.)"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.operators.indexing import inverted_index
+from movie_data_etl_pipeline_spark.operators.layout import compaction_plan
+from movie_data_etl_pipeline_spark.operators.similarity import tfidf_cosine_pairs
+from movie_data_etl_pipeline_spark.operators.stats import ols_by_group
+
+
+def test_inverted_index_exact_df_cf_and_capped_postings(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a"),
+            (2, "a c"),
+            (3, "a"),
+            (4, "b b b"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["token"]: r for r in inverted_index(docs, max_postings=2).collect()}
+    assert out["a"]["df"] == 3 and out["a"]["cf"] == 4
+    # cap keeps the SMALLEST ids; df/cf stay exact over the full relation
+    assert out["a"]["postings"] == "1,2"
+    assert out["b"]["df"] == 2 and out["b"]["cf"] == 4
+    assert out["b"]["postings"] == "1,4"
+    assert out["c"]["postings"] == "2"
+
+
+def test_compaction_plan_bins_near_target_and_skips_full_files(spark):
+    manifest = spark.createDataFrame(
+        [Row(file_id=i, rows=sz) for i, sz in enumerate([5000, 900, 800, 700, 600, 100])]
+    )
+    plan = compaction_plan(manifest, target=1000).collect()
+    by_bin = {r["bin"]: r for r in plan}
+    # the 5000-row file fills bins 0-4 worth of cumsum by itself → bin 0,
+    # alone, and at/над target → no rewrite
+    assert by_bin[0]["n_files"] == 1 and by_bin[0]["compact"] is False
+    # every multi-file bin must be flagged for rewrite
+    for r in plan:
+        if r["n_files"] > 1:
+            assert r["compact"] is True
+    # packing conservation: every file appears exactly once
+    all_files = ",".join(r["files"] for r in plan).split(",")
+    assert sorted(int(f) for f in all_files) == [0, 1, 2, 3, 4, 5]
+    assert sum(r["total_rows"] for r in plan) == 8100
+
+
+def test_compaction_plan_is_deterministic(spark):
+    manifest = spark.createDataFrame(
+        [Row(file_id=i, rows=(i * 37) % 500 + 10) for i in range(50)]
+    )
+    a = [tuple(r) for r in compaction_plan(manifest, target=700).collect()]
+    b = [tuple(r) for r in compaction_plan(manifest, target=700).collect()]
+    assert a == b
+
+
+def test_ols_by_group_matches_numpy_polyfit(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, (slope, icpt) in {"a": (3, 50), "b": (-2, 900)}.items():
+        xs = rng.integers(1, 100, size=200)
+        noise = rng.integers(-5, 6, size=200)
+        for x, e in zip(xs, noise):
+            rows.append((g, int(x), int(slope * x + icpt + e)))
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r["g"]: r for r in ols_by_group(df, ["g"], "x", "y").collect()}
+    for g in ("a", "b"):
+        grp = [(x, y) for gg, x, y in rows if gg == g]
+        ref_slope, ref_icpt = np.polyfit([x for x, _ in grp], [y for _, y in grp], 1)
+        assert abs(got[g]["slope"] - ref_slope) < 1e-4
+        assert abs(got[g]["intercept"] - ref_icpt) < 1e-3
+        assert 0.99 < got[g]["r2"] <= 1.0
+
+
+def test_ols_by_group_zero_variance_returns_null(spark):
+    df = spark.createDataFrame([("a", 5, 1), ("a", 5, 2), ("a", 5, 3)], ["g", "x", "y"])
+    r = ols_by_group(df, ["g"], "x", "y").collect()[0]
+    assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
+
+
+def test_ols_by_group_survives_cent_scale_sums(spark):
+    # y ~ 10^7 (cents): y² sums overflow int64 past ~10^5 rows — the
+    # decimal(38,0) path must stay exact (ANSI mode would error on
+    # overflow, so passing at all proves the wide type is in play).
+    df = (
+        spark.range(200_000)
+        .select(
+            F.lit("g").alias("g"),
+            (F.col("id") % 100 + 1).alias("x"),
+            ((F.col("id") % 100 + 1) * 10_000_000).alias("y"),
+        )
+    )
+    r = ols_by_group(df, ["g"], "x", "y").collect()[0]
+    assert r["slope"] == 10_000_000.0 and r["intercept"] == 0.0 and r["r2"] == 1.0
+
+
+def test_tfidf_cosine_near_dups_score_high(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+            (3, "completely different words about spark catalyst optimizer plans"),
+            (4, "completely different words about spark catalyst optimizer plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(docs, ngram=3, max_df=3, threshold=0.1).collect()
+    }
+    # identical docs → cosine exactly 1
+    assert pairs[(3, 4)] == 1.0
+    # one-token tail edit → high but < 1
+    assert 0.5 < pairs[(1, 2)] < 1.0
+    # disjoint docs never pair
+    assert (1, 3) not in pairs and (2, 4) not in pairs
+
+
+def test_tfidf_cosine_df_cut_drops_hot_terms(spark):
+    # a shingle present in EVERY doc is cut by max_df → docs sharing
+    # only that shingle produce no pair
+    docs = spark.createDataFrame(
+        [
+            (1, "common shared prefix alpha one"),
+            (2, "common shared prefix beta two"),
+            (3, "common shared prefix gamma three"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_cosine_pairs(docs, ngram=3, max_df=2, threshold=0.0).collect()
+    assert out == []
