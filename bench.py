@@ -122,6 +122,16 @@ HEADLINE = [
     "ag_weighted_median",
     "gr_pagerank",
     "tx_source_divergence",
+    "ix_inverted_index",
+    "jx_salted_join",
+    "ly_compaction",
+    "ag_ols_brand",
+    "sim_tfidf_cosine",
+    "ev_attribution",
+    "ap_cms_counts",
+    "qa_replica_diff",
+    "tx_score_calibration",
+    "qa_join_explosion",
 ]
 
 

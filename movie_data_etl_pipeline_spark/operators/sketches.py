@@ -150,3 +150,87 @@ def histogram_quantiles(
             .alias(name)
         )
     return found.select(*outs).orderBy(*klist)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable frequency sketch: count-min over the portable hash family
+# ---------------------------------------------------------------------------
+#
+# Third member of the sketch-as-data family (HLL = distincts, histogram
+# = quantiles, CMS = per-item frequencies): a depth×width grid of int64
+# counters answering "how often did THIS item occur" for any item,
+# with one-sided error (estimate ≥ truth, overcount bounded by
+# 2·N/width at 1−(1/2)^depth confidence — Cormode & Muthukrishnan).
+# States merge by summing counters (commutative/associative), so
+# per-partition / per-day sketches roll up without re-scanning raw
+# data. The hash rows come from functions/portable_hash (LCG
+# permutations over a polynomial code-point fold), so the ENTIRE
+# sketch — every counter — is reproducible in DuckDB and the operator
+# is value-check-ORACLE-able, unlike library CMS implementations.
+
+
+def cms_profile(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Build the CMS state: one row per non-empty (d, bucket) with its
+    int64 counter. One projection (depth bucket ids per row, all
+    codegen arithmetic) + one ``depth×``-exploded groupBy whose domain
+    is at most depth·width rows — the shuffle carries sketch cells,
+    not data."""
+    from movie_data_etl_pipeline_spark.functions import portable_hash as ph
+
+    base = df.select(ph.str_hash(F.col(col).cast("string")).alias("__h"))
+    buckets = F.array(
+        *[
+            F.pmod(ph.lcg_perm(F.lit(d), F.col("__h")), F.lit(width))
+            for d in range(depth)
+        ]
+    )
+    return (
+        base.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*profiles: DataFrame) -> DataFrame:
+    """Sum-merge CMS states (same depth/width): the roll-up path —
+    union the cell relations, one groupBy over ≤ depth·width rows."""
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    profile: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point estimates for each item in ``items``: min over the depth
+    rows of the item's counter (absent cell = 0). The profile side is
+    ≤ depth·width rows — always the broadcast build side — so lookup
+    cost is one scan of ``items`` regardless of sketch fill."""
+    from movie_data_etl_pipeline_spark.functions import portable_hash as ph
+
+    it = items.select(
+        F.col(col),
+        ph.str_hash(F.col(col).cast("string")).alias("__h"),
+    )
+    buckets = F.array(
+        *[
+            F.pmod(ph.lcg_perm(F.lit(d), F.col("__h")), F.lit(width))
+            for d in range(depth)
+        ]
+    )
+    probes = it.select(col, F.posexplode(buckets).alias("d", "bucket"))
+    return (
+        probes.join(F.broadcast(profile), ["d", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est"))
+    )

@@ -5918,6 +5918,243 @@ GROUP BY first_touch ORDER BY first_touch
 """
 
 
+def ap_cms_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch (``operators/sketches.cms_profile/estimate``):
+    token frequencies estimated off the 4×2048 mergeable counter grid,
+    compared against exact counts for the true top-10 tokens. The
+    whole sketch is built over the portable hash family, so EVERY
+    counter — not just the final estimates — is reproduced by the
+    DuckDB twin: a value-checked oracle for a sketch operator."""
+    from movie_data_etl_pipeline_spark.sources.parquet import ensure_min_partitions
+
+    docs = load_table(spark, sf, "documents")
+    toks = ensure_min_partitions(docs.select("doc_id", "text")).select(
+        F.explode(TX.tokens("text")).alias("tok")
+    )
+    true_counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_c")
+    )
+    top = true_counts.orderBy(F.desc("true_c"), F.asc("tok")).limit(10)
+    prof = sketches.cms_profile(toks, "tok", depth=4, width=2048)
+    est = sketches.cms_estimate(prof, top.select("tok"), "tok", depth=4, width=2048)
+    return (
+        top.join(est, "tok")
+        .select(
+            "tok",
+            "true_c",
+            "est",
+            (F.col("est") - F.col("true_c")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("true_c"), F.asc("tok"))
+    )
+
+
+_AP_CMS_SQL = f"""
+WITH toks AS (SELECT unnest({_D_TOKS}) AS tok FROM documents),
+tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_c FROM toks GROUP BY 1),
+top AS (SELECT tok, true_c FROM tc ORDER BY true_c DESC, tok ASC LIMIT 10),
+h AS (SELECT {ph.sql_str_hash('tok')} AS h FROM toks),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT ds.d, ({ph.sql_lcg_perm('ds.d', 'h.h')}) % 2048 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM h CROSS JOIN ds GROUP BY 1, 2
+),
+th AS (SELECT tok, true_c, {ph.sql_str_hash('tok')} AS h FROM top),
+probe AS (
+  SELECT th.tok, th.true_c, ds.d, ({ph.sql_lcg_perm('ds.d', 'th.h')}) % 2048 AS bucket
+  FROM th CROSS JOIN ds
+)
+SELECT p.tok, p.true_c, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est,
+       CAST(MIN(COALESCE(c.cnt, 0)) - p.true_c AS BIGINT) AS overcount
+FROM probe p LEFT JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+GROUP BY p.tok, p.true_c
+ORDER BY p.true_c DESC, p.tok ASC
+"""
+
+
+def qa_replica_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Merkle-style replica reconciliation: two copies of a table are
+    compared by per-bucket (row count, order-independent content
+    checksum) — at 100 TB you diff 256 bucket digests, then re-sync
+    ONLY the buckets that disagree, never byte-comparing the tables.
+    Replica B is lineitem with a deterministic fault injection (rows
+    dropped where ``l_orderkey % 4999 = 7``, prices bumped where
+    ``% 4999 = 11``). The row digest folds INTEGER renderings only
+    (keys, quantity, cents) so both engines hash identical strings;
+    the bucket checksum is an int64 SUM of row digests — commutative,
+    partition-order-free."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        SC.cents("l_extendedprice").alias("price_c"),
+    )
+    replica_b = li.filter(F.col("l_orderkey") % 4999 != 7).withColumn(
+        "price_c",
+        F.when(F.col("l_orderkey") % 4999 == 11, F.col("price_c") + 1).otherwise(
+            F.col("price_c")
+        ),
+    )
+
+    def digest(df: DataFrame) -> DataFrame:
+        row = F.concat_ws(
+            "|", "l_orderkey", "l_linenumber", "qty", "price_c"
+        )
+        h = ph.str_hash(row)
+        return (
+            df.select(
+                F.pmod(F.col("l_orderkey"), F.lit(256)).alias("bucket"),
+                h.alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("h").cast("bigint").alias("checksum"),
+            )
+        )
+
+    a = digest(li).select(
+        "bucket", F.col("n").alias("n_a"), F.col("checksum").alias("sum_a")
+    )
+    b = digest(replica_b).select(
+        "bucket", F.col("n").alias("n_b"), F.col("checksum").alias("sum_b")
+    )
+    return (
+        a.join(b, "bucket", "full_outer")
+        .filter(
+            ~(
+                F.col("sum_a").eqNullSafe(F.col("sum_b"))
+                & F.col("n_a").eqNullSafe(F.col("n_b"))
+            )
+        )
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_QA_REPLICA_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+),
+rb AS (
+  SELECT l_orderkey, l_linenumber, qty,
+         CASE WHEN l_orderkey % 4999 = 11 THEN price_c + 1 ELSE price_c END AS price_c
+  FROM li WHERE l_orderkey % 4999 <> 7
+),
+da AS (
+  SELECT l_orderkey % 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_a,
+         CAST(SUM({ph.sql_str_hash("concat_ws('|', l_orderkey, l_linenumber, qty, price_c)")}) AS BIGINT) AS sum_a
+  FROM li GROUP BY 1
+),
+db AS (
+  SELECT l_orderkey % 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM({ph.sql_str_hash("concat_ws('|', l_orderkey, l_linenumber, qty, price_c)")}) AS BIGINT) AS sum_b
+  FROM rb GROUP BY 1
+)
+SELECT bucket, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+FROM da FULL OUTER JOIN db USING (bucket)
+WHERE NOT (sum_a IS NOT DISTINCT FROM sum_b AND n_a IS NOT DISTINCT FROM n_b)
+ORDER BY bucket
+"""
+
+
+def tx_score_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source score calibration: each document's length mapped to
+    its percent rank WITHIN its source — the step that makes quality
+    scores comparable across heterogeneous sources before a global
+    cutoff. The rank comes from the (source, value) HISTOGRAM
+    (strictly-below cumulative count / (n−1)), not a per-row window —
+    the shuffle domain is distinct values per source, and the data-
+    grain step is one join back. Same scale discipline as
+    ``adaptive_quality_filter``."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    hist = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy("n_chars")
+    ranked = hist.select(
+        "source",
+        "n_chars",
+        F.coalesce(
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).alias("below"),
+        F.sum("c").over(Window.partitionBy("source")).alias("tot"),
+    )
+    return (
+        docs.join(ranked, ["source", "n_chars"])
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.when(
+                F.col("tot") > 1,
+                F.round(F.col("below") / (F.col("tot") - 1), 6),
+            ).alias("pct_rank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TX_CALIBRATION_SQL = """
+WITH hist AS (
+  SELECT source, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, n_chars,
+         COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         SUM(c) OVER (PARTITION BY source) AS tot
+  FROM hist
+)
+SELECT d.doc_id, d.source, d.n_chars,
+       CASE WHEN tot > 1 THEN ROUND(below / (tot - 1), 6) END AS pct_rank
+FROM documents d JOIN ranked r ON d.source = r.source AND d.n_chars = r.n_chars
+ORDER BY d.doc_id
+"""
+
+
+def qa_join_explosion(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-join blowup diagnostic: for a prospective self-join key,
+    the exact output cardinality each key would contribute (c²) and
+    its share of the total — the metadata-cost check you run BEFORE
+    launching a join that might emit 10¹⁴ rows. One groupBy at key
+    grain; the total is a broadcast one-row aggregate."""
+    li = load_table(spark, sf, "lineitem").select("l_partkey")
+    c = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    contrib = c.select(
+        "l_partkey", "c", (F.col("c") * F.col("c")).cast("bigint").alias("pairs")
+    )
+    total = contrib.agg(F.sum("pairs").cast("double").alias("total_pairs"))
+    return (
+        contrib.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            F.col("c").cast("bigint").alias("c"),
+            "pairs",
+            F.round(F.col("pairs").cast("double") / F.col("total_pairs"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("pairs"), F.asc("l_partkey"))
+        .limit(10)
+    )
+
+
+_QA_EXPLOSION_SQL = """
+WITH c AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+contrib AS (SELECT l_partkey, c, CAST(c * c AS BIGINT) AS pairs FROM c),
+tot AS (SELECT CAST(SUM(pairs) AS DOUBLE) AS total_pairs FROM contrib)
+SELECT l_partkey, c, pairs, ROUND(CAST(pairs AS DOUBLE) / total_pairs, 6) AS share
+FROM contrib CROSS JOIN tot
+ORDER BY pairs DESC, l_partkey ASC
+LIMIT 10
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -6091,6 +6328,10 @@ QUERIES: dict[str, QueryFn] = {
     "ag_ols_brand": ag_ols_brand,
     "sim_tfidf_cosine": sim_tfidf_cosine,
     "ev_attribution": ev_attribution,
+    "ap_cms_counts": ap_cms_counts,
+    "qa_replica_diff": qa_replica_diff,
+    "tx_score_calibration": tx_score_calibration,
+    "qa_join_explosion": qa_join_explosion,
 }
 
 ORACLES: dict[str, str] = {
@@ -6244,6 +6485,10 @@ ORACLES: dict[str, str] = {
     "ag_ols_brand": _AG_OLS_SQL,
     "sim_tfidf_cosine": _SIM_TFIDF_SQL,
     "ev_attribution": _EV_ATTRIBUTION_SQL,
+    "ap_cms_counts": _AP_CMS_SQL,
+    "qa_replica_diff": _QA_REPLICA_SQL,
+    "tx_score_calibration": _TX_CALIBRATION_SQL,
+    "qa_join_explosion": _QA_EXPLOSION_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

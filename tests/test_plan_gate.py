@@ -70,6 +70,7 @@ NESTED_LOOP_OK = {
     "ev_type_pmi",  # broadcast 1-row n_users total
     "tx_bigram_surprisal",  # broadcast 1-row vocab-size V into bigram pricing
     "sim_tfidf_cosine",  # broadcast 1-row doc-count N into IDF pricing
+    "qa_join_explosion",  # broadcast 1-row total-pairs aggregate
 }
 
 

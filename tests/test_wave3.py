@@ -41,7 +41,7 @@ def test_compaction_plan_bins_near_target_and_skips_full_files(spark):
     plan = compaction_plan(manifest, target=1000).collect()
     by_bin = {r["bin"]: r for r in plan}
     # the 5000-row file fills bins 0-4 worth of cumsum by itself → bin 0,
-    # alone, and at/над target → no rewrite
+    # alone, and already at/above target → no rewrite
     assert by_bin[0]["n_files"] == 1 and by_bin[0]["compact"] is False
     # every multi-file bin must be flagged for rewrite
     for r in plan:
@@ -137,3 +137,52 @@ def test_tfidf_cosine_df_cut_drops_hot_terms(spark):
     )
     out = tfidf_cosine_pairs(docs, ngram=3, max_df=2, threshold=0.0).collect()
     assert out == []
+
+
+def test_cms_estimate_is_one_sided_and_merge_equals_whole(spark):
+    from movie_data_etl_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_profile,
+    )
+
+    rows = [(i, tok) for i, tok in enumerate(
+        ["apple"] * 40 + ["pear"] * 25 + ["plum"] * 9 + ["fig"] * 2 + ["kiwi"]
+    )]
+    df = spark.createDataFrame(rows, ["i", "tok"])
+    # tiny width FORCES collisions — the one-sided bound must hold anyway
+    prof = cms_profile(df, "tok", depth=3, width=8)
+    items = df.select("tok").distinct()
+    est = {r["tok"]: r["est"] for r in cms_estimate(prof, items, "tok", 3, 8).collect()}
+    truth = {"apple": 40, "pear": 25, "plum": 9, "fig": 2, "kiwi": 1}
+    for tok, t in truth.items():
+        assert est[tok] >= t  # never undercounts
+    # mergeability: sketch(half A) + sketch(half B) == sketch(whole)
+    pa = cms_profile(df.filter("i % 2 = 0"), "tok", depth=3, width=8)
+    pb = cms_profile(df.filter("i % 2 = 1"), "tok", depth=3, width=8)
+    merged = {(r["d"], r["bucket"]): r["cnt"] for r in cms_merge(pa, pb).collect()}
+    whole = {(r["d"], r["bucket"]): r["cnt"] for r in prof.collect()}
+    assert merged == whole
+
+
+def test_replica_diff_flags_only_faulted_buckets(spark, sf_dir):
+    from movie_data_etl_pipeline_spark.plans.fixture_queries import qa_replica_diff
+
+    diff = qa_replica_diff(spark, sf_dir).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    expected = {
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT l_orderkey % 256 FROM lineitem "
+            "WHERE l_orderkey % 4999 IN (7, 11)"
+        ).fetchall()
+    }
+    assert {r["bucket"] for r in diff} == expected
+    # dropped rows show as a count delta; modified rows as equal counts
+    for r in diff:
+        assert r["n_a"] >= r["n_b"]
