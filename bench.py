@@ -132,6 +132,9 @@ HEADLINE = [
     "qa_replica_diff",
     "tx_score_calibration",
     "qa_join_explosion",
+    "ap_kmv_sources",
+    "ap_kmv_jaccard",
+    "inc_join_view",
 ]
 
 

@@ -166,3 +166,45 @@ def sql_fold_longs(expr: str) -> str:
         f"list_reduce(list_prepend(0::BIGINT, {expr}), "
         f"(h, s) -> (h * {BASE} + s) % {P})"
     )
+
+
+def py_mix(x: int) -> int:
+    """Pure-Python reference for :func:`mix` — single source of truth
+    for the Spark and DuckDB renderings and the tests."""
+    h1 = (x * MULT) % P
+    h2 = h1 ^ (h1 >> 16)
+    h3 = (h2 * M2) % P
+    h4 = h3 ^ (h3 >> 13)
+    return h4 % P
+
+
+def mix(x: Column) -> Column:
+    """Avalanche finalizer over [0, P): multiply + two xor-fold rounds
+    (the same murmur/xxhash-style construction as
+    :func:`rademacher_sign`).
+
+    Why it exists: the raw polynomial fold is an EXCELLENT equality
+    hash (distinct strings → distinct values, which is all MinHash
+    banding or CMS bucketing need) but a TERRIBLE uniform hash — short
+    strings never wrap the modulus, so their values cluster near 0
+    (measured: 40 "tokN" strings put the 16th-smallest at 0.025·P
+    instead of ≈0.4·P, biasing a KMV estimate 15×). Order statistics
+    (KMV bottom-k), range-based sampling, or anything reading hash
+    MAGNITUDE rather than hash EQUALITY must go through this
+    finalizer. All int64, engine-portable (xor of values ≤ P stays
+    ≤ P; the final mod folds the single P edge case to 0)."""
+    h1 = (x * F.lit(MULT)) % F.lit(P)
+    h2 = h1.bitwiseXOR(F.shiftright(h1, 16))
+    h3 = (h2 * F.lit(M2)) % F.lit(P)
+    h4 = h3.bitwiseXOR(F.shiftright(h3, 13))
+    return h4 % F.lit(P)
+
+
+def sql_mix(expr: str) -> str:
+    """DuckDB rendering of :func:`mix` (textually expanded; the engine
+    CSEs the repeated fragments)."""
+    h1 = f"((({expr}) * {MULT}) % {P})"
+    h2 = f"xor({h1}, ({h1} >> 16))"
+    h3 = f"(({h2} * {M2}) % {P})"
+    h4 = f"xor({h3}, ({h3} >> 13))"
+    return f"(({h4}) % {P})"

@@ -234,3 +234,132 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch: the SET-OPERATION sketch
+# ---------------------------------------------------------------------------
+#
+# HLL answers |A| and |A ∪ B| (register max is a union), but NOT
+# |A ∩ B| or Jaccard — register intersection is meaningless. KMV
+# (Bar-Yossef et al.'s distinct-elements sketch / the bottom-k variant
+# of MinHash) does: keep the k smallest hash values of the set; the
+# k-th smallest m_k estimates |A| ≈ (k-1)·M/m_k for hashes uniform on
+# [0, M), and because a bottom-k set is a uniform sample of the union,
+# |bottom_k(A ∪ B) ∩ A's values ∩ B's values| / k estimates Jaccard.
+# Merge = union the value sets, keep the k smallest — commutative,
+# associative, idempotent. Over the portable hash family the whole
+# sketch is engine-reproducible → value-checked oracle, like the CMS.
+
+
+def kmv_profile(
+    df: DataFrame, keys: Sequence[str], col: str, k: int = 128
+) -> DataFrame:
+    """Per-cell bottom-k sketch relation: rows (keys…, h) with the k
+    smallest distinct portable-hash values of ``col``. The per-cell
+    top-k compiles to a pre-shuffle WindowGroupLimit, so no reducer
+    sees more than k rows per cell regardless of cell cardinality."""
+    from pyspark.sql import Window
+
+    from movie_data_etl_pipeline_spark.functions import portable_hash as ph
+
+    klist = list(keys)
+    # mix() is load-bearing here: KMV reads hash MAGNITUDE (order
+    # statistics), and the raw polynomial fold clusters short strings
+    # near 0 — see functions/portable_hash.mix.
+    hashed = df.select(
+        *klist, ph.mix(ph.str_hash(F.col(col).cast("string"))).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*klist).orderBy(F.asc("h"))
+    return (
+        hashed.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def kmv_merge(profiles: DataFrame, keys: Sequence[str], k: int = 128) -> DataFrame:
+    """Merge sketch relations (already unioned into one DataFrame) to
+    coarser ``keys``: distinct hash values, keep the k smallest."""
+    from pyspark.sql import Window
+
+    klist = list(keys)
+    w = Window.partitionBy(*klist).orderBy(F.asc("h"))
+    return (
+        profiles.select(*klist, "h")
+        .distinct()
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def kmv_estimate(profile: DataFrame, keys: Sequence[str], k: int = 128) -> DataFrame:
+    """Distinct-count estimates per cell: (k−1)·M/m_k when the cell
+    holds k values (M = the hash modulus), else the EXACT count (a
+    cell smaller than k keeps its whole value set — the sketch is
+    lossless below k). Integer arithmetic up to one final division."""
+    from movie_data_etl_pipeline_spark.functions import portable_hash as ph
+
+    klist = list(keys)
+    g = profile.groupBy(*klist).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("m_k"),
+    )
+    return g.select(
+        *klist,
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(float(ph.P)) / F.col("m_k").cast("double")
+        )
+        .alias("n_distinct_est"),
+    )
+
+
+def kmv_jaccard(
+    profile: DataFrame,
+    keys: Sequence[str],
+    k: int = 128,
+) -> DataFrame:
+    """Pairwise Jaccard estimates between every two cells of a sketch
+    relation keyed by ONE column: bottom-k of each pair's union via a
+    per-pair merge, then the fraction of those union-sample values
+    present in both sides. Exact below k (small cells keep full sets).
+
+    The pair×sketch expansion runs at CELL-metadata grain: the cell
+    pair list (#cells², e.g. sources² — never data²) is exploded to
+    (pair, member-cell) rows and equi-joined to the sketch relation,
+    so the widest intermediate is #pairs·2·k rows."""
+    from pyspark.sql import Window
+
+    key = list(keys)[0]
+    cells = profile.select(F.col(key).alias("c")).distinct()
+    cell_pairs = cells.select(F.col("c").alias("ca")).join(
+        cells.select(F.col("c").alias("cb")), F.col("ca") < F.col("cb")
+    )
+    members = cell_pairs.select(
+        "ca", "cb", F.explode(F.array("ca", "cb")).alias("c")
+    )
+    u = (
+        members.join(profile.select(F.col(key).alias("c"), "h"), "c")
+        .groupBy("ca", "cb", "h")
+        .agg(
+            F.max(F.when(F.col("c") == F.col("ca"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("c") == F.col("cb"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("ca", "cb").orderBy(F.asc("h"))
+    topk = u.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
+    return (
+        topk.groupBy("ca", "cb")
+        .agg(
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        )
+        .select(
+            "ca",
+            "cb",
+            F.round(F.col("n_both") / F.col("n_union"), 6).alias("jaccard_est"),
+        )
+        .orderBy("ca", "cb")
+    )

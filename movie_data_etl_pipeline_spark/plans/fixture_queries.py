@@ -35,6 +35,7 @@ from movie_data_etl_pipeline_spark.operators import (
     dedup,
     export,
     graph,
+    incremental,
     indexing,
     joins,
     layout,
@@ -6155,6 +6156,177 @@ LIMIT 10
 """
 
 
+def ap_kmv_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV bottom-k distinct sketch (``sketches.kmv_profile/estimate``):
+    per-source distinct-token estimates (k=16 so the estimator path is
+    exercised at fixture vocab size) next to the exact counts. Like the
+    CMS, the sketch is built on the portable hash family, so every kept
+    hash value — and therefore the estimate — is reproduced by the
+    DuckDB twin."""
+    from movie_data_etl_pipeline_spark.sources.parquet import ensure_min_partitions
+
+    docs = load_table(spark, sf, "documents")
+    toks = ensure_min_partitions(docs.select("source", "text")).select(
+        "source", F.explode(TX.tokens("text")).alias("tok")
+    )
+    prof = sketches.kmv_profile(toks, ["source"], "tok", k=16)
+    est = sketches.kmv_estimate(prof, ["source"], k=16)
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").cast("bigint").alias("n_exact")
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            F.round("n_distinct_est", 6).alias("n_distinct_est"),
+            "n_exact",
+        )
+        .orderBy("source")
+    )
+
+
+_AP_KMV_SQL = f"""
+WITH toks AS (SELECT source, unnest({_D_TOKS}) AS tok FROM documents),
+hashed AS (SELECT DISTINCT source, {ph.sql_mix(ph.sql_str_hash('tok'))} AS h FROM toks),
+ranked AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rk FROM hashed),
+g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS m_k
+      FROM ranked WHERE rk <= 16 GROUP BY 1),
+exact AS (SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact FROM toks GROUP BY 1)
+SELECT g.source,
+       ROUND(CASE WHEN n_kept < 16 THEN CAST(n_kept AS DOUBLE)
+                  ELSE (15.0 * 2147483647.0) / CAST(m_k AS DOUBLE) END, 6) AS n_distinct_est,
+       n_exact
+FROM g JOIN exact ON g.source = exact.source
+ORDER BY g.source
+"""
+
+
+def ap_kmv_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise set overlap between sources from their KMV sketches
+    (``sketches.kmv_jaccard``) — the set-operation HLL cannot answer —
+    next to the exact Jaccard from a token-keyed equi self-join. Pair
+    enumeration runs at source-count grain (#sources², never data²)."""
+    from movie_data_etl_pipeline_spark.sources.parquet import ensure_min_partitions
+
+    docs = load_table(spark, sf, "documents")
+    toks = (
+        ensure_min_partitions(docs.select("source", "text"))
+        .select("source", F.explode(TX.tokens("text")).alias("tok"))
+        .distinct()
+    )
+    prof = sketches.kmv_profile(toks, ["source"], "tok", k=16)
+    est = sketches.kmv_jaccard(prof, ["source"], k=16)
+    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        toks.select(F.col("source").alias("ca"), "tok")
+        .join(toks.select(F.col("source").alias("cb"), "tok"), "tok")
+        .filter(F.col("ca") < F.col("cb"))
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = (
+        inter.join(sizes.select(F.col("source").alias("ca"), F.col("n").alias("na")), "ca")
+        .join(sizes.select(F.col("source").alias("cb"), F.col("n").alias("nb")), "cb")
+        .select(
+            "ca",
+            "cb",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("jaccard_exact"),
+        )
+    )
+    return (
+        est.join(exact, ["ca", "cb"])
+        .select("ca", "cb", "jaccard_est", "jaccard_exact")
+        .orderBy("ca", "cb")
+    )
+
+
+_AP_KMV_JACCARD_SQL = f"""
+WITH toks AS (SELECT DISTINCT source, unnest({_D_TOKS}) AS tok FROM documents),
+hashed AS (SELECT DISTINCT source, {ph.sql_mix(ph.sql_str_hash('tok'))} AS h FROM toks),
+ranked AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rk FROM hashed),
+prof AS (SELECT source, h FROM ranked WHERE rk <= 16),
+cells AS (SELECT DISTINCT source AS c FROM prof),
+cell_pairs AS (SELECT a.c AS ca, b.c AS cb FROM cells a JOIN cells b ON a.c < b.c),
+members AS (
+  SELECT ca, cb, ca AS c FROM cell_pairs UNION ALL SELECT ca, cb, cb AS c FROM cell_pairs
+),
+u AS (
+  SELECT m.ca, m.cb, p.h,
+         MAX(CASE WHEN p.source = m.ca THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN p.source = m.cb THEN 1 ELSE 0 END) AS in_b
+  FROM members m JOIN prof p ON p.source = m.c
+  GROUP BY 1, 2, 3
+),
+topk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ca, cb ORDER BY h ASC) AS rk FROM u
+),
+est AS (
+  SELECT ca, cb, ROUND(SUM(in_a * in_b) / COUNT(*), 6) AS jaccard_est
+  FROM topk WHERE rk <= 16 GROUP BY 1, 2
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.source AS ca, b.source AS cb, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.ca, i.cb, ROUND(i.n_inter / (sa.n + sb.n - i.n_inter), 6) AS jaccard_exact
+  FROM inter i JOIN sizes sa ON sa.source = i.ca JOIN sizes sb ON sb.source = i.cb
+)
+SELECT e.ca, e.cb, e.jaccard_est, x.jaccard_exact
+FROM est e JOIN exact x ON e.ca = x.ca AND e.cb = x.cb
+ORDER BY e.ca, e.cb
+"""
+
+
+def inc_join_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental JOIN-view maintenance
+    (``incremental.delta_join`` + ``merge_agg_state``): the revenue-
+    per-priority view refreshed from insert deltas on BOTH join inputs
+    — Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — then state-merged with the
+    old rollup. The oracle recomputes from the full tables: one truth,
+    two plans (the incremental path touches delta-sized data only).
+    Shares its oracle text with ``jx_salted_join`` — a third plan for
+    the same answer."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        (SC.cents("l_extendedprice") * (F.lit(100) - SC.cents("l_discount"))).alias(
+            "rev_c"
+        ),
+    )
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    li_old, li_delta = li.filter(F.col("okey") % 3 != 0), li.filter(
+        F.col("okey") % 3 == 0
+    )
+    o_old, o_delta = orders.filter(F.col("okey") % 2 == 0), orders.filter(
+        F.col("okey") % 2 == 1
+    )
+
+    def view_agg(joined: DataFrame) -> DataFrame:
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("rev_c").alias("rev_c"),
+        )
+
+    state_old = view_agg(li_old.join(o_old, "okey"))
+    delta_state = view_agg(
+        incremental.delta_join(li_old, li_delta, o_old, o_delta, ["okey"])
+    )
+    merged = incremental.merge_agg_state(
+        state_old, delta_state, ["o_orderpriority"], sum_cols=["n_items", "rev_c"]
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.round(F.col("rev_c").cast("double") / F.lit(10000.0), 2).alias("revenue"),
+    ).orderBy("o_orderpriority")
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -6332,6 +6504,9 @@ QUERIES: dict[str, QueryFn] = {
     "qa_replica_diff": qa_replica_diff,
     "tx_score_calibration": tx_score_calibration,
     "qa_join_explosion": qa_join_explosion,
+    "ap_kmv_sources": ap_kmv_sources,
+    "ap_kmv_jaccard": ap_kmv_jaccard,
+    "inc_join_view": inc_join_view,
 }
 
 ORACLES: dict[str, str] = {
@@ -6489,6 +6664,9 @@ ORACLES: dict[str, str] = {
     "qa_replica_diff": _QA_REPLICA_SQL,
     "tx_score_calibration": _TX_CALIBRATION_SQL,
     "qa_join_explosion": _QA_EXPLOSION_SQL,
+    "ap_kmv_sources": _AP_KMV_SQL,
+    "ap_kmv_jaccard": _AP_KMV_JACCARD_SQL,
+    "inc_join_view": _JX_SALTED_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

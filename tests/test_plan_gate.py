@@ -71,6 +71,7 @@ NESTED_LOOP_OK = {
     "tx_bigram_surprisal",  # broadcast 1-row vocab-size V into bigram pricing
     "sim_tfidf_cosine",  # broadcast 1-row doc-count N into IDF pricing
     "qa_join_explosion",  # broadcast 1-row total-pairs aggregate
+    "ap_kmv_jaccard",  # cell-pair enumeration at #sources² metadata grain
 }
 
 

@@ -186,3 +186,54 @@ def test_replica_diff_flags_only_faulted_buckets(spark, sf_dir):
     # dropped rows show as a count delta; modified rows as equal counts
     for r in diff:
         assert r["n_a"] >= r["n_b"]
+
+
+def test_delta_join_identity_both_sides_grow(spark):
+    from movie_data_etl_pipeline_spark.operators.incremental import delta_join
+
+    a_old = spark.createDataFrame([(1, "a1"), (2, "a2")], ["k", "va"])
+    da = spark.createDataFrame([(3, "a3"), (2, "a2x")], ["k", "va"])
+    b_old = spark.createDataFrame([(2, "b2"), (3, "b3")], ["k", "vb"])
+    db = spark.createDataFrame([(1, "b1"), (3, "b3x")], ["k", "vb"])
+    full = a_old.unionByName(da).join(b_old.unionByName(db), "k")
+    incr = a_old.join(b_old, "k").unionByName(
+        delta_join(a_old, da, b_old, db, ["k"])
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(full) == key(incr)
+
+
+def test_kmv_lossless_below_k_and_merge_idempotent(spark):
+    from movie_data_etl_pipeline_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", f"tok{i % 7}") for i in range(50)]
+        + [("s2", f"tok{i}") for i in range(40)],
+        ["src", "tok"],
+    )
+    prof = kmv_profile(df, ["src"], "tok", k=16)
+    est = {r["src"]: r["n_distinct_est"] for r in kmv_estimate(prof, ["src"], k=16).collect()}
+    # s1 has 7 distinct < k → sketch is lossless, estimate exact
+    assert est["s1"] == 7.0
+    # s2 has 40 distinct > k → estimator path, within a loose band
+    assert 20 < est["s2"] < 80  # within ~2 RSE of truth (RSE ≈ 26% at k=16)
+    # idempotent merge: merging a sketch with itself changes nothing
+    again = kmv_merge(prof.unionByName(prof), ["src"], k=16)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, prof.collect()))
+
+
+def test_kmv_merge_equals_whole(spark):
+    from movie_data_etl_pipeline_spark.operators.sketches import kmv_merge, kmv_profile
+
+    df = spark.createDataFrame(
+        [("s", f"t{i}") for i in range(60)], ["src", "tok"]
+    )
+    whole = kmv_profile(df, ["src"], "tok", k=8)
+    pa = kmv_profile(df.filter("substr(tok, 2) % 2 = 0"), ["src"], "tok", k=8)
+    pb = kmv_profile(df.filter("substr(tok, 2) % 2 = 1"), ["src"], "tok", k=8)
+    merged = kmv_merge(pa.unionByName(pb), ["src"], k=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
