@@ -135,6 +135,9 @@ HEADLINE = [
     "ap_kmv_sources",
     "ap_kmv_jaccard",
     "inc_join_view",
+    "sa_weighted_sample",
+    "gr_triangles",
+    "ag_ab_test",
 ]
 
 
@@ -183,12 +186,18 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    # HEADLINE is append-only, so its first 73 entries are exactly the
+    # round-2 bench set: core_total is the ROUND-COMPARABLE number
+    # (headline_total grows every time an operator is added and says
+    # nothing about speed trends).
+    core = round(sum(times[n] for n in HEADLINE[:73]), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                "core73_total": core,
                 "queries": times,
                 "sf": sf_dir,
             }

@@ -191,3 +191,66 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle census of an undirected graph (edges normalized
+    ``a < b``, distinct): edge count, wedge count (paths of length 2),
+    triangle count, and the global clustering coefficient
+    3·triangles/wedges — the transitivity check that tells you whether
+    near-duplicate PAIRS actually form CLUSTERS.
+
+    Algorithm: compact-forward / degree orientation (Latapy's survey;
+    the MapReduce rendering is Suri & Vassilvitskii's). Every edge is
+    oriented from its lower-(degree, id) endpoint to the higher; each
+    triangle then has exactly one source vertex with two out-edges, so
+    counting = (out-wedge join) ⋈ (closing oriented edge). The
+    orientation is the scale bound: out-degree is O(√m) for ANY graph
+    (a vertex of degree d only points to ≥d-degree vertices), so the
+    wedge relation is O(m^1.5) worst-case instead of Σdeg² — the
+    difference between a hub exploding the join and not.
+    """
+    und = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).unionByName(
+        edges.select(F.col(b).alias("u"), F.col(a).alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e = (
+        edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .join(deg.select(F.col("u").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("u").alias("y"), F.col("d").alias("dy")), "y")
+    )
+    fwd = F.col("dx") < F.col("dy")
+    tie = (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    oriented = e.select(
+        F.when(fwd | tie, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(fwd | tie, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(fwd | tie, F.col("dy")).otherwise(F.col("dx")).alias("ddst"),
+    ).persist()
+    o1 = oriented.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy2"))
+    o2 = oriented.select("src", F.col("dst").alias("z"), F.col("ddst").alias("dz2"))
+    out_wedges = o1.join(o2, "src").filter(
+        (F.col("dy2") < F.col("dz2"))
+        | ((F.col("dy2") == F.col("dz2")) & (F.col("y") < F.col("z")))
+    )
+    closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = (
+        out_wedges.join(closing, ["y", "z"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    stats = (
+        deg.agg(
+            (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges")
+        )
+        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))))
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("global_clustering"),
+    )

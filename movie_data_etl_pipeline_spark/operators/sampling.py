@@ -148,3 +148,42 @@ def temporal_split(
         .when(t < c, F.lit("embargo"))
         .otherwise(F.lit("test")),
     )
+
+
+def weighted_sample_es(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata: Sequence[str] = (),
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row draws priority u^(1/w) for u uniform from its key's
+    hash; the k largest priorities per stratum are exactly a weighted
+    sample without replacement. Computed as ln(u)/w — the monotone
+    transform that avoids cross-engine pow() — with u =
+    (mix(str_hash(key))+1)/(P+1) from the portable family, so the
+    SELECTION (not just its size) is deterministic, replayable, and
+    oracle-checkable.
+
+    Scale: no shuffle beyond one per-stratum top-k, which compiles to a
+    pre-shuffle WindowGroupLimit — per-stratum reducer state is k rows.
+    The classic use: quality-weighted corpus subsampling where simple
+    Bernoulli over-represents junk."""
+    from pyspark.sql import Window
+
+    from movie_data_etl_pipeline_spark.functions import portable_hash as ph
+
+    u = (ph.mix(ph.str_hash(F.col(key_col).cast("string"))) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(ph.P + 1))
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    ranked = df.withColumn("__pri", pri)
+    w = Window.partitionBy(*strata).orderBy(
+        F.desc("__pri"), F.asc(key_col)
+    )
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("__pri")
+    )

@@ -6327,6 +6327,160 @@ def inc_join_view(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def sa_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (``sampling.weighted_sample_es`` — Efraimidis–Spirakis A-ES with
+    portable-hash uniforms): top-5 documents per source, selection
+    probability ∝ length. The SELECTION itself is deterministic and
+    engine-reproducible, not merely the sample size."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    out = sampling.weighted_sample_es(
+        docs, "doc_id", "n_chars", k=5, strata=("source",)
+    )
+    return out.select("doc_id", "source", "n_chars", F.col("rk").cast("int").alias("rk")).orderBy(
+        "source", "rk"
+    )
+
+
+_SA_WEIGHTED_SQL = f"""
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         ln(({ph.sql_mix(ph.sql_str_hash("CAST(doc_id AS VARCHAR)"))} + 1) / 2147483648.0)
+           / CAST(n_chars AS DOUBLE) AS p
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY p DESC, doc_id ASC) AS rk
+  FROM pri
+)
+SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5
+ORDER BY source, rk
+"""
+
+
+def gr_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census (``graph.triangle_count``, degree-oriented
+    compact-forward — out-degree O(√m) bounds the wedge join for ANY
+    degree distribution) over the exact 3-shingle Jaccard near-dup
+    graph: the transitivity audit that says whether duplicate PAIRS
+    form CLUSTERS (high clustering → connected-components dedup is
+    safe; low → pair threshold too loose)."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    )
+    return graph.triangle_count(pairs)
+
+
+_GR_TRIANGLES_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT a_id AS a, b_id AS b
+  FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+  WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+),
+deg AS (
+  SELECT u, COUNT(*) AS d FROM (
+    SELECT a AS u FROM e UNION ALL SELECT b AS u FROM e
+  ) GROUP BY 1
+),
+agg AS (
+  SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+         CAST((SELECT SUM(d * (d - 1)) / 2 FROM deg) AS BIGINT) AS n_wedges,
+         CAST((SELECT COUNT(*)
+               FROM e e1 JOIN e e2 ON e1.b = e2.a
+                         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT) AS n_triangles
+)
+SELECT n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0 THEN ROUND(3.0 * n_triangles / n_wedges, 6) ELSE 0.0 END AS global_clustering
+FROM agg
+"""
+
+
+def ag_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's t between two event cohorts ('click' vs 'error' on
+    ``events.value``) from exact integer moment sums: each value
+    quantizes ONCE to 2^-20 units (per-row IEEE, no accumulation
+    order), sums/squares accumulate in int64/decimal(38,0), and the
+    t statistic is ONE final double expression — the experimentation
+    readout (is the metric shift real?) with bit-identical results at
+    any parallelism. The 2^20 scale cancels inside t."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    vq = F.floor(F.col("value") * F.lit(1048576.0) + F.lit(0.5)).cast("bigint")
+    is_a = (F.col("event_type") == "click").cast("int")
+    g = ev.select(vq.alias("v"), is_a.alias("ia")).agg(
+        F.sum("ia").cast("bigint").alias("na"),
+        F.sum(1 - F.col("ia")).cast("bigint").alias("nb"),
+        F.sum(F.col("ia") * F.col("v")).alias("s1a"),
+        F.sum((1 - F.col("ia")) * F.col("v")).alias("s1b"),
+        F.sum((F.col("ia") * F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("s2a"),
+        F.sum(((1 - F.col("ia")) * F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("s2b"),
+    )
+    d38 = "decimal(38,0)"
+    na, nb = F.col("na"), F.col("nb")
+    ma = F.col("s1a").cast("double") / na.cast("double")
+    mb = F.col("s1b").cast("double") / nb.cast("double")
+    va = (na.cast(d38) * F.col("s2a") - F.col("s1a").cast(d38) * F.col("s1a").cast(d38)).cast(
+        "double"
+    ) / (na.cast("double") * (na.cast("double") - F.lit(1.0)))
+    vb = (nb.cast(d38) * F.col("s2b") - F.col("s1b").cast(d38) * F.col("s1b").cast(d38)).cast(
+        "double"
+    ) / (nb.cast("double") * (nb.cast("double") - F.lit(1.0)))
+    t = (ma - mb) / F.sqrt(va / na.cast("double") + vb / nb.cast("double"))
+    return g.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(ma / F.lit(1048576.0), 6).alias("mean_a"),
+        F.round(mb / F.lit(1048576.0), 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+    )
+
+
+_AG_AB_SQL = """
+WITH q AS (
+  SELECT CAST(floor(value * 1048576.0 + 0.5) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+  FROM events WHERE event_type IN ('click', 'error')
+),
+g AS (
+  SELECT CAST(SUM(ia) AS BIGINT) AS na, CAST(SUM(1 - ia) AS BIGINT) AS nb,
+         CAST(SUM(ia * v) AS BIGINT) AS s1a, CAST(SUM((1 - ia) * v) AS BIGINT) AS s1b,
+         CAST(SUM(CAST(ia * v * v AS HUGEINT)) AS HUGEINT) AS s2a,
+         CAST(SUM(CAST((1 - ia) * v * v AS HUGEINT)) AS HUGEINT) AS s2b
+  FROM q
+)
+SELECT na AS n_a, nb AS n_b,
+       ROUND(CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) / 1048576.0, 6) AS mean_a,
+       ROUND(CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) / 1048576.0, 6) AS mean_b,
+       ROUND(
+         (CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE))
+         / sqrt(
+             CAST(CAST(na AS HUGEINT) * s2a - CAST(s1a AS HUGEINT) * CAST(s1a AS HUGEINT) AS DOUBLE)
+               / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)
+             + CAST(CAST(nb AS HUGEINT) * s2b - CAST(s1b AS HUGEINT) * CAST(s1b AS HUGEINT) AS DOUBLE)
+               / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE)
+           ), 6) AS t_stat
+FROM g
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -6507,6 +6661,9 @@ QUERIES: dict[str, QueryFn] = {
     "ap_kmv_sources": ap_kmv_sources,
     "ap_kmv_jaccard": ap_kmv_jaccard,
     "inc_join_view": inc_join_view,
+    "sa_weighted_sample": sa_weighted_sample,
+    "gr_triangles": gr_triangles,
+    "ag_ab_test": ag_ab_test,
 }
 
 ORACLES: dict[str, str] = {
@@ -6667,6 +6824,9 @@ ORACLES: dict[str, str] = {
     "ap_kmv_sources": _AP_KMV_SQL,
     "ap_kmv_jaccard": _AP_KMV_JACCARD_SQL,
     "inc_join_view": _JX_SALTED_SQL,
+    "sa_weighted_sample": _SA_WEIGHTED_SQL,
+    "gr_triangles": _GR_TRIANGLES_SQL,
+    "ag_ab_test": _AG_AB_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

@@ -72,6 +72,7 @@ NESTED_LOOP_OK = {
     "sim_tfidf_cosine",  # broadcast 1-row doc-count N into IDF pricing
     "qa_join_explosion",  # broadcast 1-row total-pairs aggregate
     "ap_kmv_jaccard",  # cell-pair enumeration at #sources² metadata grain
+    "gr_triangles",  # broadcast of three 1-row census aggregates
 }
 
 

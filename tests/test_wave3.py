@@ -237,3 +237,40 @@ def test_kmv_merge_equals_whole(spark):
     pb = kmv_profile(df.filter("substr(tok, 2) % 2 = 1"), ["src"], "tok", k=8)
     merged = kmv_merge(pa.unionByName(pb), ["src"], k=8)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_triangle_count_known_graphs(spark):
+    from movie_data_etl_pipeline_spark.operators.graph import triangle_count
+
+    # K4: 6 edges, 12 wedges, 4 triangles, clustering 1.0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], ["a", "b"]
+    )
+    r = triangle_count(k4).collect()[0]
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (6, 12, 4)
+    assert r["global_clustering"] == 1.0
+    # star: wedges but no triangles
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["a", "b"])
+    r = triangle_count(star).collect()[0]
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 10
+    assert r["global_clustering"] == 0.0
+    # triangle + pendant edge
+    g = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], ["a", "b"])
+    r = triangle_count(g).collect()[0]
+    assert r["n_triangles"] == 1
+
+
+def test_weighted_sample_es_favors_heavy_weights_and_is_exact_k(spark):
+    from movie_data_etl_pipeline_spark.operators.sampling import weighted_sample_es
+
+    rows = [(f"id{i}", "s", 1000 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["key", "src", "w"])
+    out = weighted_sample_es(df, "key", "w", k=25, strata=("src",)).collect()
+    assert len(out) == 25
+    heavy = sum(1 for r in out if r["w"] == 1000)
+    # 50 items carry 1000x the weight of the other 450: essentially all
+    # picks must be heavy (P[light] per pick ≈ 450/(50·1000) ≈ 1%)
+    assert heavy >= 22
+    # determinism: same input → same selection
+    again = weighted_sample_es(df, "key", "w", k=25, strata=("src",)).collect()
+    assert sorted(r["key"] for r in out) == sorted(r["key"] for r in again)

@@ -84,6 +84,17 @@ SCALE_QUERIES = [
     "pit_topk_events",  # horizon-window feature join
     "ap_quantile_rollup",  # mergeable histogram sketch
     "tx_source_divergence",  # vocab-grain drift agg
+    "ix_inverted_index",  # capped posting-list build
+    "jx_salted_join",  # salted fact⋈fact + agg
+    "ly_compaction",  # metadata-grain packing window
+    "ag_ols_brand",  # moment-sum grouped regression
+    "ev_attribution",  # two-window sessionization
+    "ap_cms_counts",  # CMS build + broadcast probe
+    "tx_score_calibration",  # histogram percent-rank + join-back
+    "qa_replica_diff",  # per-bucket content checksums ×2
+    "qa_join_explosion",  # key-grain c² diagnostic
+    "inc_join_view",  # delta-join + state merge
+    "ap_kmv_sources",  # bottom-k sketch (vocab constant under replication)
 ]
 
 
