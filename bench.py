@@ -138,6 +138,8 @@ HEADLINE = [
     "sa_weighted_sample",
     "gr_triangles",
     "ag_ab_test",
+    "qa_release_gate",
+    "tx_skipgram_pmi",
 ]
 
 

@@ -73,6 +73,8 @@ NESTED_LOOP_OK = {
     "qa_join_explosion",  # broadcast 1-row total-pairs aggregate
     "ap_kmv_jaccard",  # cell-pair enumeration at #sources² metadata grain
     "gr_triangles",  # broadcast of three 1-row census aggregates
+    "tx_skipgram_pmi",  # broadcast 1-row pair-slot total
+    "qa_release_gate",  # composes qa_volume_anomaly's sanctioned 1-row broadcast
 }
 
 
