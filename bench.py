@@ -140,6 +140,7 @@ HEADLINE = [
     "ag_ab_test",
     "qa_release_gate",
     "tx_skipgram_pmi",
+    "tx_bpe_merges",
 ]
 
 

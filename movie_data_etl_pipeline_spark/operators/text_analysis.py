@@ -914,3 +914,72 @@ def bigram_surprisal(
         )
         .orderBy(id_col)
     )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-merge learning (word-level BPE): ``rounds`` iterations
+    of [count adjacent token pairs → pick the most frequent (count
+    DESC, pair ASC — a total order, so the pick is deterministic) →
+    greedily merge its occurrences left-to-right corpus-wide]. Returns
+    the learned merge table (round, left, right, pair_count) — the
+    artifact a BPE tokenizer ships.
+
+    Distribution shape: the scale-critical part of BPE is the PAIR
+    COUNT (full-corpus shuffle at pair grain, here one zip_with
+    projection + map-side-combining groupBy per round) and the top-1
+    pick (TakeOrdered, one row to the driver per round — the same
+    bounded driver coordination as the IVF quantizer fit). The merge
+    application is a per-doc ``aggregate`` fold — O(len²) per doc in
+    this array-rendering (each step copies the accumulator), which is
+    fine for chunk-bounded documents (``chunk_documents`` upstream
+    bounds len); the fold matches reference BPE's leftmost-first
+    overlap rule ("a a a" merges once, the survivor does not re-merge
+    this round).
+    """
+    t = TX.tokens(text_col)
+    cur = ensure_min_partitions(docs.select(t.alias("t"))).filter(F.size("t") >= 2)
+    cur = cur.localCheckpoint()  # pin: each round re-reads the corpus
+    out: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        pairs = cur.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy("p.x", "p.y")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        x, y, c = top[0]["x"], top[0]["y"], int(top[0]["c"])
+        out.append((r, x, y, c))
+        joined = f"{x} {y}"
+        merged = F.aggregate(
+            F.col("t"),
+            F.array().cast("array<string>"),
+            lambda acc, tok: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(x))
+                & (tok == F.lit(y)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+                ),
+            ).otherwise(F.concat(acc, F.array(tok))),
+        )
+        cur = cur.select(merged.alias("t")).localCheckpoint()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out, "round int, lhs string, rhs string, pair_count bigint"
+    )

@@ -6634,6 +6634,49 @@ LIMIT 20
 """
 
 
+def tx_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-level BPE merge learning
+    (``text_analysis.learn_bpe_merges``): three rounds of count →
+    deterministic top-pick → corpus-wide greedy merge. The oracle
+    unrolls the same three rounds as CTEs with DuckDB ``list_reduce``
+    replaying the identical leftmost-first fold — a value-checked
+    oracle for an ITERATIVE, data-dependent learning loop (same
+    discipline as the PageRank unrolled-iteration twin)."""
+    docs = load_table(spark, sf, "documents")
+    return text_analysis.learn_bpe_merges(docs, rounds=3)
+
+
+def _bpe_sql(rounds: int = 3) -> str:
+    parts = [
+        f"t0 AS (SELECT {_D_TOKS} AS t FROM documents WHERE len({_D_TOKS}) >= 2)"
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"t{r-1}"
+        parts.append(
+            f"p{r} AS (SELECT p.x AS x, p.y AS y FROM (SELECT unnest("
+            f"[{{'x': t[i], 'y': t[i+1]}} for i in range(1, len(t))]) AS p FROM {prev}))"
+        )
+        parts.append(
+            f"m{r} AS (SELECT x, y, COUNT(*) AS c FROM p{r} GROUP BY 1, 2 "
+            f"ORDER BY c DESC, x ASC, y ASC LIMIT 1)"
+        )
+        if r < rounds:
+            parts.append(
+                f"t{r} AS (SELECT list_reduce(list_prepend([]::VARCHAR[], [[z] for z in t]), "
+                f"(acc, cur) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.x AND cur[1] = m.y "
+                f"THEN list_concat(acc[1:len(acc)-1], [m.x || ' ' || m.y]) "
+                f"ELSE list_concat(acc, cur) END) AS t FROM {prev} CROSS JOIN m{r} m)"
+            )
+    selects = [
+        f"SELECT {r} AS round, x AS lhs, y AS rhs, CAST(c AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY round"
+
+
+_TX_BPE_SQL = _bpe_sql(3)
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -6819,6 +6862,7 @@ QUERIES: dict[str, QueryFn] = {
     "ag_ab_test": ag_ab_test,
     "qa_release_gate": qa_release_gate,
     "tx_skipgram_pmi": tx_skipgram_pmi,
+    "tx_bpe_merges": tx_bpe_merges,
 }
 
 ORACLES: dict[str, str] = {
@@ -6984,6 +7028,7 @@ ORACLES: dict[str, str] = {
     "ag_ab_test": _AG_AB_SQL,
     "qa_release_gate": _QA_RELEASE_SQL,
     "tx_skipgram_pmi": _TX_SKIPGRAM_SQL,
+    "tx_bpe_merges": _TX_BPE_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

@@ -274,3 +274,20 @@ def test_weighted_sample_es_favors_heavy_weights_and_is_exact_k(spark):
     # determinism: same input → same selection
     again = weighted_sample_es(df, "key", "w", k=25, strata=("src",)).collect()
     assert sorted(r["key"] for r in out) == sorted(r["key"] for r in again)
+
+
+def test_bpe_merges_hand_case(spark):
+    from movie_data_etl_pipeline_spark.operators.text_analysis import learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b a a"), (2, "a b a b c"), (3, "x")], ["doc_id", "text"]
+    )
+    got = [tuple(r) for r in learn_bpe_merges(docs, rounds=3).collect()]
+    # round 1: overlapping (a,a) counted 3 ("a a a" gives 2, "a a" gives 1);
+    # greedy leftmost merge turns "a a a" into ["a a", "a"] (no re-merge)
+    # round 2: (a,b) = 1 (doc1 post-merge) + 2 (doc2) = 3
+    assert got == [
+        (1, "a", "a", 3),
+        (2, "a", "b", 3),
+        (3, "a a", "a b", 1),
+    ]
