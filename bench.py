@@ -141,6 +141,9 @@ HEADLINE = [
     "qa_release_gate",
     "tx_skipgram_pmi",
     "tx_bpe_merges",
+    "ev_debounce",
+    "qa_fk_repair",
+    "ag_mutual_info",
 ]
 
 

@@ -6677,6 +6677,179 @@ def _bpe_sql(rounds: int = 3) -> str:
 _TX_BPE_SQL = _bpe_sql(3)
 
 
+def ev_debounce(spark: SparkSession, sf: str) -> DataFrame:
+    """Telemetry debounce / alert suppression: per (user, event
+    type), keep only the FIRST event of each burst, where a burst
+    chains events less than 4 hours apart — the dedup that collapses
+    retry storms and repeated alerts without touching separated
+    occurrences. Same
+    two-window sessionization spine as ``ev_attribution`` (gap flag →
+    running burst id → rank-1 keep), one ``(user, type)`` exchange."""
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    out = (
+        ev.withColumn(
+            "new_b", F.when(gap.isNull() | (gap > 14_400_000_000), 1).otherwise(0)
+        )
+        .withColumn(
+            "bid",
+            F.sum("new_b").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id", "event_type", "bid").orderBy("ts", "event_id")
+        ))
+        .filter(F.col("rn") == 1)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS).alias("ts"),
+    ).orderBy("event_id")
+
+
+_EV_DEBOUNCE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) > 14400000000
+              THEN 1 ELSE 0 END AS new_b
+  FROM events
+),
+s AS (
+  SELECT *, SUM(new_b) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid
+  FROM e
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type, bid ORDER BY ts, event_id) AS rn
+  FROM s
+)
+SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+FROM r WHERE rn = 1 ORDER BY event_id
+"""
+
+
+def qa_fk_repair(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential repair report: facts referencing a missing dimension
+    row (here: suppliers thinned by ``s_suppkey % 97 = 3`` to
+    synthesize orphans) are counted into quarantine and a stub-dim
+    plan — the warehouse-loading decision (late-arriving dimension
+    handling) as one broadcast-anti-join scan + key-grain distinct."""
+    li = load_table(spark, sf, "lineitem").select("l_suppkey")
+    supp = load_table(spark, sf, "supplier").filter(
+        F.col("s_suppkey") % 97 != 3
+    ).select("s_suppkey")
+    orphan = li.join(
+        supp, li.l_suppkey == supp.s_suppkey, "left_anti"
+    )
+    report = orphan.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_quarantined"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("stub_dims_needed"),
+    )
+    total = li.agg(F.count(F.lit(1)).cast("bigint").alias("rows_total"))
+    return report.crossJoin(F.broadcast(total)).select(
+        "rows_total",
+        "rows_quarantined",
+        (F.col("rows_total") - F.col("rows_quarantined")).cast("bigint").alias("rows_ok"),
+        "stub_dims_needed",
+    )
+
+
+_QA_FK_REPAIR_SQL = """
+WITH supp AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 97 <> 3),
+orphan AS (
+  SELECT l_suppkey FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supp)
+)
+SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS rows_total,
+       CAST(COUNT(*) AS BIGINT) AS rows_quarantined,
+       CAST((SELECT COUNT(*) FROM lineitem) - COUNT(*) AS BIGINT) AS rows_ok,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS stub_dims_needed
+FROM orphan
+"""
+
+
+def ag_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information between quantity and price (10×10 fixed
+    bins): the feature-dependence readout, computed engine-exact with
+    the KL discipline from ``source_divergence`` — each CELL's
+    ln(N·c_xy/(c_x·c_y)) prices once into 2^-20 integer units, the MI
+    sum is an exact int64 weighted sum, ONE final division. Shuffle
+    domain = 100 cells."""
+    # integer `div` on BOTH engines — a double-division + cast would
+    # diverge (Spark cast truncates, DuckDB CAST rounds)
+    li = load_table(spark, sf, "lineitem").select(
+        F.least(
+            F.lit(9).cast("bigint"),
+            F.expr("(CAST(l_quantity AS BIGINT) - 1) div 5"),
+        ).alias("qx"),
+        F.least(
+            F.lit(9).cast("bigint"),
+            F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) div 1100000"),
+        ).alias("py"),
+    )
+    cells = li.groupBy("qx", "py").agg(F.count(F.lit(1)).alias("c_xy"))
+    mx = cells.groupBy("qx").agg(F.sum("c_xy").alias("c_x"))
+    my = cells.groupBy("py").agg(F.sum("c_xy").alias("c_y"))
+    n = cells.agg(F.sum("c_xy").cast("double").alias("n"))
+    priced = (
+        cells.join(mx, "qx")
+        .join(my, "py")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "c_xy",
+            F.floor(
+                F.log(
+                    F.col("n")
+                    * F.col("c_xy").cast("double")
+                    / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+                )
+                * F.lit(1048576.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("u"),
+        )
+    )
+    return priced.agg(
+        F.sum("c_xy").cast("bigint").alias("n_rows"),
+        F.round(
+            F.sum(F.col("c_xy") * F.col("u")).cast("double")
+            / F.sum("c_xy").cast("double")
+            / F.lit(1048576.0),
+            6,
+        ).alias("mutual_info_nats"),
+    )
+
+
+_AG_MI_SQL = """
+WITH b AS (
+  SELECT LEAST(9, (CAST(l_quantity AS BIGINT) - 1) // 5) AS qx,
+         LEAST(9, CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 1100000) AS py
+  FROM lineitem
+),
+cells AS (SELECT qx, py, COUNT(*) AS c_xy FROM b GROUP BY 1, 2),
+mx AS (SELECT qx, SUM(c_xy) AS c_x FROM cells GROUP BY 1),
+my AS (SELECT py, SUM(c_xy) AS c_y FROM cells GROUP BY 1),
+n AS (SELECT CAST(SUM(c_xy) AS DOUBLE) AS n FROM cells),
+priced AS (
+  SELECT c_xy,
+         CAST(floor(ln(n * CAST(c_xy AS DOUBLE) / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))
+                    * 1048576.0 + 0.5) AS BIGINT) AS u
+  FROM cells JOIN mx USING (qx) JOIN my USING (py) CROSS JOIN n
+)
+SELECT CAST(SUM(c_xy) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(c_xy * u) AS DOUBLE) / CAST(SUM(c_xy) AS DOUBLE) / 1048576.0, 6) AS mutual_info_nats
+FROM priced
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -6863,6 +7036,9 @@ QUERIES: dict[str, QueryFn] = {
     "qa_release_gate": qa_release_gate,
     "tx_skipgram_pmi": tx_skipgram_pmi,
     "tx_bpe_merges": tx_bpe_merges,
+    "ev_debounce": ev_debounce,
+    "qa_fk_repair": qa_fk_repair,
+    "ag_mutual_info": ag_mutual_info,
 }
 
 ORACLES: dict[str, str] = {
@@ -7029,6 +7205,9 @@ ORACLES: dict[str, str] = {
     "qa_release_gate": _QA_RELEASE_SQL,
     "tx_skipgram_pmi": _TX_SKIPGRAM_SQL,
     "tx_bpe_merges": _TX_BPE_SQL,
+    "ev_debounce": _EV_DEBOUNCE_SQL,
+    "qa_fk_repair": _QA_FK_REPAIR_SQL,
+    "ag_mutual_info": _AG_MI_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

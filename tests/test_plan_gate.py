@@ -75,6 +75,8 @@ NESTED_LOOP_OK = {
     "gr_triangles",  # broadcast of three 1-row census aggregates
     "tx_skipgram_pmi",  # broadcast 1-row pair-slot total
     "qa_release_gate",  # composes qa_volume_anomaly's sanctioned 1-row broadcast
+    "qa_fk_repair",  # broadcast 1-row rows_total aggregate
+    "ag_mutual_info",  # broadcast 1-row N total into cell pricing
 }
 
 
