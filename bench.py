@@ -144,6 +144,9 @@ HEADLINE = [
     "ev_debounce",
     "qa_fk_repair",
     "ag_mutual_info",
+    "w6_sliding_distinct",
+    "qa_seasonal_anomaly",
+    "qa_entropy_profile",
 ]
 
 

@@ -6850,6 +6850,173 @@ FROM priced
 """
 
 
+def w6_sliding_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 7-day distinct users per day — the DAU/WAU-style metric
+    whose naive form (COUNT(DISTINCT) OVER a range frame) Spark
+    doesn't support and a per-day subquery would re-scan 7× . Exact
+    decomposition: dedup to (user, day) grain once, explode each row
+    to the ≤7 window-days it serves (bounded fan-out), dedup (user,
+    window_day), count — every step linear, shuffle domain user-day."""
+    ev = load_table(spark, sf, "events").select(
+        F.col("user_id"), F.to_date("ts").alias("d")
+    ).distinct()
+    contrib = ev.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(d, date_add(d, 6), interval 1 day)")
+        ).alias("wd"),
+    ).distinct()
+    # keep only window-days that exist as event days (calendar edge:
+    # trailing days past the data end would report partial windows)
+    days = ev.select("d").distinct().withColumnRenamed("d", "wd")
+    return (
+        contrib.join(days, "wd")
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("users_7d"))
+        .select(F.date_format("wd", _DATE).alias("day"), "users_7d")
+        .orderBy("day")
+    )
+
+
+_W6_SLIDING_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+contrib AS (
+  SELECT DISTINCT user_id, CAST(d + INTERVAL (i) DAY AS DATE) AS wd
+  FROM ud, generate_series(0, 6) AS g(i)
+),
+days AS (SELECT DISTINCT d AS wd FROM ud)
+SELECT strftime(CAST(c.wd AS DATE), '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS users_7d
+FROM contrib c JOIN days USING (wd)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def qa_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonality-adjusted volume gate: daily event counts scored
+    against their OWN day-of-week baseline (Monday vs the Mondays) —
+    the fix for plain z-scores flagging every weekend. Baseline
+    mean/variance from exact integer power sums per weekday (7-row
+    relation, broadcast back); one final IEEE expression per day."""
+    ev = load_table(spark, sf, "events").select(F.to_date("ts").alias("d"))
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    wd = daily.withColumn("dow", F.dayofweek("d"))
+    base = wd.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    scored = wd.join(F.broadcast(base), "dow").select(
+        F.date_format("d", _DATE).alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(
+            (
+                F.col("n").cast("double")
+                - F.col("s1").cast("double") / F.col("k").cast("double")
+            )
+            / F.sqrt(
+                (
+                    F.col("k").cast("double") * F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1").cast("double")
+                )
+                / (F.col("k").cast("double") * (F.col("k").cast("double") - F.lit(1.0)))
+            ),
+            6,
+        ).alias("z_dow"),
+    )
+    return scored.orderBy("day")
+
+
+_QA_SEASONAL_SQL = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1),
+wd AS (SELECT d, n, dayofweek(d) + 1 AS dow FROM daily),
+base AS (
+  SELECT dow, COUNT(*) AS k, SUM(n) AS s1, SUM(n * n) AS s2 FROM wd GROUP BY 1
+)
+SELECT strftime(wd.d, '%Y-%m-%d') AS day, CAST(wd.n AS BIGINT) AS n_events,
+       ROUND(
+         (CAST(wd.n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+         / sqrt((CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))), 6) AS z_dow
+FROM wd JOIN base USING (dow)
+ORDER BY day
+"""
+
+
+def qa_entropy_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-profiling readout: per profiled column, distinct count,
+    Shannon entropy (nats), and top-value share — the quick "is this
+    column an id, an enum, or junk" classifier. Entropy uses the
+    quantized-ln discipline (per-VALUE ln priced once to 2^-20
+    integer units, exact weighted sums); each column costs one
+    value-grain groupBy, unioned at 1-row-per-column grain."""
+    li = load_table(spark, sf, "lineitem")
+
+    def profile(col: str) -> DataFrame:
+        vals = li.groupBy(F.col(col).cast("string").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        tot = vals.agg(
+            F.sum("c").cast("double").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("c").cast("double").alias("top_c"),
+        )
+        priced = vals.crossJoin(F.broadcast(tot)).select(
+            "c",
+            "n",
+            "n_distinct",
+            "top_c",
+            F.floor(
+                F.log(F.col("n") / F.col("c").cast("double")) * F.lit(1048576.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("u"),
+        )
+        return priced.groupBy("n", "n_distinct", "top_c").agg(
+            F.sum(F.col("c") * F.col("u")).alias("su")
+        ).select(
+            F.lit(col).alias("column"),
+            F.col("n_distinct"),
+            F.round(F.col("su").cast("double") / F.col("n") / F.lit(1048576.0), 6).alias(
+                "entropy_nats"
+            ),
+            F.round(F.col("top_c") / F.col("n"), 6).alias("top_share"),
+        )
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_suppkey"]
+    out = profile(cols[0])
+    for c in cols[1:]:
+        out = out.unionByName(profile(c))
+    return out.orderBy("column")
+
+
+def _entropy_sql_one(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS "column", n_distinct,
+         ROUND(CAST(SUM(c * u) AS DOUBLE) / ANY_VALUE(n) / 1048576.0, 6) AS entropy_nats,
+         ROUND(ANY_VALUE(top_c) / ANY_VALUE(n), 6) AS top_share
+  FROM (
+    SELECT c, n, n_distinct, top_c,
+           CAST(floor(ln(n / CAST(c AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS u
+    FROM (SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS c FROM lineitem GROUP BY 1)
+    CROSS JOIN (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS DOUBLE) AS top_c
+      FROM (SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS c FROM lineitem GROUP BY 1)
+    )
+  ) GROUP BY n_distinct"""
+
+
+_QA_ENTROPY_SQL = (
+    "SELECT * FROM (\n"
+    + "\n  UNION ALL\n".join(
+        _entropy_sql_one(c)
+        for c in ["l_returnflag", "l_linestatus", "l_quantity", "l_suppkey"]
+    )
+    + "\n) ORDER BY \"column\""
+)
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -7039,6 +7206,9 @@ QUERIES: dict[str, QueryFn] = {
     "ev_debounce": ev_debounce,
     "qa_fk_repair": qa_fk_repair,
     "ag_mutual_info": ag_mutual_info,
+    "w6_sliding_distinct": w6_sliding_distinct,
+    "qa_seasonal_anomaly": qa_seasonal_anomaly,
+    "qa_entropy_profile": qa_entropy_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -7208,6 +7378,9 @@ ORACLES: dict[str, str] = {
     "ev_debounce": _EV_DEBOUNCE_SQL,
     "qa_fk_repair": _QA_FK_REPAIR_SQL,
     "ag_mutual_info": _AG_MI_SQL,
+    "w6_sliding_distinct": _W6_SLIDING_SQL,
+    "qa_seasonal_anomaly": _QA_SEASONAL_SQL,
+    "qa_entropy_profile": _QA_ENTROPY_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

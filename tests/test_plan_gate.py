@@ -77,6 +77,7 @@ NESTED_LOOP_OK = {
     "qa_release_gate",  # composes qa_volume_anomaly's sanctioned 1-row broadcast
     "qa_fk_repair",  # broadcast 1-row rows_total aggregate
     "ag_mutual_info",  # broadcast 1-row N total into cell pricing
+    "qa_entropy_profile",  # broadcast 1-row per-column totals into pricing
 }
 
 
