@@ -147,6 +147,7 @@ HEADLINE = [
     "w6_sliding_distinct",
     "qa_seasonal_anomaly",
     "qa_entropy_profile",
+    "dd_canonical_pick",
 ]
 
 

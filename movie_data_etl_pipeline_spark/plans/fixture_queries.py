@@ -7017,6 +7017,85 @@ _QA_ENTROPY_SQL = (
 )
 
 
+def dd_canonical_pick(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup DECISION, end-to-end: near-dup pairs → connected
+    components → per-cluster canonical pick by QUALITY (longest text,
+    tie → smallest id), not by arbitrary min-id — the policy that
+    keeps the best duplicate instead of a random one. Completes the
+    chain the other dd_* queries build (pairs → clusters → what
+    actually ships); the per-cluster argmax compiles to a pre-shuffle
+    WindowGroupLimit."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    comp = dedup.connected_components(pairs, "a_id", "b_id")
+    membered = comp.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("id")
+    )
+    return (
+        membered.withColumn("rk", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("id"))).cast("bigint").alias(
+                "canonical_doc"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).cast("bigint").alias(
+                "canonical_chars"
+            ),
+        )
+        .orderBy("component")
+    )
+
+
+_DD_CANONICAL_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM shared
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.8
+),
+sym AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+walk AS (
+  SELECT src AS id, dst AS reach FROM sym
+  UNION
+  SELECT walk.id, sym.dst FROM walk JOIN sym ON walk.reach = sym.src
+),
+comps AS (
+  SELECT id, LEAST(id, MIN(reach)) AS component FROM walk GROUP BY id
+),
+m AS (
+  SELECT c.component, c.id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.component ORDER BY d.n_chars DESC, c.id ASC) AS rk
+  FROM comps c JOIN documents d ON d.doc_id = c.id
+)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS canonical_doc,
+       CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS canonical_chars
+FROM m GROUP BY component ORDER BY component
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -7209,6 +7288,7 @@ QUERIES: dict[str, QueryFn] = {
     "w6_sliding_distinct": w6_sliding_distinct,
     "qa_seasonal_anomaly": qa_seasonal_anomaly,
     "qa_entropy_profile": qa_entropy_profile,
+    "dd_canonical_pick": dd_canonical_pick,
 }
 
 ORACLES: dict[str, str] = {
@@ -7381,6 +7461,7 @@ ORACLES: dict[str, str] = {
     "w6_sliding_distinct": _W6_SLIDING_SQL,
     "qa_seasonal_anomaly": _QA_SEASONAL_SQL,
     "qa_entropy_profile": _QA_ENTROPY_SQL,
+    "dd_canonical_pick": _DD_CANONICAL_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
