@@ -148,6 +148,11 @@ HEADLINE = [
     "qa_seasonal_anomaly",
     "qa_entropy_profile",
     "dd_canonical_pick",
+    "qa_winsorize",
+    "ts_rolling_corr",
+    "ag_abc_analysis",
+    "tx_threshold_sweep",
+    "tx_sentence_stats",
 ]
 
 

@@ -210,6 +210,12 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     wedge relation is O(m^1.5) worst-case instead of Σdeg² — the
     difference between a hub exploding the join and not.
     """
+    # The edge relation is consumed three times (degrees, orientation,
+    # census count) — materialize it ONCE, eagerly; upstream edge
+    # GENERATION (e.g. a near-dup pair pipeline) can be arbitrarily
+    # expensive, and lazy persist still re-plans the generator into
+    # every branch until the cache is populated.
+    edges = edges.localCheckpoint(eager=True)
     und = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).unionByName(
         edges.select(F.col(b).alias("u"), F.col(a).alias("v"))
     )

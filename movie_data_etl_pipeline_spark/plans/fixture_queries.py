@@ -7096,6 +7096,279 @@ FROM m GROUP BY component ORDER BY component
 """
 
 
+def qa_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorization gate: per order status, clamp prices at the exact
+    p01/p99 ORDER STATISTICS (rank ⌈q·n⌉ over integer cents — no
+    interpolation, engine-exact) and report the clamp counts plus the
+    winsorized mean — the outlier treatment that, unlike dropping,
+    keeps row counts stable for downstream joins. Order statistics
+    come from the (status, value) histogram's cumulative counts, not
+    a per-row sort."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderstatus", SC.cents("o_totalprice").alias("v")
+    )
+    hist = o.groupBy("o_orderstatus", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("o_orderstatus").orderBy("v")
+    cum = hist.select(
+        "o_orderstatus",
+        "v",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(Window.partitionBy("o_orderstatus")).alias("n"),
+    )
+    bounds = cum.groupBy("o_orderstatus").agg(
+        F.min(F.when(F.col("cum") * 100 >= F.col("n"), F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * 99, F.col("v"))).alias("hi"),
+    )
+    clamped = o.join(F.broadcast(bounds), "o_orderstatus").select(
+        "o_orderstatus",
+        "lo",
+        "hi",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v"))).alias("cv"),
+        (F.col("v") < F.col("lo")).cast("int").alias("is_lo"),
+        (F.col("v") > F.col("hi")).cast("int").alias("is_hi"),
+    )
+    return (
+        clamped.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("is_lo").cast("bigint").alias("n_clamped_low"),
+            F.sum("is_hi").cast("bigint").alias("n_clamped_high"),
+            F.round(F.sum("cv").cast("double") / F.count(F.lit(1)) / 100.0, 6).alias(
+                "winsorized_mean"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_QA_WINSORIZE_SQL = """
+WITH o AS (
+  SELECT o_orderstatus, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+hist AS (SELECT o_orderstatus, v, COUNT(*) AS c FROM o GROUP BY 1, 2),
+cum AS (
+  SELECT o_orderstatus, v,
+         SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY o_orderstatus) AS n
+  FROM hist
+),
+bounds AS (
+  SELECT o_orderstatus,
+         MIN(CASE WHEN cum * 100 >= n THEN v END) AS lo,
+         MIN(CASE WHEN cum * 100 >= n * 99 THEN v END) AS hi
+  FROM cum GROUP BY 1
+)
+SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+       CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+       ROUND(CAST(SUM(GREATEST(lo, LEAST(hi, v))) AS DOUBLE) / COUNT(*) / 100.0, 6) AS winsorized_mean
+FROM o JOIN bounds USING (o_orderstatus)
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+
+def ts_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day correlation between two daily business series
+    (order count and revenue) — the co-movement monitor. Everything
+    inside the frame is an EXACT integer window sum (counts, cents,
+    cross products); the Pearson formula is one final IEEE expression
+    per day, so the rolling statistic is engine- and partition-exact
+    (built-in ``corr`` OVER would accumulate doubles in frame order).
+    Day-grain relation → the unpartitioned window is bounded."""
+    o = load_table(spark, sf, "orders").select(
+        F.to_date("o_orderdate").alias("d"), SC.cents("o_totalprice").alias("rev_c")
+    )
+    daily = o.groupBy("d").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum("rev_c").alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    k = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("x").over(w).cast("double")
+    sy = F.sum("y").over(w).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).over(w).cast("double")
+    syy = F.sum((F.col("y").cast("decimal(38,0)") * F.col("y")).cast("decimal(38,0)")).over(w).cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).over(w).cast("double")
+    den = F.sqrt((k * sxx - sx * sx) * (k * syy - sy * sy))
+    out = daily.select(
+        F.date_format("d", _DATE).alias("day"),
+        F.col("x").cast("bigint").alias("n_orders"),
+        F.when(den != 0, F.round((k * sxy - sx * sy) / den, 6)).alias("corr_7d"),
+    )
+    return out.orderBy("day")
+
+
+_TS_ROLLCORR_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS x,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT d, x,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS k,
+         CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+         CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) OVER w AS DOUBLE) AS syy,
+         CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, CAST(x AS BIGINT) AS n_orders,
+       CASE WHEN sqrt((k * sxx - sx * sx) * (k * syy - sy * sy)) <> 0 THEN
+         ROUND((k * sxy - sx * sy) / sqrt((k * sxx - sx * sx) * (k * syy - sy * sy)), 6)
+       END AS corr_7d
+FROM win ORDER BY day
+"""
+
+
+def ag_abc_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC contribution analysis: suppliers ranked by revenue, classed
+    A/B/C at the 80%/95% cumulative-share breakpoints — the
+    concentration readout behind vendor prioritization. Share
+    comparisons are exact integer cross-multiplications
+    (cum·100 ≤ total·80), never a double share; the window runs at
+    supplier grain (same bounded-aggregate exemption as
+    ``qa_key_skew``)."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_suppkey", SC.cents("l_extendedprice").alias("rev_c")
+    )
+    per = li.groupBy("l_suppkey").agg(F.sum("rev_c").alias("rev"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_suppkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    classed = per.select(
+        "l_suppkey",
+        "rev",
+        F.sum("rev").over(w).alias("cum"),
+        F.sum("rev").over(tot).alias("total"),
+    ).select(
+        "l_suppkey",
+        "rev",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("cls"),
+        "total",
+    )
+    return (
+        classed.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.round(
+                F.sum("rev").cast("double") / F.max("total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("cls")
+    )
+
+
+_AG_ABC_SQL = """
+WITH per AS (
+  SELECT l_suppkey, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+),
+classed AS (
+  SELECT l_suppkey, rev,
+         CASE WHEN SUM(rev) OVER (ORDER BY rev DESC, l_suppkey ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+                   <= SUM(rev) OVER () * 80 THEN 'A'
+              WHEN SUM(rev) OVER (ORDER BY rev DESC, l_suppkey ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+                   <= SUM(rev) OVER () * 95 THEN 'B'
+              ELSE 'C' END AS cls,
+         SUM(rev) OVER () AS total
+  FROM per
+)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6) AS revenue_share
+FROM classed GROUP BY cls ORDER BY cls
+"""
+
+
+def tx_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold tuning without rescans: documents surviving a
+    minimum-token filter, for TEN candidate thresholds, from ONE pass
+    — each doc's count explodes to the ≤10 thresholds it clears
+    (bounded fan-out), then a 10-row aggregate. The sweep that answers
+    "where should the length floor sit" before committing a filter."""
+    docs = load_table(spark, sf, "documents")
+    n = TX.token_count("text")
+    thresholds = list(range(10, 101, 10))
+    base = docs.select(n.alias("n"))
+    swept = base.select(
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(t) for t in thresholds]),
+                lambda t: t <= F.col("n"),
+            )
+        ).alias("threshold")
+    )
+    return (
+        swept.groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("docs_surviving"))
+        .orderBy("threshold")
+    )
+
+
+_TX_SWEEP_SQL = f"""
+WITH n AS (SELECT len({_D_TOKS}) AS n FROM documents),
+s AS (
+  SELECT unnest(list_filter([10, 20, 30, 40, 50, 60, 70, 80, 90, 100],
+                            t -> t <= n)) AS threshold
+  FROM n
+)
+SELECT threshold, CAST(COUNT(*) AS BIGINT) AS docs_surviving
+FROM s GROUP BY threshold ORDER BY threshold
+"""
+
+
+def tx_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document sentence statistics through the ``sentences``
+    Python UDTF (LATERAL table function — the row-to-rows API the
+    scalar/aggregate surfaces can't express): sentence count and mean
+    sentence length. The UDTF is a pure map stage (no shuffle); the
+    oracle replays the identical split/trim/filter in DuckDB list
+    expressions."""
+    from movie_data_etl_pipeline_spark.functions.python_api import sentences
+
+    spark.udtf.register("sentences_udtf", sentences)
+    docs = load_table(spark, sf, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("__sent_in")
+    per = spark.sql(
+        """
+        SELECT i.doc_id, s.pos, length(s.sentence) AS slen
+        FROM __sent_in i, LATERAL sentences_udtf(i.text) s
+        """
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+            F.round(
+                F.sum("slen").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_sentence_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TX_SENTENCES_SQL = """
+WITH parts AS (
+  SELECT doc_id,
+         list_filter([trim(x) for x in regexp_split_to_array(text, '[.!?]+')], x -> x <> '') AS ps
+  FROM documents
+),
+s AS (SELECT doc_id, unnest(ps) AS sentence FROM parts)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       ROUND(CAST(SUM(length(sentence)) AS DOUBLE) / COUNT(*), 6) AS mean_sentence_chars
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -7289,6 +7562,11 @@ QUERIES: dict[str, QueryFn] = {
     "qa_seasonal_anomaly": qa_seasonal_anomaly,
     "qa_entropy_profile": qa_entropy_profile,
     "dd_canonical_pick": dd_canonical_pick,
+    "qa_winsorize": qa_winsorize,
+    "ts_rolling_corr": ts_rolling_corr,
+    "ag_abc_analysis": ag_abc_analysis,
+    "tx_threshold_sweep": tx_threshold_sweep,
+    "tx_sentence_stats": tx_sentence_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -7462,6 +7740,11 @@ ORACLES: dict[str, str] = {
     "qa_seasonal_anomaly": _QA_SEASONAL_SQL,
     "qa_entropy_profile": _QA_ENTROPY_SQL,
     "dd_canonical_pick": _DD_CANONICAL_SQL,
+    "qa_winsorize": _QA_WINSORIZE_SQL,
+    "ts_rolling_corr": _TS_ROLLCORR_SQL,
+    "ag_abc_analysis": _AG_ABC_SQL,
+    "tx_threshold_sweep": _TX_SWEEP_SQL,
+    "tx_sentence_stats": _TX_SENTENCES_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
