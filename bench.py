@@ -153,6 +153,10 @@ HEADLINE = [
     "ag_abc_analysis",
     "tx_threshold_sweep",
     "tx_sentence_stats",
+    "o13_scd2_lookup",
+    "qa_benford",
+    "sa_systematic",
+    "qa_balance_check",
 ]
 
 

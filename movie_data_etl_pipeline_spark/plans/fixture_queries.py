@@ -7369,6 +7369,188 @@ FROM s GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def o13_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal LOOKUP against the SCD2 history ``o10_scd2_history``
+    builds: each (customer, as-of date) probe resolves to its
+    effective version (valid_from ≤ as_of < valid_to) — the read side
+    of slowly-changing dimensions, completing the o10 write side. One
+    hash join on the key + range filter; versions per key are bounded
+    (≤2 here), so the join fan-out is bounded — never a time-range
+    blowup."""
+    hist = o10_scd2_history(spark, sf)
+    cust = load_table(spark, sf, "customer").select("c_custkey")
+    probes = cust.select(
+        "c_custkey",
+        F.explode(F.array(F.lit("2020-06-01"), F.lit("2021-06-01"))).alias("as_of"),
+    )
+    return (
+        probes.join(hist, "c_custkey")
+        .filter(
+            (F.col("valid_from") <= F.col("as_of"))
+            & (F.col("valid_to").isNull() | (F.col("as_of") < F.col("valid_to")))
+        )
+        .select("c_custkey", "as_of", "c_acctbal")
+        .orderBy("c_custkey", "as_of")
+    )
+
+
+_O13_SCD2_LOOKUP_SQL = """
+WITH hist AS (
+  SELECT c_custkey, c_acctbal, '2020-01-01' AS valid_from,
+         CASE WHEN c_custkey % 3 = 0 THEN '2021-01-01' ELSE NULL END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 100, '2021-01-01', NULL
+  FROM customer WHERE c_custkey % 3 = 0
+),
+probes AS (
+  SELECT c_custkey, unnest(['2020-06-01', '2021-06-01']) AS as_of FROM customer
+)
+SELECT p.c_custkey, p.as_of, h.c_acctbal
+FROM probes p JOIN hist h ON p.c_custkey = h.c_custkey
+WHERE h.valid_from <= p.as_of AND (h.valid_to IS NULL OR p.as_of < h.valid_to)
+ORDER BY p.c_custkey, p.as_of
+"""
+
+
+# Benford first-digit reference shares, priced once in Python so both
+# engines consume identical double literals: log10(1 + 1/d).
+_BENFORD = {
+    d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def qa_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit screen over order totals — the classic
+    fabricated-numbers / junk-source detector. The first digit comes
+    from the integer-cents STRING (exact, no log10 edge cases); one
+    digit-grain aggregate, the Benford reference shares enter as
+    identical double literals on both engines, and output stays at
+    digit grain (9 rows) so no cross-row double summation exists to
+    disagree on."""
+    o = load_table(spark, sf, "orders").select(
+        F.substring(SC.cents("o_totalprice").cast("string"), 1, 1).alias("digit")
+    )
+    counts = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    total = counts.agg(F.sum("n_obs").cast("double").alias("n"))
+    expected = F.create_map(
+        *[x for d, p in _BENFORD.items() for x in (F.lit(str(d)), F.lit(p))]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias("share"),
+            F.round(expected[F.col("digit")], 6).alias("benford_share"),
+            F.round(
+                F.col("n_obs").cast("double") / F.col("n")
+                - expected[F.col("digit")],
+                6,
+            ).alias("excess"),
+        )
+        .orderBy("digit")
+    )
+
+
+_QA_BENFORD_SQL = f"""
+WITH o AS (
+  SELECT substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+  FROM orders
+),
+counts AS (SELECT digit, COUNT(*) AS n_obs FROM o GROUP BY 1),
+total AS (SELECT CAST(SUM(n_obs) AS DOUBLE) AS n FROM counts),
+bf(digit, p) AS (VALUES {", ".join(f"('{d}', {p!r})" for d, p in _BENFORD.items())})
+SELECT c.digit, CAST(c.n_obs AS BIGINT) AS n_obs,
+       ROUND(CAST(c.n_obs AS DOUBLE) / n, 6) AS share,
+       ROUND(bf.p, 6) AS benford_share,
+       ROUND(CAST(c.n_obs AS DOUBLE) / n - bf.p, 6) AS excess
+FROM counts c JOIN bf ON bf.digit = c.digit CROSS JOIN total
+ORDER BY c.digit
+"""
+
+
+def sa_systematic(spark: SparkSession, sf: str) -> DataFrame:
+    """Systematic sampling: every 100th lineitem row under the global
+    ``(l_orderkey, l_linenumber)`` order — the evenly-spaced audit
+    sample regulators ask for, built on ``indexing.global_row_number``
+    (the two-phase numbering; the naive ROW_NUMBER() OVER () form
+    funnels the table through one task)."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", SC.cents("l_extendedprice").alias("price_c")
+    )
+    numbered = indexing.global_row_number(
+        li, ["l_orderkey", "l_linenumber"], out_col="rn"
+    )
+    return (
+        numbered.filter(F.col("rn") % 100 == 1)
+        .select("rn", "l_orderkey", "l_linenumber", "price_c")
+        .orderBy("rn")
+    )
+
+
+_SA_SYSTEMATIC_SQL = """
+WITH n AS (
+  SELECT l_orderkey, l_linenumber, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+         ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+)
+SELECT rn, l_orderkey, l_linenumber, price_c FROM n WHERE rn % 100 = 1 ORDER BY rn
+"""
+
+
+def qa_balance_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table reconciliation: does each order's stored total
+    equal the sum of its line items? One row of finance-grade truth —
+    matched orders, mismatched orders, orders with no lines at all,
+    and the absolute drift — from one fact aggregate + one outer
+    join. The fixture violates the invariant heavily (deliberately
+    useful: the report carries real signal, not a vacuous zero)."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", SC.cents("l_extendedprice").alias("price_c")
+    )
+    per_order = li.groupBy("l_orderkey").agg(F.sum("price_c").alias("li_c"))
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", SC.cents("o_totalprice").alias("o_c")
+    )
+    j = o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("li_c").isNull().cast("int")).cast("bigint").alias("n_no_lines"),
+        F.sum(
+            (F.col("li_c").isNotNull() & (F.col("o_c") != F.col("li_c"))).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_mismatched"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("li_c").isNotNull(),
+                    F.abs(F.col("o_c") - F.col("li_c")),
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / 100.0,
+            2,
+        ).alias("total_abs_drift"),
+    )
+
+
+_QA_BALANCE_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS li_c
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN li_c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+       CAST(SUM(CASE WHEN li_c IS NOT NULL AND CAST(ROUND(o_totalprice * 100) AS BIGINT) <> li_c
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+       ROUND(CAST(SUM(CASE WHEN li_c IS NOT NULL
+                      THEN ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT) - li_c)
+                      ELSE 0 END) AS DOUBLE) / 100.0, 2) AS total_abs_drift
+FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -7567,6 +7749,10 @@ QUERIES: dict[str, QueryFn] = {
     "ag_abc_analysis": ag_abc_analysis,
     "tx_threshold_sweep": tx_threshold_sweep,
     "tx_sentence_stats": tx_sentence_stats,
+    "o13_scd2_lookup": o13_scd2_lookup,
+    "qa_benford": qa_benford,
+    "sa_systematic": sa_systematic,
+    "qa_balance_check": qa_balance_check,
 }
 
 ORACLES: dict[str, str] = {
@@ -7745,6 +7931,10 @@ ORACLES: dict[str, str] = {
     "ag_abc_analysis": _AG_ABC_SQL,
     "tx_threshold_sweep": _TX_SWEEP_SQL,
     "tx_sentence_stats": _TX_SENTENCES_SQL,
+    "o13_scd2_lookup": _O13_SCD2_LOOKUP_SQL,
+    "qa_benford": _QA_BENFORD_SQL,
+    "sa_systematic": _SA_SYSTEMATIC_SQL,
+    "qa_balance_check": _QA_BALANCE_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

@@ -78,6 +78,7 @@ NESTED_LOOP_OK = {
     "qa_fk_repair",  # broadcast 1-row rows_total aggregate
     "ag_mutual_info",  # broadcast 1-row N total into cell pricing
     "qa_entropy_profile",  # broadcast 1-row per-column totals into pricing
+    "qa_benford",  # broadcast 1-row digit-count total
 }
 
 
