@@ -157,6 +157,7 @@ HEADLINE = [
     "qa_benford",
     "sa_systematic",
     "qa_balance_check",
+    "ev_survival_km",
 ]
 
 

@@ -7551,6 +7551,118 @@ FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
 """
 
 
+def ev_survival_km(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan–Meier survival over time-to-first-purchase with proper
+    right-censoring (users who never purchase are censored at the
+    observation end, not dropped — dropping them is the classic
+    churn-analysis bias). The survival curve is a RUNNING PRODUCT
+    Π(1−dⱼ/nⱼ) — order-sensitive in doubles — so each day's factor
+    prices ln((n−d)/n) ONCE into 2^-20 integer units and the product
+    becomes an exact integer cumsum, exp'd once per row: engine- and
+    partition-exact survival estimates. All relations after the
+    per-user reduction are at day-offset grain (bounded)."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    obs_end = ev.agg(F.max("ts").alias("end_ts"))
+    durations = per_user.crossJoin(F.broadcast(obs_end)).select(
+        F.when(
+            F.col("first_purchase").isNotNull(),
+            F.datediff(F.col("first_purchase"), F.col("first_seen")),
+        )
+        .otherwise(F.datediff(F.col("end_ts"), F.col("first_seen")))
+        .cast("bigint")
+        .alias("k"),
+        F.col("first_purchase").isNotNull().cast("int").alias("event"),
+    )
+    day = durations.groupBy("k").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.sum(1 - F.col("event")).cast("bigint").alias("c"),
+    )
+    w_desc = Window.orderBy("k").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    risk = day.select(
+        "k",
+        "d",
+        F.sum(F.col("d") + F.col("c")).over(w_desc).alias("n_risk"),
+    )
+    # d == n_risk (everyone still at risk experiences the event) sends
+    # the factor to 0 — S is identically 0 from there on; priced
+    # explicitly rather than through ln(0) (DuckDB errors where Spark
+    # returns -inf)
+    u = F.when(
+        (F.col("d") > 0) & (F.col("n_risk") > F.col("d")),
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(1048576.0)
+            + F.lit(0.5)
+        ).cast("double"),
+    ).otherwise(F.lit(0.0))
+    w_asc = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    zeroed = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(w_asc)
+    return (
+        risk.select("k", "d", "n_risk", u.alias("u"))
+        .select(
+            "k",
+            "d",
+            "n_risk",
+            F.when(zeroed == 1, F.lit(0.0))
+            .otherwise(
+                F.round(F.exp(F.sum("u").over(w_asc) / F.lit(1048576.0)), 6)
+            )
+            .alias("s_hat"),
+        )
+        .orderBy("k")
+    )
+
+
+_EV_SURVIVAL_SQL = """
+WITH per_user AS (
+  SELECT user_id, MIN(ts) AS first_seen,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY 1
+),
+obs AS (SELECT MAX(ts) AS end_ts FROM events),
+durations AS (
+  SELECT CASE WHEN first_purchase IS NOT NULL
+              THEN datediff('day', CAST(first_seen AS DATE), CAST(first_purchase AS DATE))
+              ELSE datediff('day', CAST(first_seen AS DATE), CAST(end_ts AS DATE)) END AS k,
+         CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM per_user CROSS JOIN obs
+),
+day AS (
+  SELECT CAST(k AS BIGINT) AS k, CAST(SUM(event) AS BIGINT) AS d,
+         CAST(SUM(1 - event) AS BIGINT) AS c
+  FROM durations GROUP BY 1
+),
+risk AS (
+  SELECT k, d,
+         SUM(d + c) OVER (ORDER BY k ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM day
+),
+priced AS (
+  SELECT k, d, n_risk,
+         CASE WHEN d > 0 AND n_risk > d THEN
+           CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1048576.0 + 0.5) AS DOUBLE)
+         ELSE 0.0 END AS u
+  FROM risk
+)
+SELECT k, d, CAST(n_risk AS BIGINT) AS n_risk,
+       CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 0.0
+            ELSE ROUND(exp(SUM(u) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           / 1048576.0), 6) END AS s_hat
+FROM priced ORDER BY k
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -7753,6 +7865,7 @@ QUERIES: dict[str, QueryFn] = {
     "qa_benford": qa_benford,
     "sa_systematic": sa_systematic,
     "qa_balance_check": qa_balance_check,
+    "ev_survival_km": ev_survival_km,
 }
 
 ORACLES: dict[str, str] = {
@@ -7935,6 +8048,7 @@ ORACLES: dict[str, str] = {
     "qa_benford": _QA_BENFORD_SQL,
     "sa_systematic": _SA_SYSTEMATIC_SQL,
     "qa_balance_check": _QA_BALANCE_SQL,
+    "ev_survival_km": _EV_SURVIVAL_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

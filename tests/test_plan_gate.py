@@ -79,6 +79,7 @@ NESTED_LOOP_OK = {
     "ag_mutual_info",  # broadcast 1-row N total into cell pricing
     "qa_entropy_profile",  # broadcast 1-row per-column totals into pricing
     "qa_benford",  # broadcast 1-row digit-count total
+    "ev_survival_km",  # broadcast 1-row observation-end timestamp
 }
 
 

@@ -95,6 +95,20 @@ SCALE_QUERIES = [
     "qa_join_explosion",  # key-grain c² diagnostic
     "inc_join_view",  # delta-join + state merge
     "ap_kmv_sources",  # bottom-k sketch (vocab constant under replication)
+    "qa_winsorize",  # histogram order statistics + clamp scan
+    "ts_rolling_corr",  # day-grain exact window sums
+    "ag_abc_analysis",  # supplier-grain cumulative shares
+    "qa_balance_check",  # fact agg + outer join reconciliation
+    "sa_systematic",  # two-phase global numbering + modulo filter
+    "ev_debounce",  # two-window burst dedup
+    "w6_sliding_distinct",  # bounded 7x window-day explode
+    "ag_mutual_info",  # 10x10 cell pricing
+    "qa_seasonal_anomaly",  # weekday baseline z
+    "qa_benford",  # digit-grain screen
+    "o13_scd2_lookup",  # key join + version range filter
+    "qa_entropy_profile",  # value-grain pricing x4 columns
+    "tx_threshold_sweep",  # bounded threshold explode
+    "qa_release_gate",  # composed 1-row gates
 ]
 
 
