@@ -158,6 +158,7 @@ HEADLINE = [
     "sa_systematic",
     "qa_balance_check",
     "ev_survival_km",
+    "dd_survivorship",
 ]
 
 

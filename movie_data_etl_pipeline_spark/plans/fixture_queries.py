@@ -7663,6 +7663,95 @@ FROM priced ORDER BY k
 """
 
 
+def dd_survivorship(spark: SparkSession, sf: str) -> DataFrame:
+    """Golden-record construction (MDM survivorship): where
+    ``dd_canonical_pick`` keeps one ROW per duplicate cluster, this
+    merges the best value per FIELD — majority language (deterministic
+    (count DESC, value ASC) tie-break), maximum length, minimum
+    source — the rule set that makes the surviving record better than
+    any single member. Field rules are one aggregate over the
+    membered relation plus one mode window."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    comp = dedup.connected_components(pairs, "a_id", "b_id")
+    membered = comp.join(
+        docs.select(
+            F.col("doc_id").alias("id"), "lang", "source", "n_chars"
+        ),
+        "id",
+    ).persist()
+    base = membered.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max("n_chars").cast("bigint").alias("golden_chars"),
+        F.min("source").alias("golden_source"),
+    )
+    lang_counts = membered.groupBy("component", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("c"), F.asc("lang"))
+    golden_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("lang").alias("golden_lang"))
+    )
+    return base.join(golden_lang, "component").orderBy("component")
+
+
+_DD_SURVIVORSHIP_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM shared
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.8
+),
+sym AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+walk AS (
+  SELECT src AS id, dst AS reach FROM sym
+  UNION
+  SELECT walk.id, sym.dst FROM walk JOIN sym ON walk.reach = sym.src
+),
+comps AS (
+  SELECT id, LEAST(id, MIN(reach)) AS component FROM walk GROUP BY id
+),
+m AS (
+  SELECT c.component, c.id, d.lang, d.source, d.n_chars
+  FROM comps c JOIN documents d ON d.doc_id = c.id
+),
+base AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MAX(n_chars) AS BIGINT) AS golden_chars,
+         MIN(source) AS golden_source
+  FROM m GROUP BY component
+),
+lc AS (
+  SELECT component, lang, COUNT(*) AS c,
+         ROW_NUMBER() OVER (PARTITION BY component ORDER BY COUNT(*) DESC, lang ASC) AS rn
+  FROM m GROUP BY component, lang
+)
+SELECT b.component, b.n_members, b.golden_chars, b.golden_source, lc.lang AS golden_lang
+FROM base b JOIN lc ON lc.component = b.component AND lc.rn = 1
+ORDER BY b.component
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -7866,6 +7955,7 @@ QUERIES: dict[str, QueryFn] = {
     "sa_systematic": sa_systematic,
     "qa_balance_check": qa_balance_check,
     "ev_survival_km": ev_survival_km,
+    "dd_survivorship": dd_survivorship,
 }
 
 ORACLES: dict[str, str] = {
@@ -8049,6 +8139,7 @@ ORACLES: dict[str, str] = {
     "sa_systematic": _SA_SYSTEMATIC_SQL,
     "qa_balance_check": _QA_BALANCE_SQL,
     "ev_survival_km": _EV_SURVIVAL_SQL,
+    "dd_survivorship": _DD_SURVIVORSHIP_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
