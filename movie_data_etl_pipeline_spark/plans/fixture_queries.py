@@ -7759,8 +7759,17 @@ ORDER BY b.component
 # rows, then (b) 42 of the 58 entries that had never been inside the
 # window. The 16 never-checked entries that did not fit are parked
 # right behind the window (positions 50-65) for the next rotation;
-# the doubly-verified remainder sits at the tail. Every oracle pair
-# below was pre-verified locally via tools/crosscheck.py at sf0.01.
+# the doubly-verified remainder sits at the tail, and every query
+# added later in round 3 appends after that. Every oracle pair below
+# was pre-verified locally via tools/crosscheck.py at sf0.01 AND
+# sf0.001 AND under local[5].
+#
+# ROUND-4 ROTATION PLAN: move positions 50+ that still lack a driver
+# CORRECTNESS row (the parked 16 plus all round-3 additions —
+# everything from `j6_anti_join` through `dd_survivorship` that has
+# no green row in CORRECTNESS_r01/r02/r03) into the front 50,
+# keeping insertion order within that set; the twice-verified
+# round-1/2 window entries move to the tail.
 QUERIES: dict[str, QueryFn] = {
     # -- window 0-7: repaired events-timestamp queries (red in r2) --
     "p3_scalar_coercions": p3_scalar_coercions,
