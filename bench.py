@@ -159,6 +159,7 @@ HEADLINE = [
     "qa_balance_check",
     "ev_survival_km",
     "dd_survivorship",
+    "ag_theil_sen",
 ]
 
 

@@ -7752,6 +7752,73 @@ ORDER BY b.component
 """
 
 
+def ag_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil–Sen robust trend over the daily revenue series: the
+    MEDIAN of all pairwise slopes (29% breakdown point vs OLS's 0% —
+    one bad day cannot bend it; the robust complement to
+    ``ag_ols_brand``). Pairwise slopes are per-row IEEE ratios of
+    exact integers and the median is an ORDER STATISTIC, not an
+    accumulation — so unlike a double sum, the estimate is engine- and
+    partition-exact. The pair join runs at DAY grain (d² of a bounded
+    relation, the same metadata-grain exemption as the cell-pair
+    sketches); intercept = median of per-day residuals against the
+    fitted slope."""
+    o = load_table(spark, sf, "orders").select(
+        F.to_date("o_orderdate").alias("d"), SC.cents("o_totalprice").alias("rev_c")
+    )
+    daily = o.groupBy("d").agg(F.sum("rev_c").alias("y"))
+    base = daily.select(
+        F.datediff(F.col("d"), F.lit("1992-01-01").cast("date")).cast("bigint").alias("x"),
+        "y",
+    )
+    a = base.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = base.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.crossJoin(b)
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("s")
+        )
+    )
+    slope = slopes.agg(F.median("s").alias("slope"))
+    resid = base.crossJoin(F.broadcast(slope)).select(
+        (F.col("y").cast("double") - F.col("slope") * F.col("x").cast("double")).alias(
+            "r"
+        ),
+        "slope",
+    )
+    return resid.groupBy("slope").agg(F.median("r").alias("icpt")).select(
+        F.round(F.col("slope") / 100.0, 6).alias("slope_per_day"),
+        F.round(F.col("icpt") / 100.0, 2).alias("intercept"),
+    )
+
+
+_AG_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT CAST(datediff('day', DATE '1992-01-01', d) AS BIGINT) AS x, y FROM daily
+),
+slopes AS (
+  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+  FROM base a JOIN base b ON a.x < b.x
+),
+sl AS (SELECT MEDIAN(s) AS slope FROM slopes),
+resid AS (
+  SELECT CAST(y AS DOUBLE) - slope * CAST(x AS DOUBLE) AS r, slope
+  FROM base CROSS JOIN sl
+)
+SELECT ROUND(slope / 100.0, 6) AS slope_per_day,
+       ROUND(MEDIAN(r) / 100.0, 2) AS intercept
+FROM resid GROUP BY slope
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -7965,6 +8032,7 @@ QUERIES: dict[str, QueryFn] = {
     "qa_balance_check": qa_balance_check,
     "ev_survival_km": ev_survival_km,
     "dd_survivorship": dd_survivorship,
+    "ag_theil_sen": ag_theil_sen,
 }
 
 ORACLES: dict[str, str] = {
@@ -8149,6 +8217,7 @@ ORACLES: dict[str, str] = {
     "qa_balance_check": _QA_BALANCE_SQL,
     "ev_survival_km": _EV_SURVIVAL_SQL,
     "dd_survivorship": _DD_SURVIVORSHIP_SQL,
+    "ag_theil_sen": _AG_THEIL_SEN_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api

@@ -80,6 +80,7 @@ NESTED_LOOP_OK = {
     "qa_entropy_profile",  # broadcast 1-row per-column totals into pricing
     "qa_benford",  # broadcast 1-row digit-count total
     "ev_survival_km",  # broadcast 1-row observation-end timestamp
+    "ag_theil_sen",  # day-grain pair enumeration + 1-row slope broadcast
 }
 
 
