@@ -163,6 +163,83 @@ HEADLINE = [
 ]
 
 
+# The round-2-era headline, frozen verbatim from the pre-round-3 tree
+# (git 19827b2): the ONLY set on which cross-round speed claims are
+# honest. HEADLINE[:N] prefixes drift (entries were inserted mid-list
+# during round 3), so the core is pinned by name, not position.
+CORE_R2 = [
+    "v1_top_actors",
+    "v2_top_genres",
+    "v3_genre_ratings",
+    "v4_top_actors_by_rating",
+    "t5_top20",
+    "f1_explode",
+    "o6_dedup_last_wins",
+    "o7_top_n_per_group",
+    "o8_upsert",
+    "o9_insert_if_absent",
+    "tx_token_stats",
+    "tx_token_frequency",
+    "tx_quality_scores",
+    "dd_exact_dup_groups",
+    "dd_ngram_jaccard",
+    "dd_minhash_lsh",
+    "sim_knn_lsh",
+    "sim_knn_ivf",
+    "aj_asof_join",
+    "rj_range_join",
+    "st_tumbling",
+    "st_sessionize",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "sa_stratified_sample",
+    "dd_incremental",
+    "ap_exact_quantiles",
+    "px_clean_corpus",
+    "q6_revenue_delta",
+    "q14_promo_revenue",
+    "w4_trailing_7d",
+    "j8_full_outer_nation",
+    "tx_repetition",
+    "ag_stats_moments",
+    "q4_order_priority",
+    "q9_nation_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "w5_value_windows",
+    "ts_gapfill",
+    "ev_funnel",
+    "ev_cohort_retention",
+    "ag_histogram",
+    "o10_scd2_history",
+    "q21_waiting_suppliers",
+    "tx_rare_tokens",
+    "sim_label_centroids",
+    "inc_rollup",
+    "g3_grouping_sets",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q11_value_concentration",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q19_disjunctive_revenue",
+    "q20_concentrated_suppliers",
+    "tx_tfidf_topk",
+    "ev_transitions",
+    "f3_variant_json",
+    "q2_min_cost_supplier",
+    "dd_contamination",
+    "tx_pii_scrub",
+    "tx_span_dedup",
+    "qa_audit",
+]
+
+
 def _warm_python_workers(spark) -> None:
     """Spawn the per-core Python worker pool and pay the numpy/pandas
     import inside each once, during warmup — on a long-lived cluster the
@@ -208,18 +285,18 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    # HEADLINE is append-only, so its first 73 entries are exactly the
-    # round-2 bench set: core_total is the ROUND-COMPARABLE number
-    # (headline_total grows every time an operator is added and says
-    # nothing about speed trends).
-    core = round(sum(times[n] for n in HEADLINE[:73]), 3)
+    # core totals are the ROUND-COMPARABLE numbers (headline_total
+    # grows every time an operator is added and says nothing about
+    # speed trends): core_r2_total sums exactly the round-2-era
+    # headline queries.
+    core = round(sum(times[n] for n in CORE_R2), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "core73_total": core,
+                "core_r2_total": core,
                 "queries": times,
                 "sf": sf_dir,
             }
