@@ -160,6 +160,7 @@ HEADLINE = [
     "ev_survival_km",
     "dd_survivorship",
     "ag_theil_sen",
+    "ag_trimmed_mean",
 ]
 
 

@@ -74,3 +74,35 @@ class sentences:
         parts = [p.strip() for p in re.split(r"[.!?]+", text)]
         for i, p in enumerate(x for x in parts if x):
             yield i, p
+
+
+def trimmed_mean_grouped(df, keys, col, trim: float = 0.1):
+    """10%-trimmed mean per group via ``applyInPandas`` (grouped-map —
+    the third Python API surface next to the GROUPED_AGG UDAF and the
+    UDTF): sort the group's integer values, drop ⌊trim·n⌋ from each
+    tail, mean the middle. Deterministic: values are exact ints, the
+    trim count is a pure function of n, equal values at a trim
+    boundary are interchangeable for a mean, and the single division
+    happens once per group. Arrow-batched; per-group state must fit a
+    worker (same bounded-group trade as ``weighted_median``, with the
+    window-rank rendering as the unbounded alternative — used by the
+    oracle)."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity import)
+
+    klist = list(keys)
+    out_schema = ", ".join(f"{k} string" for k in klist) + ", trimmed_mean double, n_kept long"
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[col].sort_values(kind="mergesort").to_numpy()
+        k = int(len(v) * trim)
+        kept = v[k : len(v) - k] if len(v) > 2 * k else v
+        return pd.DataFrame(
+            [
+                [*(pdf[c].iloc[0] for c in klist),
+                 float(kept.sum()) / len(kept),
+                 len(kept)]
+            ],
+            columns=[*klist, "trimmed_mean", "n_kept"],
+        )
+
+    return df.groupBy(*klist).applyInPandas(fit, out_schema)

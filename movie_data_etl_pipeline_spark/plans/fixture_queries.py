@@ -7819,6 +7819,50 @@ FROM resid GROUP BY slope
 """
 
 
+def ag_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` surface
+    (``functions/python_api.trimmed_mean_grouped``) — the third Python
+    API next to the GROUPED_AGG UDAF and the UDTF: per return flag,
+    the 10%-trimmed mean of extended price. Deterministic because the
+    trimmed SUM is an exact integer (boundary-equal values are
+    interchangeable for a mean) and one division renders the double;
+    the oracle computes the identical statistic via window ranks —
+    the rendering to use when groups are unbounded."""
+    from movie_data_etl_pipeline_spark.functions.python_api import (
+        trimmed_mean_grouped,
+    )
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", SC.cents("l_extendedprice").alias("v")
+    )
+    out = trimmed_mean_grouped(li, ["l_returnflag"], "v", trim=0.1)
+    return out.select(
+        "l_returnflag",
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.round(F.col("trimmed_mean") / F.lit(100.0), 6).alias("trimmed_mean"),
+    ).orderBy("l_returnflag")
+
+
+_AG_TRIMMED_SQL = """
+WITH o AS (
+  SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+),
+r AS (
+  SELECT l_returnflag, v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM o
+),
+kept AS (
+  SELECT l_returnflag, v FROM r
+  WHERE rn > CAST(floor(n * 0.1) AS BIGINT) AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*) / 100.0, 6) AS trimmed_mean
+FROM kept GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -8033,6 +8077,7 @@ QUERIES: dict[str, QueryFn] = {
     "ev_survival_km": ev_survival_km,
     "dd_survivorship": dd_survivorship,
     "ag_theil_sen": ag_theil_sen,
+    "ag_trimmed_mean": ag_trimmed_mean,
 }
 
 ORACLES: dict[str, str] = {
@@ -8218,6 +8263,7 @@ ORACLES: dict[str, str] = {
     "ev_survival_km": _EV_SURVIVAL_SQL,
     "dd_survivorship": _DD_SURVIVORSHIP_SQL,
     "ag_theil_sen": _AG_THEIL_SEN_SQL,
+    "ag_trimmed_mean": _AG_TRIMMED_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
