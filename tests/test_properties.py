@@ -151,3 +151,64 @@ def test_ts_ewma_closed_form_equals_recurrence(spark, sf_dir):
         for r in rows:
             s = 0.25 * r["n_events"] + 0.75 * s
             assert abs(r["ewma"] - s) < 1e-6, (r["day"], r["ewma"], s)
+
+
+packing_manifests = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(1, 5000)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(manifest=packing_manifests, target=st.integers(100, 3000))
+@settings(**SETTINGS)
+def test_compaction_plan_conserves_and_bounds(spark, manifest, target):
+    from movie_data_etl_pipeline_spark.operators.layout import compaction_plan
+
+    df = spark.createDataFrame(manifest, "file_id long, rows long")
+    plan = compaction_plan(df, target=target).collect()
+    # conservation: every file exactly once, sizes add up
+    files = [int(f) for r in plan for f in r["files"].split(",")]
+    assert sorted(files) == sorted(k for k, _ in manifest)
+    assert sum(r["total_rows"] for r in plan) == sum(v for _, v in manifest)
+    # bin bound: by sequential packing, a bin exceeds target only via
+    # its LAST-packed file, so total < target + max member size
+    biggest = max(v for _, v in manifest)
+    for r in plan:
+        assert r["total_rows"] < target + biggest + 1
+
+
+@given(a_old=kv_rows, da=kv_rows, b_old=kv_rows, db=kv_rows)
+@settings(**SETTINGS)
+def test_delta_join_identity_property(spark, a_old, da, b_old, db):
+    from movie_data_etl_pipeline_spark.operators.incremental import delta_join
+
+    # disjointness precondition: old and delta must not share rows
+    mk = lambda rows, tag: [(k, f"{tag}{v}") for k, v in rows]
+    A0 = spark.createDataFrame(mk(a_old, "a") or [(999, "x")], "k long, va string").distinct()
+    dA = spark.createDataFrame(mk(da, "A") or [(998, "y")], "k long, va string").distinct()
+    B0 = spark.createDataFrame(mk(b_old, "b") or [(999, "x")], "k long, vb string").distinct()
+    dB = spark.createDataFrame(mk(db, "B") or [(998, "y")], "k long, vb string").distinct()
+    full = A0.unionByName(dA).join(B0.unionByName(dB), "k")
+    incr = A0.join(B0, "k").unionByName(delta_join(A0, dA, B0, dB, ["k"]))
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, incr.collect()))
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 50), st.integers(1, 100)),
+                     min_size=3, max_size=40, unique_by=lambda t: t[0]))
+@settings(**SETTINGS)
+def test_weighted_sample_exact_k_and_subset(spark, rows):
+    from movie_data_etl_pipeline_spark.operators.sampling import weighted_sample_es
+
+    df = spark.createDataFrame(
+        [(f"id{k}", "s", w) for k, w in rows], "key string, src string, w long"
+    )
+    k = min(5, len(rows))
+    out = weighted_sample_es(df, "key", "w", k=k, strata=("src",)).collect()
+    assert len(out) == k
+    keys = {r["key"] for r in out}
+    assert keys <= {f"id{k_}" for k_, _ in rows}
+    # determinism under repartitioning
+    again = weighted_sample_es(df.repartition(7), "key", "w", k=k, strata=("src",)).collect()
+    assert {r["key"] for r in again} == keys
