@@ -161,6 +161,7 @@ HEADLINE = [
     "dd_survivorship",
     "ag_theil_sen",
     "ag_trimmed_mean",
+    "dd_lsh_recall",
 ]
 
 

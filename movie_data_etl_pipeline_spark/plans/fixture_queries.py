@@ -7863,6 +7863,92 @@ FROM kept GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def dd_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """The LSH system MEASURING ITSELF: empirical banding recall per
+    exact-similarity decile — for every true pair (exact shingle-hash
+    Jaccard ≥ 0.2), did the 32/8 portable-MinHash banding emit it as a
+    candidate? This is the S-curve the banding parameters promise
+    ((1−(1−s^r)^b) analytically), observed on real data and
+    hash-checked over ALL co-shingle pairs: high deciles must show
+    recall→1 (no missed duplicates), low deciles recall→0 (banding is
+    not flooding the verifier with junk candidates) — the two-sided
+    tuning readout before a 100 TB run. Decile assignment is an
+    integer cross-multiplication (⌊10·shared/union⌋), recall one
+    division."""
+    docs = load_table(spark, sf, "documents")
+    sh = dedup._portable_shingle_sets(docs, "doc_id", "text", 3).persist()
+    ex = sh.select("id", F.explode("sh").alias("h"))
+    shared = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = sh.select("id", "n_sh")
+    exact = (
+        shared.join(sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na")), "a_id")
+        .join(sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb")), "b_id")
+        .withColumn("u", F.col("na") + F.col("nb") - F.col("n_shared"))
+    )
+    banded = dedup._portable_banded(sh, 32, 8)
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .distinct()
+        .withColumn("caught", F.lit(1))
+    )
+    return (
+        exact.join(cand, ["a_id", "b_id"], "left")
+        .select(
+            F.least(
+                F.lit(9).cast("bigint"),
+                F.expr("(n_shared * 10) div u"),
+            ).alias("sim_decile"),
+            F.coalesce("caught", F.lit(0)).alias("caught"),
+        )
+        .groupBy("sim_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("caught").cast("bigint").alias("n_caught"),
+            F.round(F.sum("caught") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+        .orderBy("sim_decile")
+    )
+
+
+_DD_LSH_RECALL_SQL = f"""{_MINHASH_PORT_CTES},
+ex AS (SELECT id, unnest(sh) AS h FROM shs),
+shared AS (
+  SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2
+),
+exact AS (
+  SELECT a_id, b_id, n_shared, len(sa.sh) + len(sb.sh) - n_shared AS u
+  FROM shared JOIN shs sa ON sa.id = a_id JOIN shs sb ON sb.id = b_id
+),
+cand AS (
+  SELECT DISTINCT x.id AS a_id, y.id AS b_id
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+)
+SELECT LEAST(9, (n_shared * 10) // u) AS sim_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+       ROUND(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS recall
+FROM exact e LEFT JOIN cand c ON e.a_id = c.a_id AND e.b_id = c.b_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # Insertion order is deliberate: the correctness driver checks the
 # FIRST 50 entries. Rounds 1-2 verified the original first-50 window
 # (all hash-green except the 8 events-timestamp casualties); round 3
@@ -8078,6 +8164,7 @@ QUERIES: dict[str, QueryFn] = {
     "dd_survivorship": dd_survivorship,
     "ag_theil_sen": ag_theil_sen,
     "ag_trimmed_mean": ag_trimmed_mean,
+    "dd_lsh_recall": dd_lsh_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -8264,6 +8351,7 @@ ORACLES: dict[str, str] = {
     "dd_survivorship": _DD_SURVIVORSHIP_SQL,
     "ag_theil_sen": _AG_THEIL_SEN_SQL,
     "ag_trimmed_mean": _AG_TRIMMED_SQL,
+    "dd_lsh_recall": _DD_LSH_RECALL_SQL,
     # rows-only (hash-/approximation-dependent): dd_minhash_lsh,
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
