@@ -162,6 +162,14 @@ HEADLINE = [
     "ag_theil_sen",
     "ag_trimmed_mean",
     "dd_lsh_recall",
+    "qa_psi_drift",
+    "ev_rfm",
+    "ts_acf",
+    "ts_cusum",
+    "qa_chi2",
+    "tx_zipf_fit",
+    "gr_kcore",
+    "ev_markov_reach",
 ]
 
 

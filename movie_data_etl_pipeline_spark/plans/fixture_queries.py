@@ -8356,3 +8356,10 @@ ORACLES: dict[str, str] = {
     # dd_simhash, dd_minhash_incremental, sim_knn_lsh, sim_knn_ivf,
     # sim_embedding_near_dup; (no parquet twin): src_paged_api
 }
+
+# Round-3 wave 4 (drift/time-series/segmentation/graph monitoring
+# layer) lives in its own module to keep this file navigable.
+from movie_data_etl_pipeline_spark.plans import wave4 as _wave4  # noqa: E402
+
+QUERIES.update(_wave4.QUERIES)
+ORACLES.update(_wave4.ORACLES)
