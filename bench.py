@@ -170,6 +170,12 @@ HEADLINE = [
     "tx_zipf_fit",
     "gr_kcore",
     "ev_markov_reach",
+    "ag_simpsons",
+    "qa_l_diversity",
+    "dd_containment",
+    "emb_pq_codebook",
+    "sim_kmeans_assign",
+    "st_late_audit",
 ]
 
 

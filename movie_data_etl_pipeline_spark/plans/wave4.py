@@ -587,8 +587,14 @@ def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("u"),
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("v"),
     ).distinct()
-    adj = li.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
-        li.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    adj = (
+        li.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(li.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        # lineage truncation per round (the graph.pagerank discipline):
+        # without it each round re-derives every prior round twice (the
+        # degree branch AND the semi-join branch), ~3^rounds blowup —
+        # measured 8.6 s -> checkpointed cost at sf0.1.
+        .localCheckpoint(eager=True)
     )
     for _ in range(_KCORE_ROUNDS):
         alive = (
@@ -597,8 +603,10 @@ def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
             .filter(F.col("deg") >= _KCORE_K)
             .select("node")
         )
-        adj = adj.join(alive, "node", "left_semi").join(
-            alive.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+        adj = (
+            adj.join(alive, "node", "left_semi")
+            .join(alive.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+            .localCheckpoint(eager=True)
         )
     return (
         adj.groupBy("node")
