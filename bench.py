@@ -176,6 +176,11 @@ HEADLINE = [
     "emb_pq_codebook",
     "sim_kmeans_assign",
     "st_late_audit",
+    "qa_ks_test",
+    "ag_gini",
+    "ts_weekday_index",
+    "gr_bipartite_project",
+    "sa_bootstrap_ci",
 ]
 
 

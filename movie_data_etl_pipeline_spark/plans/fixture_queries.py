@@ -8361,8 +8361,11 @@ ORACLES: dict[str, str] = {
 # layer) lives in its own module to keep this file navigable.
 from movie_data_etl_pipeline_spark.plans import wave4 as _wave4  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave5 as _wave5  # noqa: E402
+from movie_data_etl_pipeline_spark.plans import wave6 as _wave6  # noqa: E402
 
 QUERIES.update(_wave4.QUERIES)
 ORACLES.update(_wave4.ORACLES)
 QUERIES.update(_wave5.QUERIES)
 ORACLES.update(_wave5.ORACLES)
+QUERIES.update(_wave6.QUERIES)
+ORACLES.update(_wave6.ORACLES)
