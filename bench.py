@@ -181,6 +181,12 @@ HEADLINE = [
     "ts_weekday_index",
     "gr_bipartite_project",
     "sa_bootstrap_ci",
+    "ev_session_entropy",
+    "ts_mk_trend",
+    "ag_hhi",
+    "sa_kfold_assign",
+    "emb_cov_audit",
+    "w7_record_days",
 ]
 
 
