@@ -187,6 +187,12 @@ HEADLINE = [
     "sa_kfold_assign",
     "emb_cov_audit",
     "w7_record_days",
+    "ts_decompose",
+    "ts_m4_downsample",
+    "ev_audience_overlap",
+    "ag_cohort_ltv",
+    "ly_zonemap",
+    "o14_upsert_evolve",
 ]
 
 

@@ -83,6 +83,40 @@ def upsert(
     return merged.select(*out_cols)
 
 
+def upsert_evolve(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Schema-evolving upsert: Delta-style ``MERGE .. WITH SCHEMA
+    EVOLUTION`` semantics on top of :func:`upsert`.
+
+    The result carries the UNION schema (target columns first, then
+    columns only the batch has). Columns the batch no longer sends
+    keep their old target value on matched rows (they behave exactly
+    like O8's ``preserve_cols``, because the widened batch carries
+    NULL there by construction); columns the batch introduces read
+    NULL on rows the batch didn't touch. Types for widened columns
+    come from the side that has them, so the evolution is lossless.
+
+    Same scale posture as :func:`upsert` — the widening is pure
+    projection (no extra shuffle or scan)."""
+    keys = list(key_cols)
+    new_cols = [c for c in updates.columns if c not in target.columns]
+    stale_cols = [
+        c for c in target.columns if c not in updates.columns and c not in keys
+    ]
+    missing = [c for c in keys if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates missing key columns: {missing}")
+    for c in new_cols:
+        target = target.withColumn(c, F.lit(None).cast(updates.schema[c].dataType))
+    for c in stale_cols:
+        updates = updates.withColumn(c, F.lit(None).cast(target.schema[c].dataType))
+    updates = updates.select(*target.columns)
+    return upsert(target, updates, keys, preserve_cols=stale_cols)
+
+
 def scd2_apply(
     current: DataFrame,
     changes: DataFrame,

@@ -8363,6 +8363,7 @@ from movie_data_etl_pipeline_spark.plans import wave4 as _wave4  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave5 as _wave5  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave6 as _wave6  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave7 as _wave7  # noqa: E402
+from movie_data_etl_pipeline_spark.plans import wave8 as _wave8  # noqa: E402
 
 QUERIES.update(_wave4.QUERIES)
 ORACLES.update(_wave4.ORACLES)
@@ -8372,3 +8373,5 @@ QUERIES.update(_wave6.QUERIES)
 ORACLES.update(_wave6.ORACLES)
 QUERIES.update(_wave7.QUERIES)
 ORACLES.update(_wave7.ORACLES)
+QUERIES.update(_wave8.QUERIES)
+ORACLES.update(_wave8.ORACLES)

@@ -568,15 +568,21 @@ FROM m
 # gr_kcore — k-core peeling of the supplier–part interaction graph
 # ---------------------------------------------------------------------------
 
-_KCORE_K = 25
 _KCORE_ROUNDS = 3
 
 
 def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
-    """k-core decomposition (k=25, 3 unrolled peel rounds) of the
-    bipartite supplier–part graph — the standard dense-subgraph
-    filter before community detection or fraud-ring mining (nodes
-    that survive interact with ≥k surviving partners).
+    """k-core peeling (3 unrolled rounds) of the bipartite
+    supplier–part graph — the standard dense-subgraph filter before
+    community detection or fraud-ring mining (nodes that survive
+    interact with ≥k surviving partners).
+
+    k is DATA-ADAPTIVE: the lower-quartile degree of the initial
+    graph, read off the degree HISTOGRAM (cumulative window at
+    distinct-degree grain — bounded, never per-node), so the peel
+    bites at every scale factor instead of emptying small graphs or
+    no-op'ing large ones; the 1-row k relation is broadcast into
+    each round's HAVING.
 
     Each round is degree-count → HAVING → two semi-joins: pure
     equi-join/aggregate territory, shuffling only on node ids. The
@@ -596,11 +602,29 @@ def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
         # measured 8.6 s -> checkpointed cost at sf0.1.
         .localCheckpoint(eager=True)
     )
+    hist = (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nn = hist.agg(F.sum("c").alias("nn"))
+    wcum = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, 0)
+    krel = (
+        hist.select("deg", F.sum("c").over(wcum).alias("cc"))
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("cc") * 4 >= F.col("nn"))
+        .agg(F.min("deg").alias("k"))
+        # 1 row; truncate so the three rounds don't replay the
+        # histogram derivation
+        .localCheckpoint(eager=True)
+    )
     for _ in range(_KCORE_ROUNDS):
         alive = (
             adj.groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= _KCORE_K)
+            .crossJoin(F.broadcast(krel))
+            .filter(F.col("deg") >= F.col("k"))
             .select("node")
         )
         adj = (
@@ -618,7 +642,8 @@ def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
 def _kcore_round(i: int) -> str:
     return f"""
 alive{i} AS (
-  SELECT node FROM adj{i} GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+  SELECT node FROM adj{i} GROUP BY node
+  HAVING COUNT(*) >= (SELECT k FROM kk)
 ),
 adj{i + 1} AS (
   SELECT a.node, a.nbr FROM adj{i} a
@@ -638,7 +663,12 @@ adj0 AS (
   SELECT u AS node, v AS nbr FROM e0
   UNION ALL
   SELECT v AS node, u AS nbr FROM e0
-),"""
+),
+d0 AS (SELECT node, COUNT(*) AS deg FROM adj0 GROUP BY node),
+h AS (SELECT deg, COUNT(*) AS c FROM d0 GROUP BY deg),
+nq AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM h),
+cum AS (SELECT deg, CAST(SUM(c) OVER (ORDER BY deg) AS BIGINT) AS cc FROM h),
+kk AS (SELECT MIN(deg) AS k FROM cum, nq WHERE cc * 4 >= nn),"""
     + ",".join(_kcore_round(i) for i in range(_KCORE_ROUNDS))
     + f"""
 SELECT node, CAST(COUNT(*) AS BIGINT) AS degree

@@ -81,6 +81,23 @@ NESTED_LOOP_OK = {
     "qa_benford",  # broadcast 1-row digit-count total
     "ev_survival_km",  # broadcast 1-row observation-end timestamp
     "ag_theil_sen",  # day-grain pair enumeration + 1-row slope broadcast
+    "ev_audience_overlap",  # type-domain² pair skeleton (sizes × sizes)
+    # wave-4..7 one-row-total broadcasts (same shape as the entries
+    # above: constant-size build side priced into a bounded relation)
+    "qa_psi_drift",  # 1-row per-source totals into bin shares
+    "ts_acf",  # 1-row series mean/variance into lag products
+    "ts_cusum",  # 1-row global mean into the daily series
+    "qa_chi2",  # 1-row grand total into contingency cells
+    "ag_simpsons",  # 1-row pooled rate into per-segment rates
+    "qa_ks_test",  # 1-row sample sizes into the ECDF grid
+    "ts_weekday_index",  # 1-row overall mean into weekday means
+    "sa_bootstrap_ci",  # 1-row point estimate into replicate bounds
+    "ts_mk_trend",  # 1-row S statistic into the verdict row
+    "sa_kfold_assign",  # 1-row grand totals into per-fold shares
+    # broadcast seed/codebook tables (the sim_knn_ivf centroid shape)
+    "emb_pq_codebook",  # 8-row PQ seed table into embeddings scan
+    "sim_kmeans_assign",  # 8-row centroid table into embeddings scan
+    "gr_kcore",  # 1-row adaptive-k relation into the peel's HAVING
 }
 
 

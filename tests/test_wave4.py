@@ -72,8 +72,12 @@ def test_zipf_slope_negative(spark, sf_dir):
 
 def test_kcore_survivors_had_initial_degree(spark, sf_dir):
     """Peeling can only remove nodes whose degree ever fell below k —
-    a survivor's ORIGINAL degree must be >= k (degrees only shrink)."""
+    a survivor's ORIGINAL degree must be >= k (degrees only shrink),
+    where k is the data-adaptive lower-quartile initial degree. The
+    peel must also be nonempty at every fixture sf (the degenerate
+    outcome the fixed k=25 produced at sf0.001)."""
     out = wave4.gr_kcore(spark, sf_dir)
+    assert out.count() > 0
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -88,7 +92,17 @@ def test_kcore_survivors_had_initial_degree(spark, sf_dir):
         .groupBy("node")
         .agg(F.count("*").alias("deg0"))
     )
-    viol = out.join(deg0, "node").filter(F.col("deg0") < wave4._KCORE_K).count()
+    # recompute the adaptive k the operator derives: smallest degree
+    # whose cumulative node count reaches a quarter of all nodes
+    degs = sorted(r["deg0"] for r in deg0.collect())
+    total = len(degs)
+    cum, k = 0, None
+    for d in degs:
+        cum += 1
+        if cum * 4 >= total:
+            k = d
+            break
+    viol = out.join(deg0, "node").filter(F.col("deg0") < k).count()
     assert viol == 0
     # and every output degree is <= the initial degree
     shrunk = out.join(deg0, "node").filter(F.col("degree") > F.col("deg0")).count()
