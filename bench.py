@@ -193,6 +193,15 @@ HEADLINE = [
     "ag_cohort_ltv",
     "ly_zonemap",
     "o14_upsert_evolve",
+    "fe_quantile_bins",
+    "fe_target_encode",
+    "fe_hashed_features",
+    "ev_step_latency",
+    "emb_pca_power",
+    "w8_pareto_front",
+    "sa_neyman_alloc",
+    "o15_partition_overwrite",
+    "ts_seasonal_outliers",
 ]
 
 

@@ -117,6 +117,35 @@ def upsert_evolve(
     return upsert(target, updates, keys, preserve_cols=stale_cols)
 
 
+def partition_overwrite(
+    target: DataFrame,
+    updates: DataFrame,
+    part_cols: Sequence[str],
+) -> DataFrame:
+    """Dynamic partition overwrite (Spark's
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` /
+    ``INSERT OVERWRITE`` semantics, expressed as set algebra so the
+    caller can target any sink): every partition value present in
+    ``updates`` is replaced WHOLESALE by the batch's rows for it —
+    target rows in those partitions that the batch no longer carries
+    are dropped — while partitions the batch doesn't mention pass
+    through untouched.
+
+    This is the restatement/backfill primitive :func:`upsert` cannot
+    express (key-level upsert never deletes). Scale: one anti-join of
+    the target against the batch's DISTINCT partition list — a
+    metadata-sized broadcast; on a partitioned sink the same call
+    site rewrites only the named partitions."""
+    keys = list(part_cols)
+    missing = [c for c in keys if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates missing partition columns: {missing}")
+    parts = updates.select(*keys).distinct()
+    return updates.select(*target.columns).unionByName(
+        target.join(F.broadcast(parts), keys, "left_anti")
+    )
+
+
 def scd2_apply(
     current: DataFrame,
     changes: DataFrame,

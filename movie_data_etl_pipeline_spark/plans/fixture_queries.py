@@ -8364,6 +8364,8 @@ from movie_data_etl_pipeline_spark.plans import wave5 as _wave5  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave6 as _wave6  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave7 as _wave7  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave8 as _wave8  # noqa: E402
+from movie_data_etl_pipeline_spark.plans import wave9 as _wave9  # noqa: E402
+from movie_data_etl_pipeline_spark.plans import wave10 as _wave10  # noqa: E402
 
 QUERIES.update(_wave4.QUERIES)
 ORACLES.update(_wave4.ORACLES)
@@ -8375,3 +8377,7 @@ QUERIES.update(_wave7.QUERIES)
 ORACLES.update(_wave7.ORACLES)
 QUERIES.update(_wave8.QUERIES)
 ORACLES.update(_wave8.ORACLES)
+QUERIES.update(_wave9.QUERIES)
+ORACLES.update(_wave9.ORACLES)
+QUERIES.update(_wave10.QUERIES)
+ORACLES.update(_wave10.ORACLES)
