@@ -89,6 +89,82 @@ def start_upsert_sink(
     )
 
 
+def start_cdc_sink(
+    stream: DataFrame,
+    target_path: str,
+    key_cols: Sequence[str],
+    seq_col: str,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+):
+    """Continuous CDC apply (the streaming form of
+    ``merge.apply_changes``): per micro-batch, collapse the batch to
+    its net effect per key (highest ``seq_col`` wins), drop changes
+    STALER than what the target already holds, and apply — with
+    deletes retained as TOMBSTONE rows (``op_col = delete_op``) so a
+    late redelivery of a pre-delete update cannot resurrect the key
+    across batch boundaries (the failure mode a naive
+    delete-means-remove sink has; real CDC sinks keep tombstones and
+    let compaction reap them later — see ``layout.compaction_plan``).
+
+    The target therefore stores payload + ``seq_col`` + ``op_col``;
+    readers filter ``op_col != delete_op``. Replaying any suffix of
+    the stream (at-least-once redelivery, restart from an older
+    checkpoint) converges to the same state because every change is
+    guarded by its sequence number — the streaming rendering of the
+    reference's "safe to rerun" contract. Per batch: one window over
+    the batch, one key-equi join against the target, one anti-join —
+    the target is scanned once per micro-batch, partition-scoped on a
+    real deployment."""
+    spark = stream.sparkSession
+    keys = list(key_cols)
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from movie_data_etl_pipeline_spark.operators.dedup import dedup_last_wins
+
+        latest = dedup_last_wins(batch, keys, [F.desc(seq_col)])
+        try:
+            target = spark.read.parquet(target_path)
+        except AnalysisException:  # first batch: no target yet
+            target = None
+        if target is not None:
+            tseq = target.select(*keys, F.col(seq_col).alias("__tseq"))
+            latest = (
+                latest.join(tseq, keys, "left")
+                .filter(
+                    F.col("__tseq").isNull() | (F.col(seq_col) >= F.col("__tseq"))
+                )
+                .drop("__tseq")
+            )
+            kept = target.join(latest.select(*keys), keys, "left_anti")
+            new_state = kept.unionByName(latest.select(*target.columns))
+        else:
+            new_state = latest
+        new_state.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_cdc_state(spark, target_path: str, seq_col: str, op_col: str = "op",
+                   delete_op: str = "D") -> DataFrame:
+    """Reader view of a ``start_cdc_sink`` target: live rows only
+    (tombstones filtered), bookkeeping columns dropped."""
+    return (
+        spark.read.parquet(target_path)
+        .filter(F.col(op_col) != delete_op)
+        .drop(op_col, seq_col)
+    )
+
+
 def start_versioned_upsert_sink(
     stream: DataFrame,
     table,

@@ -306,3 +306,134 @@ def test_streaming_dedup_replay_equals_batch_distinct(spark, sf_dir):
     w = {(r["event_type"], r["n"]) for r in
          batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert g == w
+
+
+def _cdc_fixture(spark, sf_dir):
+    """Initial target + synthetic ordered change feed over orders.
+
+    Change lifecycle coverage: key%2==0 gets an update; key%4==0
+    additionally a later delete; key%8==0 a still-later re-insert —
+    so net winners exercise update, delete (tombstone), and
+    resurrect-after-delete paths. Keys key%3==0 are absent from the
+    initial target, so some updates are pure inserts."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    target0 = o.filter(F.col("o_orderkey") % 3 != 0)
+    k = F.col("o_orderkey")
+    upd = o.filter(k % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("status"),
+        (F.col("price_c") + 111).alias("price_c"),
+        (k * 4).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = o.filter(k % 4 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("status"),
+        F.lit(0).cast("bigint").alias("price_c"),
+        (k * 4 + 1).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    reins = o.filter(k % 8 == 0).select(
+        "o_orderkey",
+        F.lit("R").alias("status"),
+        (F.col("price_c") + 222).alias("price_c"),
+        (k * 4 + 2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(reins)
+    return target0, changes
+
+
+def test_streaming_cdc_sink_matches_batch_apply(spark, sf_dir, tmp_path):
+    """Replaying the change feed through start_cdc_sink in single-file
+    micro-batches (file arrival order NOT controlled — the seq guard
+    plus tombstones must make any order converge) yields the same live
+    state as one-shot merge.apply_changes on the full feed."""
+    from movie_data_etl_pipeline_spark.operators import merge
+    from movie_data_etl_pipeline_spark.streaming import ingest as SI
+
+    target0, changes = _cdc_fixture(spark, sf_dir)
+    feed_dir = str(tmp_path / "feed")
+    # three chunk files split by seq MOD 3: each micro-batch carries a
+    # mix of early and late sequence numbers (worst-case arrival)
+    for i in range(3):
+        changes.filter(F.col("seq") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+
+    target_path = str(tmp_path / "cdc_table")
+    # seed the sink target: initial payload at seq 0, live op
+    target0.select(
+        "o_orderkey", "status", "price_c",
+        F.lit(0).cast("bigint").alias("seq"), F.lit("U").alias("op"),
+    ).write.parquet(target_path)
+
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = SI.start_cdc_sink(
+        stream, target_path, ["o_orderkey"], "seq",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        tuple(r)
+        for r in SI.read_cdc_state(spark, target_path, "seq").collect()
+    }
+    want = {
+        tuple(r)
+        for r in merge.apply_changes(
+            target0, changes, ["o_orderkey"], "seq"
+        ).collect()
+    }
+    assert got == want
+    # lifecycle spot checks: deleted keys absent, re-inserted present
+    keys = {t[0] for t in got}
+    assert all(x not in keys for x in (4, 12, 20) if x % 8 != 0)
+    assert all(x in keys for x in (8, 16, 24))
+
+
+def test_streaming_cdc_sink_redelivery_is_fixed_point(spark, sf_dir, tmp_path):
+    """Re-running the whole feed against the already-applied target
+    (fresh checkpoint = full redelivery) must not change the state —
+    every change is stale or equal by seq."""
+    from movie_data_etl_pipeline_spark.streaming import ingest as SI
+
+    target0, changes = _cdc_fixture(spark, sf_dir)
+    feed_dir = str(tmp_path / "feed")
+    changes.coalesce(1).write.parquet(feed_dir)
+    target_path = str(tmp_path / "cdc_table")
+    target0.select(
+        "o_orderkey", "status", "price_c",
+        F.lit(0).cast("bigint").alias("seq"), F.lit("U").alias("op"),
+    ).write.parquet(target_path)
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        q = SI.start_cdc_sink(
+            stream, target_path, ["o_orderkey"], "seq", checkpoint_dir=ckpt
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "c1"))
+    state1 = {tuple(r) for r in spark.read.parquet(target_path).collect()}
+    run(str(tmp_path / "c2"))
+    state2 = {tuple(r) for r in spark.read.parquet(target_path).collect()}
+    assert state2 == state1
