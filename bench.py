@@ -202,6 +202,9 @@ HEADLINE = [
     "sa_neyman_alloc",
     "o15_partition_overwrite",
     "ts_seasonal_outliers",
+    "ag_did",
+    "ag_raking",
+    "ix_trigram_search",
 ]
 
 

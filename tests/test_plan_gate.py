@@ -102,6 +102,7 @@ NESTED_LOOP_OK = {
     "emb_pca_power",  # 1-row norm/λ relation into the 8-row vector
     "sa_neyman_alloc",  # 1-row weight total into the allocation
     "ts_seasonal_outliers",  # 1-row median/MAD into the day relation
+    "ag_raking",  # 1-row grid totals into the cell-grain IPF steps
 }
 
 
