@@ -205,6 +205,10 @@ HEADLINE = [
     "ag_did",
     "ag_raking",
     "ix_trigram_search",
+    "ts_forecast_backtest",
+    "ev_growth_accounting",
+    "qa_freshness",
+    "mm_content_dedup",
 ]
 
 

@@ -103,6 +103,9 @@ NESTED_LOOP_OK = {
     "sa_neyman_alloc",  # 1-row weight total into the allocation
     "ts_seasonal_outliers",  # 1-row median/MAD into the day relation
     "ag_raking",  # 1-row grid totals into the cell-grain IPF steps
+    "ts_forecast_backtest",  # 1-row max-date cutoff into the day series
+    "ev_growth_accounting",  # 1-row max-week bound into churn weeks
+    "qa_freshness",  # 1-row global high-water mark into type lags
 }
 
 

@@ -109,6 +109,25 @@ SCALE_QUERIES = [
     "qa_entropy_profile",  # value-grain pricing x4 columns
     "tx_threshold_sweep",  # bounded threshold explode
     "qa_release_gate",  # composed 1-row gates
+    # waves 8-11 (round-3 continuation)
+    "ts_decompose",  # day-grain centered MA + weekday index
+    "ts_m4_downsample",  # hour-bucket min/max/first/last
+    "ev_audience_overlap",  # distinct (type,user) self-join
+    "ag_cohort_ltv",  # custkey-shuffle cohorting + calendar cumsum
+    "ly_zonemap",  # block-grain min/max audit ×2 layouts
+    "o14_upsert_evolve",  # widened full-outer merge
+    "fe_quantile_bins",  # value-grain histogram binning
+    "fe_target_encode",  # broadcast category encode over fact
+    "fe_hashed_features",  # row-local hash + bucket agg
+    "ev_step_latency",  # user-grain firsts + latency histogram
+    "emb_pca_power",  # fact cross-moments + 64-row iterations
+    "w8_pareto_front",  # supplier-grain sort-scan skyline
+    "sa_neyman_alloc",  # two-pass moments + hash membership
+    "o15_partition_overwrite",  # partition anti-join restatement
+    "ts_seasonal_outliers",  # residual median/MAD control chart
+    "ag_did",  # broadcast-dim 2x2 conditional agg
+    "ag_raking",  # cell-grain unrolled IPF
+    "ix_trigram_search",  # char-grain posting build + verify
 ]
 
 
