@@ -209,6 +209,9 @@ HEADLINE = [
     "ev_growth_accounting",
     "qa_freshness",
     "mm_content_dedup",
+    "g4_time_rollup",
+    "w9_yoy_change",
+    "ev_streaks",
 ]
 
 

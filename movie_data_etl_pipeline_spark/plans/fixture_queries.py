@@ -8368,6 +8368,7 @@ from movie_data_etl_pipeline_spark.plans import wave9 as _wave9  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave10 as _wave10  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave11 as _wave11  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave12 as _wave12  # noqa: E402
+from movie_data_etl_pipeline_spark.plans import wave13 as _wave13  # noqa: E402
 
 QUERIES.update(_wave4.QUERIES)
 ORACLES.update(_wave4.ORACLES)
@@ -8387,3 +8388,5 @@ QUERIES.update(_wave11.QUERIES)
 ORACLES.update(_wave11.ORACLES)
 QUERIES.update(_wave12.QUERIES)
 ORACLES.update(_wave12.ORACLES)
+QUERIES.update(_wave13.QUERIES)
+ORACLES.update(_wave13.ORACLES)
