@@ -212,6 +212,14 @@ HEADLINE = [
     "g4_time_rollup",
     "w9_yoy_change",
     "ev_streaks",
+    "sa_split_leakage",
+    "emb_centroid_drift",
+    "qa_key_gaps",
+    "tx_langid_confusion",
+    "ag_price_volume_mix",
+    "fe_woe_iv",
+    "o16_merge_conditional",
+    "px_interleave_order",
 ]
 
 

@@ -117,6 +117,59 @@ def upsert_evolve(
     return upsert(target, updates, keys, preserve_cols=stale_cols)
 
 
+def merge_conditional(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    when_matched_update: str | None = None,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: str | None = None,
+) -> DataFrame:
+    """Full ANSI-style conditional MERGE as set algebra: clause
+    conditions are SQL boolean expressions over the aliases ``t``
+    (target row) and ``u`` (batch row), evaluated on the joined
+    relation.
+
+    Clause semantics (first match wins, like MERGE):
+
+    * matched and ``when_matched_update`` → the batch row replaces
+      the target row;
+    * matched and (not update but) ``when_matched_delete`` → the key
+      is removed;
+    * matched and neither → the target row survives unchanged;
+    * unmatched batch row and ``when_not_matched_insert`` → insert;
+      (``None`` for a condition means the clause never fires; pass
+      ``"true"`` for an unconditional clause)
+    * unmatched target row → passes through.
+
+    One full-outer join on the keys — the same single-shuffle shape
+    as :func:`upsert`; on Delta/Iceberg the identical call site emits
+    ``MERGE INTO`` with the same clause list."""
+    keys = list(key_cols)
+    t = target.alias("t")
+    u = updates.alias("u")
+    joined = t.join(u, keys, "full_outer")
+    matched = F.col(f"u.{keys[0]}").isNotNull() & F.col(f"t.{keys[0]}").isNotNull()
+    t_only = F.col(f"u.{keys[0]}").isNull()
+    u_only = F.col(f"t.{keys[0]}").isNull()
+    upd = F.expr(when_matched_update) if when_matched_update else F.lit(False)
+    dele = F.expr(when_matched_delete) if when_matched_delete else F.lit(False)
+    ins = F.expr(when_not_matched_insert) if when_not_matched_insert else F.lit(False)
+    take_u = (matched & upd) | (u_only & ins)
+    take_t = (matched & ~upd & ~dele) | t_only
+    out_cols = []
+    for name in target.columns:
+        if name in keys:
+            out_cols.append(F.col(name))
+        else:
+            out_cols.append(
+                F.when(take_u, F.col(f"u.{name}"))
+                .otherwise(F.col(f"t.{name}"))
+                .alias(name)
+            )
+    return joined.filter(take_u | take_t).select(*out_cols)
+
+
 def partition_overwrite(
     target: DataFrame,
     updates: DataFrame,

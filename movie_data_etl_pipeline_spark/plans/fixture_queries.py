@@ -7963,10 +7963,15 @@ GROUP BY 1 ORDER BY 1
 #
 # ROUND-4 ROTATION PLAN: move positions 50+ that still lack a driver
 # CORRECTNESS row (the parked 16 plus all round-3 additions —
-# everything from `j6_anti_join` through `dd_survivorship` that has
-# no green row in CORRECTNESS_r01/r02/r03) into the front 50,
-# keeping insertion order within that set; the twice-verified
-# round-1/2 window entries move to the tail.
+# everything from `j6_anti_join` through the wave-16 tail
+# (`o16_merge_conditional`, `px_interleave_order`) that has no green
+# row in CORRECTNESS_r01/r02/r03) into the front 50, keeping
+# insertion order within that set; the twice-verified round-1/2
+# window entries move to the tail. With ~200 never-windowed entries
+# the rotation now takes several rounds — prioritize (a) operator
+# families with no driver-checked representative yet, then (b) the
+# earliest-added entries. Every entry is pre-verified locally at
+# sf0.01 AND sf0.001 via tools/crosscheck.py regardless.
 QUERIES: dict[str, QueryFn] = {
     # -- window 0-7: repaired events-timestamp queries (red in r2) --
     "p3_scalar_coercions": p3_scalar_coercions,
@@ -8369,6 +8374,9 @@ from movie_data_etl_pipeline_spark.plans import wave10 as _wave10  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave11 as _wave11  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave12 as _wave12  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave13 as _wave13  # noqa: E402
+from movie_data_etl_pipeline_spark.plans import wave14 as _wave14  # noqa: E402
+from movie_data_etl_pipeline_spark.plans import wave15 as _wave15  # noqa: E402
+from movie_data_etl_pipeline_spark.plans import wave16 as _wave16  # noqa: E402
 
 QUERIES.update(_wave4.QUERIES)
 ORACLES.update(_wave4.ORACLES)
@@ -8390,3 +8398,9 @@ QUERIES.update(_wave12.QUERIES)
 ORACLES.update(_wave12.ORACLES)
 QUERIES.update(_wave13.QUERIES)
 ORACLES.update(_wave13.ORACLES)
+QUERIES.update(_wave14.QUERIES)
+ORACLES.update(_wave14.ORACLES)
+QUERIES.update(_wave15.QUERIES)
+ORACLES.update(_wave15.ORACLES)
+QUERIES.update(_wave16.QUERIES)
+ORACLES.update(_wave16.ORACLES)

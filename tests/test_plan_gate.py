@@ -106,6 +106,9 @@ NESTED_LOOP_OK = {
     "ts_forecast_backtest",  # 1-row max-date cutoff into the day series
     "ev_growth_accounting",  # 1-row max-week bound into churn weeks
     "qa_freshness",  # 1-row global high-water mark into type lags
+    "qa_key_gaps",  # 1-row key bounds into the block relation
+    "fe_woe_iv",  # 1-row good/bad totals + IV into category rows
+    "px_interleave_order",  # 1-row source count into position pricing
 }
 
 
