@@ -220,6 +220,9 @@ HEADLINE = [
     "fe_woe_iv",
     "o16_merge_conditional",
     "px_interleave_order",
+    "tx_pack_fragmentation",
+    "ev_funnel_timebound",
+    "ag_median_polish",
 ]
 
 

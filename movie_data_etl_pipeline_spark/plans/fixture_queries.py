@@ -8377,6 +8377,7 @@ from movie_data_etl_pipeline_spark.plans import wave13 as _wave13  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave14 as _wave14  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave15 as _wave15  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave16 as _wave16  # noqa: E402
+from movie_data_etl_pipeline_spark.plans import wave17 as _wave17  # noqa: E402
 
 QUERIES.update(_wave4.QUERIES)
 ORACLES.update(_wave4.ORACLES)
@@ -8404,3 +8405,5 @@ QUERIES.update(_wave15.QUERIES)
 ORACLES.update(_wave15.ORACLES)
 QUERIES.update(_wave16.QUERIES)
 ORACLES.update(_wave16.ORACLES)
+QUERIES.update(_wave17.QUERIES)
+ORACLES.update(_wave17.ORACLES)
