@@ -223,6 +223,12 @@ HEADLINE = [
     "tx_pack_fragmentation",
     "ev_funnel_timebound",
     "ag_median_polish",
+    "sim_cluster_purity",
+    "qa_table_profiles",
+    "ag_grouped_quantiles",
+    "qa_srm_check",
+    "ev_user_outliers",
+    "gr_assortativity",
 ]
 
 

@@ -8378,6 +8378,8 @@ from movie_data_etl_pipeline_spark.plans import wave14 as _wave14  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave15 as _wave15  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave16 as _wave16  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave17 as _wave17  # noqa: E402
+from movie_data_etl_pipeline_spark.plans import wave18 as _wave18  # noqa: E402
+from movie_data_etl_pipeline_spark.plans import wave19 as _wave19  # noqa: E402
 
 QUERIES.update(_wave4.QUERIES)
 ORACLES.update(_wave4.ORACLES)
@@ -8407,3 +8409,7 @@ QUERIES.update(_wave16.QUERIES)
 ORACLES.update(_wave16.ORACLES)
 QUERIES.update(_wave17.QUERIES)
 ORACLES.update(_wave17.ORACLES)
+QUERIES.update(_wave18.QUERIES)
+ORACLES.update(_wave18.ORACLES)
+QUERIES.update(_wave19.QUERIES)
+ORACLES.update(_wave19.ORACLES)

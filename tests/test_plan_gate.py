@@ -109,6 +109,8 @@ NESTED_LOOP_OK = {
     "qa_key_gaps",  # 1-row key bounds into the block relation
     "fe_woe_iv",  # 1-row good/bad totals + IV into category rows
     "px_interleave_order",  # 1-row source count into position pricing
+    "sim_cluster_purity",  # 8-row seed table into embeddings scan
+    "ev_user_outliers",  # 1-row N + type-stat broadcasts into user terms
 }
 
 
