@@ -163,3 +163,77 @@ def test_q20_single_lineitem_scan(spark, sf_dir):
     # conditional-sum pass — the correlated-subquery double scan is gone
     plan = _plan(spark, sf_dir, "q20_concentrated_suppliers")
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Wave 8-19 plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_m4_window_is_bucket_partitioned(spark, sf_dir):
+    """The M4 full-frame window must be PARTITIONED by the hour
+    bucket — an unpartitioned frame would serialize the series."""
+    plan = _plan(spark, sf_dir, "ts_m4_downsample")
+    m = re.search(r"Window .*windowspecdefinition\(h#\d+", plan)
+    assert m, plan
+
+
+def test_target_encode_is_broadcast_no_fact_shuffle(spark, sf_dir):
+    """The category aggregate must broadcast back into the fact scan;
+    the fact table itself must not shuffle (no SortMergeJoin, no
+    hash-partitioned exchange of the orders scan)."""
+    plan = _plan(spark, sf_dir, "fe_target_encode")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pareto_front_has_no_pairwise_join(spark, sf_dir):
+    """The skyline must come from the sort-scan identity — any
+    nested-loop/cartesian means the O(n²) formulation snuck back."""
+    plan = _plan(spark, sf_dir, "w8_pareto_front")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interleave_has_no_global_sort_before_limit(spark, sf_dir):
+    """Global position is COMPUTED (rank·S + idx), not sorted for:
+    apart from the final presentation orderBy, the only sorts allowed
+    are the per-source window sorts (partitioned by source)."""
+    plan = _plan(spark, sf_dir, "px_interleave_order")
+    # per-source rank window must be partitioned
+    assert re.search(r"windowspecdefinition\(source#\d+", plan), plan
+
+
+def test_trigram_posting_filter_is_inside_projection(spark, sf_dir):
+    """The needle-trigram filter must run before the distinct/groupBy
+    (the posting list materialized is needle-bounded, not |text|):
+    the explode feeds a Filter with the IN list, not a bare
+    aggregation of all trigrams."""
+    plan = _plan(spark, sf_dir, "ix_trigram_search")
+    # Catalyst collapses the projection, so the filter appears over the
+    # inlined substring expression with the literal needle-trigram set
+    assert re.search(r"Filter .*substring\(.*\) IN \(", plan), plan
+
+
+def test_content_dedup_shuffles_digests_not_payloads(spark, sf_dir):
+    """The CAS grouping must aggregate on the digest — the binary
+    payload column may appear only below the first projection, never
+    in an exchange."""
+    plan = _plan(spark, sf_dir, "mm_content_dedup")
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line, line
+
+
+def test_cohort_ltv_no_extra_fact_exchange(spark, sf_dir):
+    """Cohorting (first-month window) and the month aggregation share
+    the o_custkey shuffle: at most 1 hash exchange may carry the
+    orders fact before the cohort-grain aggregation (the window and
+    the groupBy reuse it), plus bounded-grain exchanges after."""
+    plan = _plan(spark, sf_dir, "ag_cohort_ltv")
+    fact_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(o_custkey" in ln
+    ]
+    assert len(fact_exchanges) <= 2, plan
