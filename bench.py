@@ -229,6 +229,8 @@ HEADLINE = [
     "qa_srm_check",
     "ev_user_outliers",
     "gr_assortativity",
+    "fn_generator_surface",
+    "fn_datetime_surface",
 ]
 
 
