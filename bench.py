@@ -231,6 +231,9 @@ HEADLINE = [
     "gr_assortativity",
     "fn_generator_surface",
     "fn_datetime_surface",
+    "ts_intervention_impact",
+    "qa_round_number_bias",
+    "ts_fano_factor",
 ]
 
 

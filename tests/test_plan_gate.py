@@ -111,6 +111,7 @@ NESTED_LOOP_OK = {
     "px_interleave_order",  # 1-row source count into position pricing
     "sim_cluster_purity",  # 8-row seed table into embeddings scan
     "ev_user_outliers",  # 1-row N + type-stat broadcasts into user terms
+    "ts_intervention_impact",  # 1-row pre fit × 1-row post fit
 }
 
 
