@@ -234,6 +234,8 @@ HEADLINE = [
     "ts_intervention_impact",
     "qa_round_number_bias",
     "ts_fano_factor",
+    "ev_hourly_profile",
+    "dd_cross_source_dups",
 ]
 
 

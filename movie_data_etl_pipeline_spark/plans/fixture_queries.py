@@ -8405,6 +8405,7 @@ from movie_data_etl_pipeline_spark.plans import wave18 as _wave18  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave19 as _wave19  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave20 as _wave20  # noqa: E402
 from movie_data_etl_pipeline_spark.plans import wave21 as _wave21  # noqa: E402
+from movie_data_etl_pipeline_spark.plans import wave22 as _wave22  # noqa: E402
 
 QUERIES.update(_wave4.QUERIES)
 ORACLES.update(_wave4.ORACLES)
@@ -8442,3 +8443,5 @@ QUERIES.update(_wave20.QUERIES)
 ORACLES.update(_wave20.ORACLES)
 QUERIES.update(_wave21.QUERIES)
 ORACLES.update(_wave21.ORACLES)
+QUERIES.update(_wave22.QUERIES)
+ORACLES.update(_wave22.ORACLES)

@@ -112,6 +112,7 @@ NESTED_LOOP_OK = {
     "sim_cluster_purity",  # 8-row seed table into embeddings scan
     "ev_user_outliers",  # 1-row N + type-stat broadcasts into user terms
     "ts_intervention_impact",  # 1-row pre fit × 1-row post fit
+    "dd_cross_source_dups",  # source-domain² pair skeleton
 }
 
 
