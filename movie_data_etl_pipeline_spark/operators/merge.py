@@ -152,9 +152,18 @@ def merge_conditional(
     matched = F.col(f"u.{keys[0]}").isNotNull() & F.col(f"t.{keys[0]}").isNotNull()
     t_only = F.col(f"u.{keys[0]}").isNull()
     u_only = F.col(f"t.{keys[0]}").isNull()
-    upd = F.expr(when_matched_update) if when_matched_update else F.lit(False)
-    dele = F.expr(when_matched_delete) if when_matched_delete else F.lit(False)
-    ins = F.expr(when_not_matched_insert) if when_not_matched_insert else F.lit(False)
+    # ANSI MERGE fires a clause only when its condition is TRUE; a NULL
+    # (three-valued "unknown", e.g. a comparison over a NULL column) must
+    # behave like FALSE, so coalesce each condition — otherwise a NULL
+    # would poison both take_u and take_t below and silently DROP the row.
+    def _cond(expr_str: str | None):
+        if not expr_str:
+            return F.lit(False)
+        return F.coalesce(F.expr(expr_str), F.lit(False))
+
+    upd = _cond(when_matched_update)
+    dele = _cond(when_matched_delete)
+    ins = _cond(when_not_matched_insert)
     take_u = (matched & upd) | (u_only & ins)
     take_t = (matched & ~upd & ~dele) | t_only
     out_cols = []
@@ -193,6 +202,14 @@ def partition_overwrite(
     missing = [c for c in keys if c not in updates.columns]
     if missing:
         raise ValueError(f"updates missing partition columns: {missing}")
+    lacking = [c for c in target.columns if c not in updates.columns]
+    if lacking:
+        raise ValueError(f"updates missing target columns: {lacking}")
+    extra = [c for c in updates.columns if c not in target.columns]
+    if extra:
+        raise ValueError(
+            f"updates carry columns absent from target (would be silently dropped): {extra}"
+        )
     parts = updates.select(*keys).distinct()
     return updates.select(*target.columns).unionByName(
         target.join(F.broadcast(parts), keys, "left_anti")

@@ -125,7 +125,11 @@ def start_cdc_sink(
             return
         from movie_data_etl_pipeline_spark.operators.dedup import dedup_last_wins
 
-        latest = dedup_last_wins(batch, keys, [F.desc(seq_col)])
+        # op_col is the deterministic tiebreaker dedup_last_wins requires:
+        # two same-key changes carrying an equal seq within one batch
+        # resolve to the op that sorts last ("U" beats "D"), so replays
+        # pick the same winner every time.
+        latest = dedup_last_wins(batch, keys, [F.desc(seq_col), F.desc(op_col)])
         try:
             target = spark.read.parquet(target_path)
         except AnalysisException:  # first batch: no target yet

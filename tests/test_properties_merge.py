@@ -122,3 +122,61 @@ def test_upsert_evolve_key_conservation(spark, t, u):
         assert r["stale"] == tmap.get(r["k"])
         # fresh column populated exactly for batch keys
         assert r["fresh"] == umap.get(r["k"])
+
+
+# Nullable condition columns: a clause condition evaluating to SQL NULL
+# must behave as "clause does not fire" (ANSI MERGE), never drop the row.
+nullable_rows = st.lists(
+    st.tuples(st.integers(0, 15), st.none() | st.integers(-50, 50)),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(t=nullable_rows, u=nullable_rows, thr=st.integers(-40, 40))
+@settings(**SETTINGS)
+def test_merge_conditional_null_condition_is_false(spark, t, u, thr):
+    target = spark.createDataFrame(t or [(99, 0)], "k int, x int")
+    updates = spark.createDataFrame(u or [(98, 0)], "k int, x int")
+    got = {
+        tuple(r)
+        for r in merge.merge_conditional(
+            target,
+            updates,
+            ["k"],
+            when_matched_update=f"u.x > {thr}",
+            when_matched_delete=f"u.x <= {thr}",
+            when_not_matched_insert=f"u.x >= {thr}",
+        ).collect()
+    }
+    tmap = dict(t or [(99, 0)])
+    umap = dict(u or [(98, 0)])
+    want = set()
+    for k, x in tmap.items():
+        if k in umap:
+            ux = umap[k]
+            if ux is not None and ux > thr:
+                want.add((k, ux))
+            elif ux is not None and ux <= thr:
+                pass  # delete fires
+            else:
+                want.add((k, x))  # both conditions NULL -> target survives
+        else:
+            want.add((k, x))
+    for k, x in umap.items():
+        if k not in tmap and x is not None and x >= thr:
+            want.add((k, x))
+    assert got == want
+
+
+def test_partition_overwrite_rejects_column_mismatch(spark):
+    target = spark.createDataFrame([(0, 1, 2)], "p int, k int, v int")
+    import pytest as _pytest
+
+    missing = spark.createDataFrame([(0, 1)], "p int, k int")
+    with _pytest.raises(ValueError, match="missing target columns.*v"):
+        merge.partition_overwrite(target, missing, ["p"])
+    extra = spark.createDataFrame([(0, 1, 2, 3)], "p int, k int, v int, w int")
+    with _pytest.raises(ValueError, match="absent from target.*w"):
+        merge.partition_overwrite(target, extra, ["p"])
