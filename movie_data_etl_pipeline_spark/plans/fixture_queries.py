@@ -7984,17 +7984,15 @@ GROUP BY 1 ORDER BY 1
 # was pre-verified locally via tools/crosscheck.py at sf0.01 AND
 # sf0.001 AND under local[5].
 #
-# ROUND-4 ROTATION PLAN: move positions 50+ that still lack a driver
-# CORRECTNESS row (the parked 16 plus all round-3 additions —
-# everything from `j6_anti_join` through the wave-16 tail
-# (`o16_merge_conditional`, `px_interleave_order`) that has no green
-# row in CORRECTNESS_r01/r02/r03) into the front 50, keeping
-# insertion order within that set; the twice-verified round-1/2
-# window entries move to the tail. With ~200 never-windowed entries
-# the rotation now takes several rounds — prioritize (a) operator
-# families with no driver-checked representative yet, then (b) the
-# earliest-added entries. Every entry is pre-verified locally at
-# sf0.01 AND sf0.001 via tools/crosscheck.py regardless.
+# NOTE: the dict literal below is the BUILD order; the driver-facing
+# insertion order is produced by `_rotated()` at the bottom of this
+# module (front 50 = `_R4_WINDOW`, then remaining never-driver-checked
+# entries in build order, then entries already green in a prior
+# CORRECTNESS_r*.json). ROUND-5 ROTATION: fold CORRECTNESS_r04's names
+# into `_DRIVER_CHECKED_R1_R3` (rename to _R1_R4), replace `_R4_WINDOW`
+# with the next 50 never-checked names (the `mid` section prints them
+# in order: python -c "from movie_data_etl_pipeline_spark.plans import
+# fixture_queries as f; print(list(f.QUERIES)[50:100])").
 QUERIES: dict[str, QueryFn] = {
     # -- window 0-7: repaired events-timestamp queries (red in r2) --
     "p3_scalar_coercions": p3_scalar_coercions,
@@ -8445,3 +8443,84 @@ QUERIES.update(_wave21.QUERIES)
 ORACLES.update(_wave21.ORACLES)
 QUERIES.update(_wave22.QUERIES)
 ORACLES.update(_wave22.ORACLES)
+
+# ------------------------------------------------------------------ rotation
+# The round driver's correctness check covers only the FIRST 50
+# insertion-ordered entries of QUERIES, so window placement is the
+# mechanism by which the official record converges on the registry.
+# Names below have a green driver row in CORRECTNESS_r01–r03; they park
+# at the tail. The front 50 are hand-picked for round 4 (the 16 entries
+# parked "next rotation" in r3, the VERDICT-r3 asks — portable-hash
+# twins, graph, CDC apply, the sketch family — and one representative
+# per operator family that has never had a driver row, preferring
+# queries whose code changed this round: o15/o16/dd_lsh_recall). The
+# remaining never-checked entries keep insertion order behind them and
+# enter in rounds 5+. Every entry is verified locally at sf0.001 AND
+# sf0.01 via tools/crosscheck.py regardless of window position.
+_DRIVER_CHECKED_R1_R3 = frozenset({
+    "a6_duplicate_report", "ag_histogram", "ag_stats_moments", "aj_asof_join",
+    "ap_approx_stats", "ap_exact_quantiles", "dd_contamination",
+    "dd_dup_clusters", "dd_exact_dup_groups", "dd_incremental",
+    "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash", "ev_funnel",
+    "f1_explode", "f2_json_flatten", "fn_hof_surface", "fn_scalar_surface",
+    "g1_rollup", "g3_grouping_sets", "hh_heavy_hitters", "j5_left_join_agg",
+    "j8_full_outer_nation", "jx_fuzzy_join", "ly_zorder", "mm_asset_stats",
+    "mm_frame_sample", "o10_scd2_history", "o11_snapshot_diff",
+    "o6_dedup_last_wins", "o7_top_n_per_group", "o8_upsert",
+    "o8_upsert_preserve", "o9_insert_if_absent", "p3_scalar_coercions",
+    "pv_pivot_status", "pv_unpivot_lineitem", "px_clean_corpus",
+    "q10_returned_items", "q11_value_concentration", "q12_priority_shipping",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_diversity", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue", "q1_pricing_summary",
+    "q20_concentrated_suppliers", "q21_waiting_suppliers",
+    "q22_idle_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_revenue_delta",
+    "q7_nation_volume", "q8_market_share", "q9_nation_profit", "qa_audit",
+    "rj_range_join", "sa_stratified_sample", "sim_embedding_near_dup",
+    "sim_knn_bruteforce", "sim_knn_ivf", "sim_knn_lsh",
+    "sq_min_price_supplier", "st_interval_join", "st_sessionize",
+    "st_sliding", "st_tumbling", "su_set_ops", "t5_top20", "ts_gapfill",
+    "tx_fingerprints", "tx_lang_distribution", "tx_language_id",
+    "tx_pack_sequences", "tx_pii_scrub", "tx_quality_scores",
+    "tx_repetition", "tx_span_dedup", "tx_token_counts",
+    "tx_token_frequency", "tx_token_stats", "v1_top_actors",
+    "v2_top_genres", "v3_genre_ratings", "v4_top_actors_by_rating",
+    "w1_running_total", "w4_trailing_7d",
+})
+
+_R4_WINDOW = [
+    # the 16 parked in r3 as "next rotation's window"
+    "j6_anti_join", "j7_semi_join", "w2_lag_delta", "w3_ntile_quartiles",
+    "w5_value_windows", "g2_cube", "ev_cohort_retention", "ev_transitions",
+    "tx_rare_tokens", "sim_label_centroids", "inc_rollup", "tx_tfidf_topk",
+    "f3_variant_json", "mm_features", "tx_chunking", "src_paged_api",
+    # VERDICT-r3 asks: portable-hash twins, graph, CDC apply, sketches
+    "dd_minhash_portable", "dd_simhash_portable", "sim_knn_portable",
+    "dd_minhash_incr_portable", "gr_pagerank", "gr_label_prop",
+    "o12_apply_changes", "ap_hll_rollup", "ap_quantile_rollup",
+    "ap_cms_counts", "ap_kmv_sources", "ap_kmv_jaccard",
+    # family representatives with no driver row yet
+    "gr_triangles", "gr_kcore", "ts_ewma", "ts_acf", "qa_k_anonymity",
+    "qa_benford", "ag_weighted_median", "ag_gini", "sa_hash_split",
+    "sa_temporal_split", "emb_int8_quantize", "emb_pca_power",
+    "fe_quantile_bins", "fe_woe_iv", "ix_global_rownum",
+    "ix_inverted_index", "st_dedup", "o13_scd2_lookup",
+    # queries whose implementation changed in round 4
+    "o15_partition_overwrite", "o16_merge_conditional", "dd_lsh_recall",
+    "ev_attribution",
+]
+
+
+def _rotated(registry: dict[str, QueryFn]) -> dict[str, QueryFn]:
+    front = [n for n in _R4_WINDOW if n in registry]
+    placed = set(front)
+    mid = [
+        n for n in registry
+        if n not in _DRIVER_CHECKED_R1_R3 and n not in placed
+    ]
+    tail = [n for n in registry if n in _DRIVER_CHECKED_R1_R3 and n not in placed]
+    return {n: registry[n] for n in [*front, *mid, *tail]}
+
+
+QUERIES = _rotated(QUERIES)
