@@ -17,9 +17,13 @@ def test_every_oracle_has_a_query():
     assert not missing, f"oracles without queries: {missing}"
 
 
-def test_bench_headline_subset_of_registry():
+def test_bench_headline_covers_registry():
+    # since round 4 the headline IS the registry: a new query cannot
+    # hide from the bench, and a renamed query breaks loudly here
     missing = [k for k in bench.HEADLINE if k not in QUERIES]
     assert not missing, f"bench entries without queries: {missing}"
+    unbenched = [k for k in QUERIES if k not in set(bench.HEADLINE)]
+    assert not unbenched, f"registry entries outside the bench: {unbenched}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench entries"
 
 
@@ -27,6 +31,15 @@ def test_core_r2_is_a_frozen_subset():
     assert len(bench.CORE_R2) == 69
     missing = [k for k in bench.CORE_R2 if k not in bench.HEADLINE]
     assert not missing, f"core entries missing from headline: {missing}"
+
+
+def test_core_r3_is_a_frozen_subset():
+    assert len(bench.CORE_R3) == 211
+    assert len(set(bench.CORE_R3)) == 211
+    missing = [k for k in bench.CORE_R3 if k not in bench.HEADLINE]
+    assert not missing, f"core entries missing from headline: {missing}"
+    # CORE_R2 ⊂ CORE_R3: the round-3 headline contained the round-2 one
+    assert set(bench.CORE_R2) <= set(bench.CORE_R3)
 
 
 def test_driver_window_is_full():
