@@ -7892,13 +7892,23 @@ def dd_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     Jaccard ≥ 0.2), did the 32/8 portable-MinHash banding emit it as a
     candidate? This is the S-curve the banding parameters promise
     ((1−(1−s^r)^b) analytically), observed on real data and
-    hash-checked over ALL co-shingle pairs: high deciles must show
-    recall→1 (no missed duplicates), low deciles recall→0 (banding is
-    not flooding the verifier with junk candidates) — the two-sided
-    tuning readout before a 100 TB run. Decile assignment is an
-    integer cross-multiplication (⌊10·shared/union⌋), recall one
-    division."""
-    docs = load_table(spark, sf, "documents")
+    hash-checked over co-shingle pairs within a DETERMINISTIC DOC
+    SAMPLE: high deciles must show recall→1 (no missed duplicates),
+    low deciles recall→0 (banding is not flooding the verifier with
+    junk candidates) — the two-sided tuning readout before a 100 TB
+    run. Decile assignment is an integer cross-multiplication
+    (⌊10·shared/union⌋), recall one division.
+
+    The exact ground truth is inherently quadratic in co-shingle
+    posting lists, so it is computed on the ``doc_id % 4 == 0`` slice
+    (sampling DOCS samples PAIRS; per-decile recall is a ratio, so the
+    estimate is unbiased). The modulus is the knob that keeps the
+    diagnostic bounded at any corpus size — at production scale pick
+    ``k ≈ N / 20_000`` so the ground-truth side stays ~20k docs
+    regardless of N. The banded candidate side is restricted to the
+    same slice (only sampled pairs are probed). The DuckDB oracle
+    applies the identical predicate, keeping the pair in lockstep."""
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 4 == 0)
     sh = dedup._portable_shingle_sets(docs, "doc_id", "text", 3).persist()
     ex = sh.select("id", F.explode("sh").alias("h"))
     shared = (
@@ -7948,7 +7958,13 @@ def dd_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_DD_LSH_RECALL_SQL = f"""{_MINHASH_PORT_CTES},
+# same CTE chain as the unsampled twins, restricted to the deterministic
+# doc sample the Spark side uses (see dd_lsh_recall's docstring)
+_MINHASH_PORT_CTES_SAMPLED = _MINHASH_PORT_CTES.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 4 = 0"
+)
+
+_DD_LSH_RECALL_SQL = f"""{_MINHASH_PORT_CTES_SAMPLED},
 ex AS (SELECT id, unnest(sh) AS h FROM shs),
 shared AS (
   SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS n_shared
