@@ -202,7 +202,7 @@ def f1_explode(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
 
 
-_F1_SQL = """
+_F1_SQL = r"""
 SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
 FROM documents
 """
@@ -417,7 +417,7 @@ _O9_SQL = "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
 # ---------------------------------------------------------------------------
 
 # Shared DuckDB fragments: tokens exactly as functions.text.tokens().
-_D_TOKS = "list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+_D_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
 
 
 def tx_token_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -570,7 +570,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
-_DD_JACCARD_SQL = """
+_DD_JACCARD_SQL = r"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM documents
 ),
@@ -671,7 +671,7 @@ def dd_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
 # shared CTE prefix: portable-hashed shingle sets → 32-slot LCG minhash
 # signatures → 8 bands of 4 folded to bucket ids (mirrors
 # dedup._portable_shingle_sets + _portable_banded value-for-value)
-_MINHASH_PORT_CTES = f"""
+_MINHASH_PORT_CTES = rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM documents
 ),
@@ -807,7 +807,7 @@ def tx_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.bigram_surprisal(docs)
 
 
-_TX_BIGRAM_SQL = """
+_TX_BIGRAM_SQL = r"""
 WITH toks AS (
   SELECT doc_id AS id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
   FROM documents
@@ -1006,7 +1006,7 @@ def fp_token_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.frequent_token_pairs(docs, min_support=100)
 
 
-_FP_PAIRS_SQL = """
+_FP_PAIRS_SQL = r"""
 WITH dt AS (
   SELECT DISTINCT doc_id AS id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
   FROM documents
@@ -1164,7 +1164,7 @@ def tx_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.source_divergence(docs)
 
 
-_TX_SRCDIV_SQL = """
+_TX_SRCDIV_SQL = r"""
 WITH toks AS (
   SELECT source, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
   FROM documents
@@ -1213,7 +1213,7 @@ def dd_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs_portable(docs, max_hamming=3, chunks=4, bits=28)
 
 
-_DD_SIMHASH_PORT_SQL = f"""
+_DD_SIMHASH_PORT_SQL = rf"""
 WITH toks AS (
   SELECT doc_id AS id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
   FROM documents
@@ -2175,7 +2175,7 @@ def tx_repetition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_TX_REP_SQL = """
+_TX_REP_SQL = r"""
 WITH t AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents
 ),
@@ -3522,7 +3522,7 @@ def dd_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_DD_CLUSTERS_SQL = """
+_DD_CLUSTERS_SQL = r"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM documents
 ),
@@ -4194,7 +4194,7 @@ def dd_contamination(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_DD_CONTAM_SQL = """
+_DD_CONTAM_SQL = r"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM documents
 ),
