@@ -8459,6 +8459,10 @@ QUERIES.update(_wave21.QUERIES)
 ORACLES.update(_wave21.ORACLES)
 QUERIES.update(_wave22.QUERIES)
 ORACLES.update(_wave22.ORACLES)
+from movie_data_etl_pipeline_spark.plans import wave23 as _wave23  # noqa: E402
+
+QUERIES.update(_wave23.QUERIES)
+ORACLES.update(_wave23.ORACLES)
 
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50

@@ -98,6 +98,7 @@ NESTED_LOOP_OK = {
     "emb_pq_codebook",  # 8-row PQ seed table into embeddings scan
     "sim_kmeans_assign",  # 8-row centroid table into embeddings scan
     "gr_kcore",  # 1-row adaptive-k relation into the peel's HAVING
+    "gr_modularity",  # broadcast 1-row edge-count m into per-community rows
     "fe_quantile_bins",  # 7-row boundary relation into the value histogram
     "emb_pca_power",  # 1-row norm/λ relation into the 8-row vector
     "sa_neyman_alloc",  # 1-row weight total into the allocation
