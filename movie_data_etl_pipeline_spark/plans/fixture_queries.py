@@ -8463,6 +8463,10 @@ from movie_data_etl_pipeline_spark.plans import wave23 as _wave23  # noqa: E402
 
 QUERIES.update(_wave23.QUERIES)
 ORACLES.update(_wave23.ORACLES)
+from movie_data_etl_pipeline_spark.plans import wave24 as _wave24  # noqa: E402
+
+QUERIES.update(_wave24.QUERIES)
+ORACLES.update(_wave24.ORACLES)
 
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
