@@ -8467,6 +8467,10 @@ from movie_data_etl_pipeline_spark.plans import wave24 as _wave24  # noqa: E402
 
 QUERIES.update(_wave24.QUERIES)
 ORACLES.update(_wave24.ORACLES)
+from movie_data_etl_pipeline_spark.plans import wave25 as _wave25  # noqa: E402
+
+QUERIES.update(_wave25.QUERIES)
+ORACLES.update(_wave25.ORACLES)
 
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
