@@ -238,6 +238,9 @@ class VersionedCowTable:
             m["schema"] = schema_json
         with open(self._manifest_path(version), "w") as f:
             _json.dump(m, f)
+        self._publish_pointer(version)
+
+    def _publish_pointer(self, version: int) -> None:
         tmp = _os.path.join(self.path, f".{LATEST_POINTER}.tmp")
         with open(tmp, "w") as f:
             f.write(str(version))
@@ -307,9 +310,14 @@ class VersionedCowTable:
         spark: SparkSession,
         batch: DataFrame,
         preserve_cols: Sequence[str] = (),
+        publish: bool = True,
     ) -> int:
         """O8 semantics at pruned cost, committed as a new snapshot;
-        returns the new version number."""
+        returns the new version number. With ``publish=False`` the
+        snapshot is STAGED (data + manifest written, head pointer
+        untouched) for a write-audit-publish flow: audit via
+        ``read(version=...)``, then :meth:`publish` or
+        :meth:`abort_staged`."""
         m = self.manifest()
         new_version = self._next_version(m["version"])
         batch_b = batch.withColumn(BUCKET_COL, bucket_of(self.key_cols, self.n_buckets))
@@ -356,8 +364,56 @@ class VersionedCowTable:
         buckets = dict(current_map)
         for b in touched:
             buckets[b] = new_version
-        self._commit(buckets, new_version, merged.schema.json())
+        if publish:
+            self._commit(buckets, new_version, merged.schema.json())
+        else:
+            # write-audit-publish: record the manifest but DON'T swap
+            # the pointer — the snapshot is fully materialized and
+            # readable via read(version=...), invisible to readers of
+            # the committed head until publish()
+            m2 = {
+                "version": new_version,
+                "buckets": {str(b): v for b, v in buckets.items()},
+                "schema": merged.schema.json(),
+            }
+            with open(self._manifest_path(new_version), "w") as f:
+                _json.dump(m2, f)
         return new_version
+
+    # -------------------------------------------- write-audit-publish
+
+    def publish(self, version: int) -> None:
+        """Atomically promote a STAGED snapshot (``upsert(...,
+        publish=False)``) to the committed head — the P of
+        write-audit-publish: downstream readers see either the old
+        head or the fully-audited new one, never anything between.
+        Refuses to move the pointer backwards."""
+        if not _os.path.exists(self._manifest_path(version)):
+            raise ValueError(f"no staged manifest for version {version}")
+        if version <= self.latest_version():
+            raise ValueError(
+                f"version {version} is not ahead of the committed head "
+                f"{self.latest_version()}"
+            )
+        self._publish_pointer(version)
+
+    def abort_staged(self, version: int) -> None:
+        """Drop a staged snapshot that failed its audit: remove its
+        manifest and version directory. Refuses to touch the committed
+        head or any version at or below it (immutable history)."""
+        if version <= self.latest_version():
+            raise ValueError(
+                f"version {version} is committed history; vacuum() is the "
+                "only sanctioned remover of committed versions"
+            )
+        mp = self._manifest_path(version)
+        if _os.path.exists(mp):
+            _os.remove(mp)
+        vdir = _os.path.join(self.path, f"v{version:05d}")
+        if _os.path.isdir(vdir):
+            import shutil as _shutil
+
+            _shutil.rmtree(vdir)
 
     def delete_where(self, spark: SparkSession, predicate) -> int:
         """Predicate DELETE as copy-on-write (Iceberg CoW delete): find

@@ -8471,6 +8471,10 @@ from movie_data_etl_pipeline_spark.plans import wave25 as _wave25  # noqa: E402
 
 QUERIES.update(_wave25.QUERIES)
 ORACLES.update(_wave25.ORACLES)
+from movie_data_etl_pipeline_spark.plans import wave26 as _wave26  # noqa: E402
+
+QUERIES.update(_wave26.QUERIES)
+ORACLES.update(_wave26.ORACLES)
 
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50

@@ -1,0 +1,330 @@
+"""Round-4 wave 26: bounded-hop reach (unrolled BFS), the map-type
+higher-order-function surface, and generalized-ESD outlier detection
+(unrolled iterative removal).
+
+Determinism contract unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# gr_khop_reach — bounded-hop neighborhood size via unrolled BFS
+# ---------------------------------------------------------------------------
+
+_KHOP = 3
+_SEED_MOD = 40
+
+
+def gr_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """K-hop reach: for a deterministic seed sample of customers
+    (``c_custkey % 40 == 0``), the number of graph nodes within 1, 2,
+    and 3 hops on the customer↔supplier co-transaction graph — the
+    bounded-frontier BFS that prices influence/contagion reach and is
+    the building block closeness-centrality approximations sample.
+    Three unrolled rounds of (frontier ⋈ edges → union → distinct) —
+    the textbook distributed BFS with per-round frontier dedup so the
+    visited set, not the path count, drives cost (path-counting BFS
+    explodes on dense graphs; visited-set BFS is |E| per round worst
+    case). All integers; per-seed counts are exact.
+
+    Scale: each round is one equi-join keyed on the frontier plus one
+    distinct — seed-count × |E| bounded, embarrassingly partitioned by
+    seed. The seed modulus is the sampling knob (fixed seed count at
+    any corpus size, like `dd_lsh_recall`'s)."""
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+        .unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    customer = load_table(spark, sf, "customer")
+    seeds = customer.filter(F.col("c_custkey") % _SEED_MOD == 0).select(
+        (F.col("c_custkey") * 2).alias("seed")
+    )
+    # visited_k: (seed, node) pairs within <= k hops (excluding the seed
+    # itself at k=0 so counts are "others reached")
+    visited = seeds.select("seed", F.col("seed").alias("node"))
+    out_counts = []
+    for k in range(1, _KHOP + 1):
+        frontier_next = (
+            visited.join(edges, F.col("node") == F.col("src"))
+            .select("seed", F.col("dst").alias("node"))
+        )
+        visited = (
+            visited.unionAll(frontier_next).distinct().localCheckpoint(eager=True)
+        )
+        out_counts.append(
+            visited.groupBy("seed")
+            .agg((F.count(F.lit(1)) - 1).cast("bigint").alias(f"reach_{k}"))
+        )
+    out = out_counts[0]
+    for c in out_counts[1:]:
+        out = out.join(c, "seed")
+    return out.orderBy("seed")
+
+
+def _khop_round_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT DISTINCT seed, node FROM (
+    SELECT seed, node FROM {prev}
+    UNION ALL
+    SELECT v.seed, e.dst AS node FROM {prev} v JOIN edges e ON v.node = e.src
+  )
+)"""
+
+
+_GR_KHOP_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+),
+v0 AS (
+  SELECT c_custkey * 2 AS seed, c_custkey * 2 AS node
+  FROM customer WHERE c_custkey % {_SEED_MOD} = 0
+),
+{_khop_round_sql('v0', 'v1')},
+{_khop_round_sql('v1', 'v2')},
+{_khop_round_sql('v2', 'v3')},
+c1 AS (SELECT seed, (COUNT(*) - 1)::BIGINT AS reach_1 FROM v1 GROUP BY seed),
+c2 AS (SELECT seed, (COUNT(*) - 1)::BIGINT AS reach_2 FROM v2 GROUP BY seed),
+c3 AS (SELECT seed, (COUNT(*) - 1)::BIGINT AS reach_3 FROM v3 GROUP BY seed)
+SELECT c1.seed, c1.reach_1, c2.reach_2, c3.reach_3
+FROM c1 JOIN c2 USING (seed) JOIN c3 USING (seed)
+ORDER BY seed
+"""
+
+
+# ---------------------------------------------------------------------------
+# fn_map_surface — map-type higher-order functions
+# ---------------------------------------------------------------------------
+
+
+def fn_map_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """The MAP-type function surface (`fn_hof_surface`'s sibling for
+    maps): per order-priority, build a map of status → order count
+    (``map_from_entries``), then exercise ``transform_values`` (rate
+    per 1000), ``map_filter`` (statuses with ≥ 5 orders), and
+    ``map_zip_with`` (share of the priority's total) in one row-local
+    pass. Maps are rendered back to (key-sorted) entry arrays before
+    output because map column EQUALITY is undefined order — the same
+    discipline the oracle side uses, making the surface value-checked
+    rather than schema-checked. All counts integer; the one share
+    division renders at the end."""
+    orders = load_table(spark, sf, "orders")
+    g = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    m = g.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("status_n"),
+        F.sum("n").cast("bigint").alias("total"),
+    )
+    enriched = m.select(
+        "o_orderpriority",
+        "total",
+        F.map_filter("status_n", lambda _, v: v >= 5).alias("big"),
+        F.transform_values("status_n", lambda _, v: v * 1_000_000).alias("ppm_raw"),
+    ).select(
+        "o_orderpriority",
+        "total",
+        F.map_filter(
+            F.map_zip_with(
+                "big",
+                "ppm_raw",
+                lambda _, b, p: F.when(
+                    b.isNotNull(),
+                    F.round(
+                        p.cast("double") / F.col("total").cast("double")
+                    ).cast("bigint"),
+                ),
+            ),
+            lambda _, v: v.isNotNull(),
+        ).alias("share_ppm"),
+    )
+    return enriched.select(
+        "o_orderpriority",
+        "total",
+        F.to_json(
+            F.transform(
+                F.array_sort(F.map_keys("share_ppm")),
+                lambda k: F.struct(
+                    k.alias("status"), F.element_at(F.col("share_ppm"), k).alias("ppm")
+                ),
+            )
+        ).alias("shares_json"),
+    ).filter(
+        F.size(F.map_keys("share_ppm")) > 0
+    ).orderBy("o_orderpriority")
+
+
+_FN_MAP_SQL = """
+WITH g AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*)::BIGINT AS n
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS total FROM g GROUP BY 1
+),
+kept AS (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(ROUND(CAST(n * 1000000 AS DOUBLE) / t.total) AS BIGINT) AS ppm
+  FROM g JOIN tot t USING (o_orderpriority)
+  WHERE n >= 5
+),
+arr AS (
+  SELECT o_orderpriority,
+         '[' || string_agg(
+           '{"status":"' || o_orderstatus || '","ppm":' || CAST(ppm AS VARCHAR) || '}',
+           ',' ORDER BY o_orderstatus) || ']' AS shares_json
+  FROM kept GROUP BY 1
+)
+SELECT t.o_orderpriority, t.total, a.shares_json
+FROM tot t JOIN arr a USING (o_orderpriority)
+ORDER BY t.o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# ts_esd_outliers — generalized ESD iterative outlier removal
+# ---------------------------------------------------------------------------
+
+_ESD_ROUNDS = 3
+
+
+def ts_esd_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Generalized ESD (extreme studentized deviate) outlier test on
+    the daily-revenue series, 3 unrolled rounds: each round computes
+    mean/std over the REMAINING days from exact integer sums (Σy, Σy²
+    in whole dollars), flags the single most-deviant day (|y − mean|
+    max, date ascending as the deterministic tiebreak), removes it and
+    repeats — the iterative refinement a single z-score pass gets
+    wrong when outliers mask each other. Output: the 3 removed days in
+    removal order with their test statistic R_k. Selection runs on a
+    day-grain relation (bounded by calendar days at any SF); the fact
+    scan feeds it once."""
+    orders = load_table(spark, sf, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("dte"))
+        .agg(F.sum(F.round("o_totalprice").cast("bigint")).cast("bigint").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    remaining = daily
+    picks = []
+    for k in range(1, _ESD_ROUNDS + 1):
+        s = remaining.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+        )
+        scored = remaining.crossJoin(F.broadcast(s)).select(
+            "dte",
+            "y",
+            (
+                F.abs(
+                    F.col("y").cast("double")
+                    - F.col("sy").cast("double") / F.col("n").cast("double")
+                )
+                / F.sqrt(
+                    (
+                        F.col("sy2").cast("double")
+                        - F.col("sy").cast("double") * F.col("sy").cast("double")
+                          / F.col("n").cast("double")
+                    )
+                    / (F.col("n").cast("double") - F.lit(1.0))
+                )
+            ).alias("r"),
+        )
+        top = scored.orderBy(F.desc("r"), F.asc("dte")).limit(1).localCheckpoint(eager=True)
+        picks.append(
+            top.select(
+                F.lit(k).cast("bigint").alias("k"),
+                F.col("dte").cast("string").alias("removed_day"),
+                "y",
+                F.round("r", 6).alias("r_stat"),
+            )
+        )
+        remaining = remaining.join(top.select("dte"), "dte", "left_anti").localCheckpoint(
+            eager=True
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("k")
+
+
+def _esd_round_sql(prev: str, out: str, k: int) -> str:
+    return f"""
+s_{out} AS (
+  SELECT COUNT(*)::BIGINT AS n, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM {prev}
+),
+sc_{out} AS (
+  SELECT dte, y,
+         ABS(CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt((CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS r
+  FROM {prev} CROSS JOIN s_{out}
+),
+t_{out} AS (SELECT * FROM sc_{out} ORDER BY r DESC, dte ASC LIMIT 1),
+p_{out} AS (
+  SELECT CAST({k} AS BIGINT) AS k, CAST(dte AS VARCHAR) AS removed_day, y,
+         ROUND(r, 6) AS r_stat
+  FROM t_{out}
+),
+{out} AS (SELECT d.* FROM {prev} d LEFT JOIN t_{out} t ON d.dte = t.dte WHERE t.dte IS NULL)"""
+
+
+_TS_ESD_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS dte,
+         CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+{_esd_round_sql('daily', 'd1', 1)},
+{_esd_round_sql('d1', 'd2', 2)},
+{_esd_round_sql('d2', 'd3', 3)}
+SELECT * FROM p_d1
+UNION ALL SELECT * FROM p_d2
+UNION ALL SELECT * FROM p_d3
+ORDER BY k
+"""
+
+
+QUERIES = {
+    "gr_khop_reach": gr_khop_reach,
+    "fn_map_surface": fn_map_surface,
+    "ts_esd_outliers": ts_esd_outliers,
+}
+
+ORACLES = {
+    "gr_khop_reach": _GR_KHOP_SQL,
+    "fn_map_surface": _FN_MAP_SQL,
+    "ts_esd_outliers": _TS_ESD_SQL,
+}

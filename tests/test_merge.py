@@ -473,3 +473,63 @@ def test_apply_changes_reapply_is_idempotent(spark):
     once = merge.apply_changes(target, changes, ["k"], "seq")
     twice = merge.apply_changes(once, changes, ["k"], "seq")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_versioned_cow_write_audit_publish(spark, tmp_path):
+    """WAP flow: a staged snapshot is fully materialized and readable
+    by version, invisible at the committed head until publish(); a
+    failed audit aborts cleanly; guards refuse nonsense transitions."""
+    import os
+
+    import pytest
+
+    from movie_data_etl_pipeline_spark.operators.cow import VersionedCowTable
+
+    t = VersionedCowTable(str(tmp_path / "vcow"), ["k"], n_buckets=4)
+    t.init(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    head = t.latest_version()
+
+    staged = t.upsert(
+        spark,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"),
+        publish=False,
+    )
+    # committed head unchanged; staged snapshot readable by version
+    assert t.latest_version() == head
+    assert {tuple(r) for r in t.read(spark).collect()} == {(1, "a"), (2, "b")}
+    staged_rows = {tuple(r) for r in t.read(spark, version=staged).collect()}
+    assert staged_rows == {(1, "a"), (2, "B"), (3, "c")}
+
+    # audit passes -> publish promotes atomically
+    t.publish(staged)
+    assert t.latest_version() == staged
+    assert {tuple(r) for r in t.read(spark).collect()} == staged_rows
+    # re-publishing the head (or anything behind it) refuses
+    with pytest.raises(ValueError, match="not ahead"):
+        t.publish(staged)
+
+    # stage a bad batch, audit fails (NULL v), abort removes all trace
+    bad = t.upsert(
+        spark,
+        spark.createDataFrame([(4, None)], "k int, v string"),
+        publish=False,
+    )
+    audit = t.read(spark, version=bad).filter("v IS NULL").count()
+    assert audit == 1  # audit catches the violation
+    t.abort_staged(bad)
+    assert t.latest_version() == staged
+    assert not os.path.exists(t._manifest_path(bad))
+    assert not os.path.isdir(os.path.join(t.path, f"v{bad:05d}"))
+    # aborting committed history refuses
+    with pytest.raises(ValueError, match="committed history"):
+        t.abort_staged(staged)
+    # publishing a never-staged version refuses
+    with pytest.raises(ValueError, match="no staged manifest"):
+        t.publish(staged + 7)
+    # a later regular upsert may REUSE the aborted number (the abort
+    # removed every trace, so the slot is legitimately free) — what
+    # matters is that it lands ahead of the committed head and reads
+    # correctly
+    nxt = t.upsert(spark, spark.createDataFrame([(5, "e")], "k int, v string"))
+    assert nxt > staged
+    assert {tuple(r) for r in t.read(spark).collect()} == staged_rows | {(5, "e")}
