@@ -8475,6 +8475,10 @@ from movie_data_etl_pipeline_spark.plans import wave26 as _wave26  # noqa: E402
 
 QUERIES.update(_wave26.QUERIES)
 ORACLES.update(_wave26.ORACLES)
+from movie_data_etl_pipeline_spark.plans import wave27 as _wave27  # noqa: E402
+
+QUERIES.update(_wave27.QUERIES)
+ORACLES.update(_wave27.ORACLES)
 
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
