@@ -44,8 +44,14 @@ def tx_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     winnowed fingerprints."""
     docs = load_table(spark, sf, "documents")
     hs = F.transform(shingles("text", 3), lambda s: ph.str_hash(s))
-    d = docs.select(F.col("doc_id").alias("id"), hs.alias("h")).filter(
-        F.size("h") >= 4
+    # persist() is load-bearing: without the materialization barrier,
+    # CollapseProject inlines the O(chars)-per-shingle hash transform
+    # into every downstream reference of `h` (4 slices + 2 sizes —
+    # measured 23 s vs 3 s at sf0.1)
+    d = (
+        docs.select(F.col("doc_id").alias("id"), hs.alias("h"))
+        .filter(F.size("h") >= 4)
+        .persist()
     )
     # window-of-4 minima via 3 zip_with folds over shifted slices
     # (each shift drops the trailing incomplete windows as nulls)

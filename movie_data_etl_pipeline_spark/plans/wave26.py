@@ -18,7 +18,10 @@ from movie_data_etl_pipeline_spark.sources import load_table
 # ---------------------------------------------------------------------------
 
 _KHOP = 3
-_SEED_MOD = 40
+# the sampling knob: fixed seed count at any corpus size. 80 keeps
+# ~190 seeds at sf0.1 (visited-set volume is seeds × |V| worst case on
+# this dense small-world graph) while staying nonempty at sf0.001.
+_SEED_MOD = 80
 
 
 def gr_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
