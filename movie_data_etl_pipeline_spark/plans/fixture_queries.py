@@ -8479,6 +8479,10 @@ from movie_data_etl_pipeline_spark.plans import wave27 as _wave27  # noqa: E402
 
 QUERIES.update(_wave27.QUERIES)
 ORACLES.update(_wave27.ORACLES)
+from movie_data_etl_pipeline_spark.plans import wave28 as _wave28  # noqa: E402
+
+QUERIES.update(_wave28.QUERIES)
+ORACLES.update(_wave28.ORACLES)
 
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
