@@ -8483,6 +8483,10 @@ from movie_data_etl_pipeline_spark.plans import wave28 as _wave28  # noqa: E402
 
 QUERIES.update(_wave28.QUERIES)
 ORACLES.update(_wave28.ORACLES)
+from movie_data_etl_pipeline_spark.plans import wave29 as _wave29  # noqa: E402
+
+QUERIES.update(_wave29.QUERIES)
+ORACLES.update(_wave29.ORACLES)
 
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
