@@ -128,6 +128,19 @@ SCALE_QUERIES = [
     "ag_did",  # broadcast-dim 2x2 conditional agg
     "ag_raking",  # cell-grain unrolled IPF
     "ix_trigram_search",  # char-grain posting build + verify
+    # round-4 additions (scan/shuffle-linear members of waves 23-29)
+    "ev_pattern_match",  # user-grain opcode string + row-local regex
+    "gr_modularity",  # label-prop rounds + integer edge/degree sums
+    "qa_dp_counts",  # nation-grain noised counts
+    "ly_hilbert",  # row-local integer curve index + block agg
+    "ag_huber_irls",  # day-grain IRLS rounds
+    "tx_perplexity",  # bigram-model join at bigram grain
+    "ev_incident_overlap",  # islands + broadcast overlap join
+    "ts_esd_outliers",  # day-grain iterative removal
+    "qa_fd_mining",  # one groupBy per declared pair
+    "ts_periodogram",  # day-grain trig-table join
+    "ix_bitmap_and",  # keyspace/32 word bitmaps + popcount joins
+    "su_set_ops_all",  # multiset ops on the key
 ]
 
 
