@@ -240,23 +240,33 @@ def ts_esd_outliers(spark: SparkSession, sf: str) -> DataFrame:
     remaining = daily
     picks = []
     for k in range(1, _ESD_ROUNDS + 1):
-        s = remaining.agg(
+        # shifted moments: anchor at the integer floor-mean so the
+        # squared sums are DEVIATION-bounded — raw Σy² overflows int64
+        # once daily revenue scales ~10× past sf0.1 (caught by the
+        # scaling sweep). With a = sy div n, Σ(y−a) = sy mod n < n.
+        pre = remaining.agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("y").cast("bigint").alias("sy"),
-            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+        ).select("n", F.expr("sy div n").cast("bigint").alias("a"))
+        anchored = remaining.crossJoin(F.broadcast(pre))
+        s = anchored.groupBy("n", "a").agg(
+            F.sum(F.col("y") - F.col("a")).cast("bigint").alias("d1"),
+            F.sum((F.col("y") - F.col("a")) * (F.col("y") - F.col("a")))
+            .cast("bigint")
+            .alias("d2"),
         )
         scored = remaining.crossJoin(F.broadcast(s)).select(
             "dte",
             "y",
             (
                 F.abs(
-                    F.col("y").cast("double")
-                    - F.col("sy").cast("double") / F.col("n").cast("double")
+                    (F.col("y") - F.col("a")).cast("double")
+                    - F.col("d1").cast("double") / F.col("n").cast("double")
                 )
                 / F.sqrt(
                     (
-                        F.col("sy2").cast("double")
-                        - F.col("sy").cast("double") * F.col("sy").cast("double")
+                        F.col("d2").cast("double")
+                        - F.col("d1").cast("double") * F.col("d1").cast("double")
                           / F.col("n").cast("double")
                     )
                     / (F.col("n").cast("double") - F.lit(1.0))
@@ -283,15 +293,22 @@ def ts_esd_outliers(spark: SparkSession, sf: str) -> DataFrame:
 
 def _esd_round_sql(prev: str, out: str, k: int) -> str:
     return f"""
-s_{out} AS (
-  SELECT COUNT(*)::BIGINT AS n, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(y * y) AS BIGINT) AS sy2
+p_{out}_pre AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         CAST(CAST(SUM(y) AS BIGINT) // COUNT(*) AS BIGINT) AS a
   FROM {prev}
+),
+s_{out} AS (
+  SELECT n, a,
+         CAST(SUM(y - a) AS BIGINT) AS d1,
+         CAST(SUM((y - a) * (y - a)) AS BIGINT) AS d2
+  FROM {prev} CROSS JOIN p_{out}_pre
+  GROUP BY n, a
 ),
 sc_{out} AS (
   SELECT dte, y,
-         ABS(CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-         / sqrt((CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+         ABS(CAST(y - a AS DOUBLE) - CAST(d1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt((CAST(d2 AS DOUBLE) - CAST(d1 AS DOUBLE) * CAST(d1 AS DOUBLE)
                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS r
   FROM {prev} CROSS JOIN s_{out}
 ),
