@@ -82,3 +82,18 @@ def test_queries_callable_with_two_args():
         if len(params) != 2:
             bad.append(name)
     assert not bad, f"queries not (spark, sf_dir) callables: {bad}"
+
+
+def test_rotation_front50_is_all_never_driver_checked():
+    # the whole point of the rotation: the driver's 50-entry window
+    # must contain ONLY entries without a prior green driver row
+    from movie_data_etl_pipeline_spark.plans.fixture_queries import (
+        _DRIVER_CHECKED_R1_R3,
+    )
+
+    front = list(QUERIES)[:50]
+    overlap = sorted(set(front) & _DRIVER_CHECKED_R1_R3)
+    assert not overlap, f"already-checked names in the driver window: {overlap}"
+    # and the checked tail must actually be at the tail
+    tail = list(QUERIES)[-len(_DRIVER_CHECKED_R1_R3):]
+    assert set(tail) <= _DRIVER_CHECKED_R1_R3
