@@ -8487,6 +8487,10 @@ from movie_data_etl_pipeline_spark.plans import wave29 as _wave29  # noqa: E402
 
 QUERIES.update(_wave29.QUERIES)
 ORACLES.update(_wave29.ORACLES)
+from movie_data_etl_pipeline_spark.plans import wave30 as _wave30  # noqa: E402
+
+QUERIES.update(_wave30.QUERIES)
+ORACLES.update(_wave30.ORACLES)
 
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
