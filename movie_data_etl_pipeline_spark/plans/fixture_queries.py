@@ -8491,6 +8491,10 @@ from movie_data_etl_pipeline_spark.plans import wave30 as _wave30  # noqa: E402
 
 QUERIES.update(_wave30.QUERIES)
 ORACLES.update(_wave30.ORACLES)
+from movie_data_etl_pipeline_spark.plans import wave31 as _wave31  # noqa: E402
+
+QUERIES.update(_wave31.QUERIES)
+ORACLES.update(_wave31.ORACLES)
 
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50

@@ -20,22 +20,11 @@ _KM_ROUNDS = 3
 _KM_DIM = 64
 
 
-def emb_kmeans_iterate(spark: SparkSession, sf: str) -> DataFrame:
-    """Lloyd's k-means over the embeddings, k=8, THREE unrolled rounds
-    — the actual clustering iteration `sim_kmeans_assign` (single
-    assignment against fixed seeds) stops short of. Everything stays
-    integer-exact: vectors quantize to int64 (×2^20), distances are
-    exact integer sums of squares, the argmin tie-breaks (dist asc,
-    cluster asc), and each round's new centroid is the FLOOR-divided
-    per-dimension mean (empty clusters keep their previous centroid) —
-    so the fixed point is bit-identical in both engines with no float
-    in any cross-row path.
-
-    Scale: per round, one broadcast of the k×dim centroid relation
-    into the embedding scan (the `sim_knn_ivf` shape) + one
-    64-expression grouped aggregation; driver state is the 8-row
-    centroid relation. Output: per-cluster member count and the first
-    four centroid coordinates (the verification fingerprint)."""
+def kmeans_state(spark: SparkSession, sf: str):
+    """The shared Lloyd fixed point: returns (assign, cents) after
+    ``_KM_ROUNDS`` unrolled rounds — `emb_kmeans_iterate` reports it,
+    `wave31.emb_silhouette` scores it. See `emb_kmeans_iterate` for
+    the determinism contract."""
     emb = load_table(spark, sf, "embeddings")
     q = emb.select(
         F.col("vec_id").alias("id"),
@@ -96,6 +85,26 @@ def emb_kmeans_iterate(spark: SparkSession, sf: str) -> DataFrame:
             .select("cluster", F.coalesce("c_new", "c").alias("c"))
             .localCheckpoint(eager=True)
         )
+    return assign, cents
+
+
+def emb_kmeans_iterate(spark: SparkSession, sf: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings, k=8, THREE unrolled rounds
+    — the actual clustering iteration `sim_kmeans_assign` (single
+    assignment against fixed seeds) stops short of. Everything stays
+    integer-exact: vectors quantize to int64 (×2^20), distances are
+    exact integer sums of squares, the argmin tie-breaks (dist asc,
+    cluster asc), and each round's new centroid is the FLOOR-divided
+    per-dimension mean (empty clusters keep their previous centroid) —
+    so the fixed point is bit-identical in both engines with no float
+    in any cross-row path.
+
+    Scale: per round, one broadcast of the k×dim centroid relation
+    into the embedding scan (the `sim_knn_ivf` shape) + one
+    64-expression grouped aggregation; driver state is the 8-row
+    centroid relation. Output: per-cluster member count and the first
+    four centroid coordinates (the verification fingerprint)."""
+    assign, cents = kmeans_state(spark, sf)
     counts = assign.groupBy("cluster").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return (
         cents.join(counts, "cluster", "left")

@@ -106,6 +106,8 @@ NESTED_LOOP_OK = {
     "emb_kmeans_iterate",  # broadcast 8-row centroid table per Lloyd round (sim_knn_ivf shape)
     "ts_periodogram",  # broadcast 493-row trig table joined on x mod period (expression equality)
     "gr_conductance",  # broadcast 1-row edge-count m (gr_modularity's sanctioned shape)
+    "emb_silhouette",  # broadcast 8-row centroid table (kmeans shape)
+    "ag_quantile_irls",  # broadcast 1-row (alpha,beta) per IRLS round
     "fe_quantile_bins",  # 7-row boundary relation into the value histogram
     "emb_pca_power",  # 1-row norm/λ relation into the 8-row vector
     "sa_neyman_alloc",  # 1-row weight total into the allocation
