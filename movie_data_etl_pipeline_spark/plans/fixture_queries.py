@@ -8495,6 +8495,10 @@ from movie_data_etl_pipeline_spark.plans import wave31 as _wave31  # noqa: E402
 
 QUERIES.update(_wave31.QUERIES)
 ORACLES.update(_wave31.ORACLES)
+from movie_data_etl_pipeline_spark.plans import wave32 as _wave32  # noqa: E402
+
+QUERIES.update(_wave32.QUERIES)
+ORACLES.update(_wave32.ORACLES)
 
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
