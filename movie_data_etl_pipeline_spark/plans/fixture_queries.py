@@ -8499,6 +8499,10 @@ from movie_data_etl_pipeline_spark.plans import wave32 as _wave32  # noqa: E402
 
 QUERIES.update(_wave32.QUERIES)
 ORACLES.update(_wave32.ORACLES)
+from movie_data_etl_pipeline_spark.plans import wave33 as _wave33  # noqa: E402
+
+QUERIES.update(_wave33.QUERIES)
+ORACLES.update(_wave33.ORACLES)
 
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
