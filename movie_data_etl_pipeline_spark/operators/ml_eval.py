@@ -1,0 +1,248 @@
+"""Model-evaluation operators: AUC (Mann-Whitney), cumulative-gains
+deciles, and a Gini-impurity decision stump — the classifier-quality
+metrics a training-data pipeline computes over scored examples.
+
+All three share one scale discipline: the fact relation is reduced to
+a SCORE HISTOGRAM first (one row per distinct score value), every
+order-dependent quantity (ranks, deciles, split prefixes) is computed
+over that histogram with the distributed two-phase prefix sum from
+``text_analysis.pack_sequences`` (range-repartition → per-partition
+totals → broadcast offsets), and the final metric is a fixed
+integer-arithmetic expression — no global-window funnel of the fact,
+no row-at-a-time Python, engine-exact against the DuckDB twin.
+
+At extreme scale the int64 products in the final double expressions
+(e.g. ``2*n_pos*n_neg``) would need a widening to double earlier; the
+histogram/prefix machinery itself is magnitude-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def score_histogram(df: DataFrame, score: Column, label: Column) -> DataFrame:
+    """Collapse scored rows to one row per distinct score value with
+    positive/negative counts: ``(s, p, m)``. This is the one fact-grain
+    aggregation every metric below starts from — the downstream work is
+    bounded by |distinct scores|, not |rows|."""
+    return (
+        df.select(score.alias("s"), label.cast("int").alias("y"))
+        .groupBy("s")
+        .agg(
+            F.sum("y").cast("bigint").alias("p"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("m"),
+        )
+    )
+
+
+def with_exclusive_prefix(
+    hist: DataFrame,
+    order_col: str,
+    value_cols: Sequence[str],
+    descending: bool = False,
+) -> DataFrame:
+    """Add exclusive running sums ``cum_<c>`` of each value column in
+    ``order_col`` order WITHOUT a global window: range-repartition so
+    partition order equals key order, prefix the per-partition totals
+    (a #partitions-row relation) in one tiny task, broadcast the
+    offsets back and window only WITHIN partitions. The naive
+    ``sum().over(Window.orderBy(...))`` single-task funnel — the shape
+    that dies at 100 TB — never appears.
+
+    The input relation is materialized once (``localCheckpoint``) so
+    the partition-totals branch and the data branch observe the same
+    pid↔row assignment (same invariant as
+    ``text_analysis.pack_sequences``)."""
+    ordc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    h = (
+        hist.repartitionByRange(ordc)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    part_totals = h.groupBy("pid").agg(
+        *[F.sum(c).alias(f"ptot_{c}") for c in value_cols]
+    )
+    tiny = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = part_totals.select(
+        "pid",
+        *[
+            F.coalesce(F.sum(f"ptot_{c}").over(tiny), F.lit(0)).alias(f"ppre_{c}")
+            for c in value_cols
+        ],
+    )
+    intra = Window.partitionBy("pid").orderBy(ordc).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = h.join(F.broadcast(prefix), "pid")
+    for c in value_cols:
+        out = out.withColumn(
+            f"cum_{c}",
+            (
+                F.col(f"ppre_{c}")
+                + F.coalesce(F.sum(c).over(intra), F.lit(0))
+            ).cast("bigint"),
+        )
+    return out.drop("pid", *[f"ppre_{c}" for c in value_cols])
+
+
+def auc_mann_whitney(df: DataFrame, score: Column, label: Column) -> DataFrame:
+    """AUC via the Mann-Whitney rank-sum identity, tie-aware and
+    integer-exact: over the ascending score histogram,
+    ``2U = Σ_s p_s · (2·NegBelow(s) + m_s)`` (each tie block contributes
+    half credit), ``AUC = 2U / (2·P·N)``. One fact aggregation, one
+    histogram prefix sum, one 1-row result — the only double is the
+    final division of exact int64s."""
+    hist = score_histogram(df, score, label)
+    cum = with_exclusive_prefix(hist, "s", ["m"])
+    return (
+        cum.select(
+            "p",
+            "m",
+            (F.col("p") * (2 * F.col("cum_m") + F.col("m"))).alias("contrib"),
+        )
+        .agg(
+            F.sum("p").cast("bigint").alias("n_pos"),
+            F.sum("m").cast("bigint").alias("n_neg"),
+            F.sum("contrib").cast("bigint").alias("u2"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            "u2",
+            (
+                F.col("u2").cast("double")
+                / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+            ).alias("auc"),
+        )
+    )
+
+
+def gains_deciles(
+    df: DataFrame, score: Column, label: Column, n_bins: int = 10
+) -> DataFrame:
+    """Cumulative-gains / lift table: rows ranked by score DESCENDING
+    are cut into ``n_bins`` equal-population bins (ties share a bin —
+    the bin is a pure function of the score value, so the cut is
+    deterministic and engine-portable), then each bin reports its
+    positive capture and lift. ``bin = floor(n_bins · CntAbove(s) / n)``
+    over the descending histogram — the prefix sum again, never a
+    global row rank."""
+    hist = score_histogram(df, score, label)
+    hist = hist.withColumn("n_s", (F.col("p") + F.col("m")).cast("bigint"))
+    cum = with_exclusive_prefix(hist, "s", ["n_s"], descending=True)
+    totals = hist.agg(
+        F.sum("n_s").cast("bigint").alias("n"),
+        F.sum("p").cast("bigint").alias("pos"),
+    )
+    binned = (
+        cum.join(F.broadcast(totals))
+        .withColumn(
+            "decile",
+            F.floor(F.lit(n_bins) * F.col("cum_n_s") / F.col("n")).cast("bigint"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("n_s").cast("bigint").alias("bin_n"),
+            F.sum("p").cast("bigint").alias("bin_pos"),
+            F.max("n").alias("n"),
+            F.max("pos").alias("pos"),
+        )
+    )
+    tiny = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        binned.withColumn("cum_n", F.sum("bin_n").over(tiny).cast("bigint"))
+        .withColumn("cum_pos", F.sum("bin_pos").over(tiny).cast("bigint"))
+        .select(
+            "decile",
+            "bin_n",
+            "bin_pos",
+            "cum_n",
+            "cum_pos",
+            (F.col("cum_pos").cast("double") / F.col("pos").cast("double")).alias(
+                "capture"
+            ),
+            (
+                (F.col("cum_pos") * F.col("n")).cast("double")
+                / (F.col("cum_n") * F.col("pos")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+def gini_stump(
+    df: DataFrame, score: Column, label: Column, n_bins: int = 10
+) -> DataFrame:
+    """Decision-stump split search under GINI impurity — the
+    tree-learner primitive whose comparisons stay engine-exact because
+    Gini (unlike entropy) is rational: candidate thresholds are the
+    ``n_bins − 1`` internal equal-population bin boundaries, each
+    candidate's weighted impurity is
+
+        imp = [ n_l − (p_l² + q_l²)/n_l + n_r − (p_r² + q_r²)/n_r ] / n
+
+    computed from exact int64 prefix counts (one double expression,
+    identical in the oracle), and the winning split is
+    ``row_number() ORDER BY imp, threshold`` over the
+    ``n_bins − 1``-row candidate relation."""
+    hist = score_histogram(df, score, label)
+    hist = hist.withColumn("n_s", (F.col("p") + F.col("m")).cast("bigint"))
+    cum = with_exclusive_prefix(hist, "s", ["n_s"])
+    totals = hist.agg(
+        F.sum("n_s").cast("bigint").alias("n"),
+        F.sum("p").cast("bigint").alias("pos"),
+    )
+    per_bin = (
+        cum.join(F.broadcast(totals))
+        .withColumn(
+            "bin",
+            F.floor(F.lit(n_bins) * F.col("cum_n_s") / F.col("n")).cast("bigint"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.max("s").alias("threshold"),
+            F.sum("n_s").cast("bigint").alias("bin_n"),
+            F.sum("p").cast("bigint").alias("bin_pos"),
+            F.max("n").alias("n"),
+            F.max("pos").alias("pos"),
+        )
+    )
+    tiny = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cand = (
+        per_bin.withColumn("n_l", F.sum("bin_n").over(tiny).cast("bigint"))
+        .withColumn("p_l", F.sum("bin_pos").over(tiny).cast("bigint"))
+        .filter(F.col("bin") < n_bins - 1)
+        .select(
+            "threshold",
+            "n_l",
+            "p_l",
+            (F.col("n") - F.col("n_l")).alias("n_r"),
+            (F.col("pos") - F.col("p_l")).alias("p_r"),
+            "n",
+        )
+        # a giant top tie block can leave a boundary bin with an empty
+        # right side — not a valid split, and a /0 in the impurity
+        .filter(F.col("n_r") > 0)
+    )
+    q_l = F.col("n_l") - F.col("p_l")
+    q_r = F.col("n_r") - F.col("p_r")
+    imp = (
+        F.col("n_l").cast("double")
+        - (F.col("p_l") * F.col("p_l") + q_l * q_l).cast("double")
+        / F.col("n_l").cast("double")
+        + F.col("n_r").cast("double")
+        - (F.col("p_r") * F.col("p_r") + q_r * q_r).cast("double")
+        / F.col("n_r").cast("double")
+    ) / F.col("n").cast("double")
+    ranked = cand.withColumn("imp", imp).withColumn(
+        "pick_rank",
+        F.row_number().over(Window.orderBy(F.asc("imp"), F.asc("threshold"))),
+    )
+    return ranked.select(
+        "threshold", "n_l", "p_l", "n_r", "p_r", "imp",
+        F.col("pick_rank").cast("bigint").alias("pick_rank"),
+    ).orderBy("pick_rank")

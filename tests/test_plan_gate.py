@@ -123,6 +123,8 @@ NESTED_LOOP_OK = {
     "ev_user_outliers",  # 1-row N + type-stat broadcasts into user terms
     "ts_intervention_impact",  # 1-row pre fit × 1-row post fit
     "dd_cross_source_dups",  # source-domain² pair skeleton
+    "ml_gains_deciles",  # broadcast 1-row (n, pos) totals into bin pricing
+    "ml_gini_stump",  # broadcast 1-row (n, pos) totals into candidate pricing
 }
 
 
