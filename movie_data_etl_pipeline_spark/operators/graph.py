@@ -260,3 +260,116 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("global_clustering"),
     )
+
+
+def local_clustering(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Per-node clustering coefficient of an undirected graph (edges
+    normalized ``a < b``, distinct): for every node of degree ≥ 2,
+    ``coef = 2·tri(v) / (d(v)·(d(v)−1))`` — the local transitivity
+    profile whose graph-wide mean/global variants ``triangle_count``
+    reports. Same compact-forward orientation as :func:`triangle_count`
+    (out-degree O(√m) bounds the wedge join); each enumerated triangle
+    ``(src, y, z)`` is exploded to its three corners and counted per
+    node, so the extra cost over the census is one explode + one
+    key-sum. Exact integer counts; the only double is the final
+    ratio of two int64s."""
+    edges = edges.localCheckpoint(eager=True)
+    und = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).unionByName(
+        edges.select(F.col(b).alias("u"), F.col(a).alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    e = (
+        edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .join(deg.select(F.col("u").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("u").alias("y"), F.col("d").alias("dy")), "y")
+    )
+    fwd = F.col("dx") < F.col("dy")
+    tie = (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    oriented = e.select(
+        F.when(fwd | tie, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(fwd | tie, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(fwd | tie, F.col("dy")).otherwise(F.col("dx")).alias("ddst"),
+    ).persist()
+    o1 = oriented.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy2"))
+    o2 = oriented.select("src", F.col("dst").alias("z"), F.col("ddst").alias("dz2"))
+    out_wedges = o1.join(o2, "src").filter(
+        (F.col("dy2") < F.col("dz2"))
+        | ((F.col("dy2") == F.col("dz2")) & (F.col("y") < F.col("z")))
+    )
+    closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri_corners = (
+        out_wedges.join(closing, ["y", "z"])
+        .select(
+            F.explode(F.array(F.col("src"), F.col("y"), F.col("z"))).alias("u")
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri_corners, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+            (
+                (2 * F.coalesce("n_tri", F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1)).cast("double")
+            ).alias("coef"),
+        )
+        .orderBy("node")
+    )
+
+
+def hits_fixed_point(edges: DataFrame, iters: int = 2, scale: int = 1 << 20) -> DataFrame:
+    """HITS hubs-and-authorities over a bipartite customer→supplier
+    edge list (columns ``c``, ``s``; distinct pairs), engine-exact by
+    the same integer fixed-point discipline as
+    :func:`pagerank_fixed_point`: hubs start at ``scale``; each round
+    computes raw authorities as an int64 key-sum of hub mass, max-
+    normalizes back to ``[0, scale]`` with integer floor division
+    (``x·scale div max`` — a 1-row broadcast, never a driver value),
+    then the mirrored hub update. ``iters`` rounds unroll into one
+    declarative plan, so the DuckDB twin is the same chained CTEs.
+
+    Magnitude audit: raw scores ≤ scale·max_degree ≤ 2^20·|V|, and the
+    normalization multiply adds another 2^20 — comfortably inside int64
+    until |V| approaches 2^23, at which point ``scale`` shrinks.
+
+    Returns the union of both role rankings: ``(role, node, score)``
+    with role ∈ {'authority', 'hub'}."""
+    edges = edges.select("c", "s").localCheckpoint(eager=True)
+    hubs = edges.select("c").distinct().select("c", F.lit(scale).cast("bigint").alias("h"))
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            edges.join(hubs, "c")
+            .groupBy("s")
+            .agg(F.sum("h").cast("bigint").alias("a_raw"))
+        )
+        a_max = a_raw.agg(F.max("a_raw").alias("a_max"))
+        auths = (
+            a_raw.crossJoin(F.broadcast(a_max))
+            .selectExpr("s", f"(a_raw * {scale}) div a_max AS a")
+        )
+        h_raw = (
+            edges.join(auths, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast("bigint").alias("h_raw"))
+        )
+        h_max = h_raw.agg(F.max("h_raw").alias("h_max"))
+        hubs = (
+            h_raw.crossJoin(F.broadcast(h_max))
+            .selectExpr("c", f"(h_raw * {scale}) div h_max AS h")
+        )
+    top_a = (
+        auths.select(F.lit("authority").alias("role"), F.col("s").alias("node"), F.col("a").alias("score"))
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(20)
+    )
+    top_h = (
+        hubs.select(F.lit("hub").alias("role"), F.col("c").alias("node"), F.col("h").alias("score"))
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(20)
+    )
+    return top_a.unionByName(top_h)

@@ -246,3 +246,114 @@ def gini_stump(
         "threshold", "n_l", "p_l", "n_r", "p_r", "imp",
         F.col("pick_rank").cast("bigint").alias("pick_rank"),
     ).orderBy("pick_rank")
+
+
+# ---------------------------------------------------------------- retrieval
+# NDCG position discounts as integer constants: disc(i) = ⌊2^40 / log2(i+1)⌋,
+# computed ONCE here in Python and embedded verbatim in both engines (the
+# ts_periodogram trick) — no runtime transcendental whose last ulp could
+# disagree between libm implementations. RR holds ⌊2520 / i⌋ (2520 = lcm 1..10)
+# so reciprocal ranks are exact integers too.
+import math  # noqa: E402
+
+NDCG_K = 10
+NDCG_DISC = [math.floor((1 << 40) / math.log2(i + 1)) for i in range(1, NDCG_K + 1)]
+NDCG_IDCG_PREF = [sum(NDCG_DISC[: i + 1]) for i in range(NDCG_K)]
+RR_2520 = [2520 // i for i in range(1, NDCG_K + 1)]
+
+
+def retrieval_ndcg_mrr(
+    emb: DataFrame,
+    n_queries: int = 50,
+    k: int = 10,
+    dim: int = 64,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Ranking-quality metrics (NDCG@k, reciprocal rank) for the
+    embedding retrieval protocol the knn family shares (queries =
+    ``vec_id < n_queries``, candidates = the rest, relevance = label
+    match): candidates are ranked by the int64-quantized dot product
+    (exact, order-free — ``sim_knn_portable``'s arithmetic), the
+    discount table is integer constants, so DCG/IDCG are exact int64
+    sums and the only doubles are final ratios. The query set is a
+    broadcast (metadata-sized) against one streamed candidate scan —
+    the exact-re-rank eval shape; production retrieval stays on the
+    LSH/IVF paths."""
+    assert k == NDCG_K, "discount table is built for k=10"
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    base = emb.select(F.col("vec_id").alias("id"), "label", quant.alias("v"))
+    q = base.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("qid"), F.col("label").alias("qlab"), F.col("v").alias("qv")
+    )
+    c = base.filter(F.col("id") >= n_queries).select(
+        F.col("id").alias("cid"), F.col("label").alias("clab"), F.col("v").alias("cv")
+    )
+    lab = c.groupBy(F.col("clab").alias("qlab")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lab")
+    )
+    qdot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "qlab", "cid", "clab", qdot.alias("qdot")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc("cid"))
+    )
+    top = (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= k)
+        .withColumn("rel", (F.col("qlab") == F.col("clab")).cast("int"))
+    )
+    disc_arr = F.array(*[F.lit(d) for d in NDCG_DISC])
+    pref_arr = F.array(*[F.lit(d) for d in NDCG_IDCG_PREF])
+    rr_arr = F.array(*[F.lit(d) for d in RR_2520])
+    agg = top.groupBy("qid", "qlab").agg(
+        F.sum("rel").cast("bigint").alias("n_rel_topk"),
+        F.sum(F.col("rel") * F.element_at(disc_arr, F.col("rnk")))
+        .cast("bigint")
+        .alias("dcg"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("frank"),
+    )
+    out = (
+        agg.join(F.broadcast(lab), "qlab", "left")
+        .withColumn("total_rel", F.coalesce("n_lab", F.lit(0)).cast("bigint"))
+        .withColumn(
+            "idcg",
+            F.when(
+                F.col("total_rel") > 0,
+                # the index is clamped to [1, k] BEFORE element_at: this
+                # Spark build mis-evaluates element_at under a NULL/
+                # out-of-range index even inside a dead when-branch
+                F.element_at(
+                    pref_arr,
+                    F.least(F.greatest(F.col("total_rel"), F.lit(1)), F.lit(k)).cast(
+                        "int"
+                    ),
+                ),
+            ).cast("bigint"),
+        )
+    )
+    return out.select(
+        F.col("qid").alias("query_id"),
+        "n_rel_topk",
+        "total_rel",
+        "dcg",
+        "idcg",
+        (F.col("dcg").cast("double") / F.col("idcg").cast("double")).alias("ndcg"),
+        # frank is NULL when no relevant doc ranks in the top k; guard
+        # BEFORE element_at — element_at(arr, NULL) returns a stale
+        # value on this Spark build instead of NULL
+        F.when(
+            F.col("frank").isNotNull(),
+            F.element_at(rr_arr, F.coalesce(F.col("frank"), F.lit(1)).cast("int")),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rr2520"),
+    ).orderBy("query_id")
