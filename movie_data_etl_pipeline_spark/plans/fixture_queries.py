@@ -8514,6 +8514,11 @@ from movie_data_etl_pipeline_spark.plans import wave35 as _wave35  # noqa: E402
 QUERIES.update(_wave35.QUERIES)
 ORACLES.update(_wave35.ORACLES)
 
+from movie_data_etl_pipeline_spark.plans import wave36 as _wave36  # noqa: E402
+
+QUERIES.update(_wave36.QUERIES)
+ORACLES.update(_wave36.ORACLES)
+
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the

@@ -1,0 +1,272 @@
+"""Round-4 wave 36: item-item collaborative filtering, a Pearson
+correlation matrix from exact integer moments, and the string-function
+surface probe.
+
+Determinism contract: CF cosines and correlations are fixed double
+expressions over exact int64 counts/moments (sqrt and division are
+IEEE-correctly-rounded in both engines); the string surface compares
+engine built-ins value-for-value on a bounded key range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.sources import load_table
+
+_CF_MAX_BASKET = 128
+_CF_MIN_SUPPORT = 3
+_CF_TOP = 100
+
+
+def rc_item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item collaborative filtering over co-purchase baskets:
+    distinct (customer, part) pairs → per-customer self-join (the
+    classic co-occurrence build, fanout bounded by the basket cap —
+    power customers above ``_CF_MAX_BASKET`` distinct parts are
+    dropped, the standard CF degree control that keeps the pair
+    relation Σ|basket|² instead of unbounded) → support prune →
+    cosine = n_ab / √(n_a·n_b) from exact int64 counts. Top-100
+    pairs; cosine ties broken by part keys. The all-pairs work is
+    per-customer-key-local — at 100 TB this is one shuffle on
+    customer plus one on the pruned pair key, never a cross join."""
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sizes = baskets.groupBy("c").agg(F.count(F.lit(1)).alias("bn"))
+    kept = baskets.join(sizes.filter(F.col("bn") <= _CF_MAX_BASKET), "c").select(
+        "c", "p"
+    )
+    item_n = kept.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    a = kept.select("c", F.col("p").alias("pa"))
+    b = kept.select("c", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "c")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= _CF_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(item_n.select(F.col("p").alias("pa"), F.col("n_item").alias("n_a")), "pa")
+        .join(item_n.select(F.col("p").alias("pb"), F.col("n_item").alias("n_b")), "pb")
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_ab").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    # distributed top-k (TakeOrderedAndProject), not a global window over
+    # the full pair relation — only the 100 survivors see a window
+    top = scored.orderBy(F.desc("cosine"), F.asc("pa"), F.asc("pb")).limit(_CF_TOP)
+    rnk = F.row_number().over(
+        Window.orderBy(F.desc("cosine"), F.asc("pa"), F.asc("pb"))
+    )
+    return (
+        top.withColumn("rnk", rnk.cast("bigint"))
+        .select("pa", "pb", "n_ab", "n_a", "n_b", "cosine", "rnk")
+        .orderBy("rnk")
+    )
+
+
+_RC_CF_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+kept AS (
+  SELECT c, p FROM baskets
+  WHERE c IN (SELECT c FROM baskets GROUP BY c HAVING COUNT(*) <= {_CF_MAX_BASKET})
+),
+item_n AS (SELECT p, COUNT(*)::BIGINT AS n_item FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*)::BIGINT AS n_ab
+  FROM kept a JOIN kept b ON a.c = b.c AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_CF_MIN_SUPPORT}
+),
+scored AS (
+  SELECT pa, pb, n_ab, na.n_item AS n_a, nb.n_item AS n_b,
+         CAST(n_ab AS DOUBLE) / sqrt(CAST(na.n_item * nb.n_item AS DOUBLE)) AS cosine
+  FROM pairs
+  JOIN item_n na ON na.p = pa
+  JOIN item_n nb ON nb.p = pb
+)
+SELECT pa, pb, n_ab, n_a, n_b, cosine, rnk
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, pa, pb) AS BIGINT) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_CF_TOP}
+ORDER BY rnk
+"""
+
+# integer quantizations for the correlation matrix: whole units chosen
+# so squares × row-count stay far inside int64 at every tested SF
+_CORR_VARS = [
+    ("qty", "CAST(l_quantity AS BIGINT)"),
+    ("price_usd", "CAST(FLOOR(l_extendedprice) AS BIGINT)"),
+    ("disc_pct", "CAST(ROUND(l_discount * 100) AS BIGINT)"),
+    ("tax_pct", "CAST(ROUND(l_tax * 100) AS BIGINT)"),
+]
+
+
+def ag_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlations across the four lineitem
+    measures, from ONE pass of exact integer moment sums (n, Σx, Σx²
+    per variable, Σxy per pair — int64 throughout: the values are
+    quantized to whole units small enough that squares×rows stay
+    ≲ 1e16) unpivoted to one row per variable pair. The correlation
+    itself is one fixed double expression over those exact sums —
+    ``(Σxy/n − x̄ȳ) / (σx·σy)`` — identical in the oracle. One fact
+    scan, one 1-row aggregate, a 6-row output: the profile-matrix
+    shape that costs a single map-side-combinable reduction at any
+    scale."""
+    li = load_table(spark, sf, "lineitem")
+    vals = li.select(
+        *[F.expr(expr).alias(name) for name, expr in _CORR_VARS]
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for name, _ in _CORR_VARS:
+        aggs.append(F.sum(name).cast("bigint").alias(f"s_{name}"))
+        aggs.append(F.sum(F.col(name) * F.col(name)).cast("bigint").alias(f"ss_{name}"))
+    pairs = [
+        (a, b)
+        for i, (a, _) in enumerate(_CORR_VARS)
+        for b, _ in [v for v in _CORR_VARS[i + 1 :]]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).cast("bigint").alias(f"sp_{a}_{b}"))
+    m = vals.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sxx, syy = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sxy = F.col(f"sp_{a}_{b}").cast("double")
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx = sxx / n - (sx / n) * (sx / n)
+        vy = syy / n - (sy / n) * (sy / n)
+        return cov / (F.sqrt(vx) * F.sqrt(vy))
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("var_x"),
+                F.lit(b).alias("var_y"),
+                F.col("n").alias("n"),
+                corr_expr(a, b).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        m.select(F.explode(rows).alias("r"))
+        .select("r.var_x", "r.var_y", "r.n", "r.corr")
+        .orderBy("var_x", "var_y")
+    )
+
+
+def _corr_sql() -> str:
+    sel = ["COUNT(*)::BIGINT AS n"]
+    for name, expr in _CORR_VARS:
+        sel.append(f"CAST(SUM({expr}) AS BIGINT) AS s_{name}")
+        sel.append(f"CAST(SUM(({expr}) * ({expr})) AS BIGINT) AS ss_{name}")
+    names = [n for n, _ in _CORR_VARS]
+    exprs = dict(_CORR_VARS)
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    for a, b in pairs:
+        sel.append(f"CAST(SUM(({exprs[a]}) * ({exprs[b]})) AS BIGINT) AS sp_{a}_{b}")
+    rows = []
+    for a, b in pairs:
+        cov = f"(CAST(sp_{a}_{b} AS DOUBLE)/nn - (CAST(s_{a} AS DOUBLE)/nn) * (CAST(s_{b} AS DOUBLE)/nn))"
+        vx = f"(CAST(ss_{a} AS DOUBLE)/nn - (CAST(s_{a} AS DOUBLE)/nn) * (CAST(s_{a} AS DOUBLE)/nn))"
+        vy = f"(CAST(ss_{b} AS DOUBLE)/nn - (CAST(s_{b} AS DOUBLE)/nn) * (CAST(s_{b} AS DOUBLE)/nn))"
+        rows.append(
+            f"SELECT '{a}' AS var_x, '{b}' AS var_y, n,\n"
+            f"       {cov} / (sqrt({vx}) * sqrt({vy})) AS corr\n"
+            f"FROM (SELECT *, CAST(n AS DOUBLE) AS nn FROM m)"
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return (
+        "WITH m AS (\n  SELECT " + ",\n         ".join(sel) + "\n  FROM lineitem\n)\n"
+        + body
+        + "\nORDER BY var_x, var_y"
+    )
+
+
+_AG_CORR_SQL = _corr_sql()
+
+
+def fn_string_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """String-function surface probe (the ``fn_*`` family's string
+    chapter): 14 built-ins evaluated value-for-value on the part-name
+    domain — case mapping, pad/truncate, translate, search, regexp
+    extract, levenshtein, md5 — pinned by the oracle so any engine
+    semantic drift (1-based positions, pad truncation, regex flavor)
+    fails loudly. Map-only over a key-pruned scan."""
+    p = load_table(spark, sf, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.length("p_name").cast("bigint").alias("len"),
+        F.substring("p_name", 3, 8).alias("sub38"),
+        F.instr(F.col("p_name"), "a").cast("bigint").alias("pos_a"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("underscored"),
+        F.translate("p_name", "aeiou", "12345").alias("vowel_digits"),
+        F.lpad("p_name", 12, "*").alias("lpad12"),
+        F.rpad("p_name", 14, ".").alias("rpad14"),
+        F.reverse("p_name").alias("rev"),
+        F.repeat(F.substring("p_name", 1, 3), 2).alias("rep3x2"),
+        F.size(F.split("p_name", " ")).cast("bigint").alias("n_words"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.levenshtein(F.col("p_name"), F.lit("chocolate")).cast("bigint").alias("lev_choc"),
+        F.md5(F.col("p_name").cast("binary")).alias("md5_hex"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+    ).orderBy("p_partkey")
+
+
+_FN_STRING_SQL = r"""
+SELECT p_partkey,
+       upper(p_name) AS up,
+       CAST(length(p_name) AS BIGINT) AS len,
+       substring(p_name, 3, 8) AS sub38,
+       CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a,
+       replace(p_name, ' ', '_') AS underscored,
+       translate(p_name, 'aeiou', '12345') AS vowel_digits,
+       lpad(p_name, 12, '*') AS lpad12,
+       rpad(p_name, 14, '.') AS rpad14,
+       reverse(p_name) AS rev,
+       repeat(substring(p_name, 1, 3), 2) AS rep3x2,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       CAST(levenshtein(p_name, 'chocolate') AS BIGINT) AS lev_choc,
+       md5(p_name) AS md5_hex,
+       concat_ws('-', p_brand, p_type) AS brand_type
+FROM part
+WHERE p_partkey < 200
+ORDER BY p_partkey
+"""
+
+
+QUERIES = {
+    "rc_item_item_cf": rc_item_item_cf,
+    "ag_corr_matrix": ag_corr_matrix,
+    "fn_string_surface": fn_string_surface,
+}
+
+ORACLES = {
+    "rc_item_item_cf": _RC_CF_SQL,
+    "ag_corr_matrix": _AG_CORR_SQL,
+    "fn_string_surface": _FN_STRING_SQL,
+}
