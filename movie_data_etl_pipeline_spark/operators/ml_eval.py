@@ -248,6 +248,72 @@ def gini_stump(
     ).orderBy("pick_rank")
 
 
+def calibration_bins(
+    df: DataFrame,
+    score: Column,
+    label: Column,
+    n_bins: int = 10,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Reliability (calibration) table + per-bin Brier decomposition
+    for a score whose predicted probability is its own percentile
+    rank: ``p̂ = ⌊scale·(2·CntBelow(s) + n_s) / (2n)⌋`` — the midrank
+    percentile, an exact integer in [0, scale] computed from the
+    ascending histogram's distributed prefix sum (no global window).
+    Bins are equal-width in p̂ (``bin = min(p̂ div (scale/n_bins),
+    n_bins−1)``, pure integer division in both engines); each bin
+    reports count, positives, mean p̂, empirical positive rate, and
+    its Brier sum ``Σ(p̂ − y)²`` accumulated as exact int64
+    (per distinct score: p·(p̂−scale)² + m·p̂²) — only the final
+    per-bin divisions are doubles. Int64 budget: scale²=1e8 per row
+    supports ~9e10 rows per bin before overflow."""
+    hist = score_histogram(df, score, label)
+    hist = hist.withColumn("n_s", (F.col("p") + F.col("m")).cast("bigint"))
+    cum = with_exclusive_prefix(hist, "s", ["n_s"])
+    totals = hist.agg(F.sum("n_s").cast("bigint").alias("n"))
+    width = scale // n_bins
+    phat = F.expr(f"({scale} * (2 * cum_n_s + n_s)) div (2 * n)")
+    return (
+        cum.join(F.broadcast(totals))
+        .withColumn("phat", phat)
+        .withColumn(
+            "bin",
+            F.least(F.expr(f"phat div {width}"), F.lit(n_bins - 1)).cast("bigint"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("n_s").cast("bigint").alias("bin_n"),
+            F.sum("p").cast("bigint").alias("bin_pos"),
+            F.sum(F.col("n_s") * F.col("phat")).cast("bigint").alias("sum_phat"),
+            F.sum(
+                F.col("p") * (F.col("phat") - F.lit(scale)) * (F.col("phat") - F.lit(scale))
+                + F.col("m") * F.col("phat") * F.col("phat")
+            )
+            .cast("bigint")
+            .alias("brier_num"),
+        )
+        .select(
+            "bin",
+            "bin_n",
+            "bin_pos",
+            "sum_phat",
+            "brier_num",
+            (
+                F.col("sum_phat").cast("double")
+                / (F.col("bin_n") * F.lit(scale)).cast("double")
+            ).alias("mean_phat"),
+            (F.col("bin_pos").cast("double") / F.col("bin_n").cast("double")).alias(
+                "frac_pos"
+            ),
+            (
+                F.col("brier_num").cast("double")
+                / (F.col("bin_n") * F.lit(scale) * F.lit(scale)).cast("double")
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
 # ---------------------------------------------------------------- retrieval
 # NDCG position discounts as integer constants: disc(i) = ⌊2^40 / log2(i+1)⌋,
 # computed ONCE here in Python and embedded verbatim in both engines (the

@@ -8519,6 +8519,11 @@ from movie_data_etl_pipeline_spark.plans import wave36 as _wave36  # noqa: E402
 QUERIES.update(_wave36.QUERIES)
 ORACLES.update(_wave36.ORACLES)
 
+from movie_data_etl_pipeline_spark.plans import wave37 as _wave37  # noqa: E402
+
+QUERIES.update(_wave37.QUERIES)
+ORACLES.update(_wave37.ORACLES)
+
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the

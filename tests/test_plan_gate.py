@@ -127,6 +127,8 @@ NESTED_LOOP_OK = {
     "ml_gini_stump",  # broadcast 1-row (n, pos) totals into candidate pricing
     "ir_ndcg_mrr",  # broadcast 50-row query set into the exact re-rank eval
     "gr_hits",  # broadcast 1-row max per normalization round
+    "rc_assoc_rules",  # broadcast 1-row basket-count N into rule pricing
+    "ml_calibration",  # broadcast 1-row row-total n into the percentile (ml_gains shape)
 }
 
 
