@@ -98,3 +98,23 @@ def bloom_anti_join(
     sliver = tagged.where(maybe_seen).drop(BLOOM_COL)
     verified = sliver.join(seen.select(key_col).distinct(), key_col, "left_anti")
     return definite_new.unionByName(verified.select(*definite_new.columns))
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """EXACT ``big LEFT SEMI JOIN keys ON key_col`` with a broadcast
+    Bloom pre-filter — the classic semi-join reduction: rows whose key
+    fails ``might_contain`` are definitely absent and never reach the
+    exchange; the surviving sliver (true matches + ~FP-rate of the
+    rest) is verified by the real semi-join, so false positives never
+    change the result. At 100 TB this is the pattern that turns a
+    full fact shuffle into a shuffle of the matching fraction."""
+    bloom = build_bloom(keys.select(key_col), key_col, m_bits, k)
+    tagged = big.crossJoin(F.broadcast(bloom))
+    sliver = tagged.where(might_contain(key_col, m_bits, k)).drop(BLOOM_COL)
+    return sliver.join(keys.select(key_col).distinct(), key_col, "left_semi")

@@ -129,6 +129,8 @@ NESTED_LOOP_OK = {
     "gr_hits",  # broadcast 1-row max per normalization round
     "rc_assoc_rules",  # broadcast 1-row basket-count N into rule pricing
     "ml_calibration",  # broadcast 1-row row-total n into the percentile (ml_gains shape)
+    "ml_pr_curve",  # broadcast 1-row (n, pos) totals (ml_gains shape)
+    "jx_bloom_semijoin",  # broadcast 1-row Bloom bitmap array (dd_bloom shape)
 }
 
 
