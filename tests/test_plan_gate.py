@@ -131,6 +131,8 @@ NESTED_LOOP_OK = {
     "ml_calibration",  # broadcast 1-row row-total n into the percentile (ml_gains shape)
     "ml_pr_curve",  # broadcast 1-row (n, pos) totals (ml_gains shape)
     "jx_bloom_semijoin",  # broadcast 1-row Bloom bitmap array (dd_bloom shape)
+    "ev_rfm_segments",  # broadcast 1-row high-water date + per-metric 1-row totals
+    "ag_cramers_v",  # broadcast 1-row (n, r, c) contingency totals (qa_chi2 shape)
 }
 
 
