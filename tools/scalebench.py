@@ -141,6 +141,15 @@ SCALE_QUERIES = [
     "ts_periodogram",  # day-grain trig-table join
     "ix_bitmap_and",  # keyspace/32 word bitmaps + popcount joins
     "su_set_ops_all",  # multiset ops on the key
+    # round-4 waves 36-40 (scan/shuffle-linear representatives)
+    "rc_item_item_cf",  # capped-basket pair build + top-k
+    "ag_corr_matrix",  # one-pass moment sums (map-side combine)
+    "ml_calibration",  # histogram distributed prefix sum + bin rollup
+    "gr_bfs_hops",  # 3 frontier-expand + anti-join rounds
+    "jx_bloom_semijoin",  # broadcast Bloom reduction + exact verify
+    "ev_batch_sessions",  # per-user session windows + bucket rollup
+    "ev_rfm_segments",  # 3 histogram prefix pipelines + value joins
+    "sq_correlated_agg",  # decorrelated EXISTS + scalar-agg joins
 ]
 
 
