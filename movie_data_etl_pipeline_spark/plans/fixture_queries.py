@@ -8539,6 +8539,11 @@ from movie_data_etl_pipeline_spark.plans import wave40 as _wave40  # noqa: E402
 QUERIES.update(_wave40.QUERIES)
 ORACLES.update(_wave40.ORACLES)
 
+from movie_data_etl_pipeline_spark.plans import wave41 as _wave41  # noqa: E402
+
+QUERIES.update(_wave41.QUERIES)
+ORACLES.update(_wave41.ORACLES)
+
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the

@@ -133,6 +133,7 @@ NESTED_LOOP_OK = {
     "jx_bloom_semijoin",  # broadcast 1-row Bloom bitmap array (dd_bloom shape)
     "ev_rfm_segments",  # broadcast 1-row high-water date + per-metric 1-row totals
     "ag_cramers_v",  # broadcast 1-row (n, r, c) contingency totals (qa_chi2 shape)
+    "ag_kendall_tau",  # day-grain pair enumeration (ag_theil_sen's sanctioned shape)
 }
 
 
