@@ -168,6 +168,11 @@ def gr_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("s"))
         .distinct()
+        # NOT checkpointed on purpose: the three consumers (deg, hub
+        # cut, posting side) share one identical exchange, which Spark
+        # dedups via ReusedExchange; an A/B measured the explicit
+        # barrier strictly slower (it adds a materialization without
+        # removing any work)
     )
     deg = cs.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     hub_ok = (

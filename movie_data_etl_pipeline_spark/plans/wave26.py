@@ -64,17 +64,24 @@ def gr_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("c_custkey") * 2).alias("seed")
     )
     # visited_k: (seed, node) pairs within <= k hops (excluding the seed
-    # itself at k=0 so counts are "others reached")
+    # itself at k=0 so counts are "others reached"). Delta-frontier BFS:
+    # each round expands only the NEW nodes (an anti-join against the
+    # visited set), not the whole visited relation — same result, and
+    # rounds 2..k stop re-joining the ever-growing visited set against
+    # the edge list.
     visited = seeds.select("seed", F.col("seed").alias("node"))
+    frontier = visited
     out_counts = []
     for k in range(1, _KHOP + 1):
-        frontier_next = (
-            visited.join(edges, F.col("node") == F.col("src"))
+        expanded = (
+            frontier.join(edges, F.col("node") == F.col("src"))
             .select("seed", F.col("dst").alias("node"))
+            .distinct()
         )
-        visited = (
-            visited.unionAll(frontier_next).distinct().localCheckpoint(eager=True)
-        )
+        frontier = expanded.join(
+            visited, ["seed", "node"], "left_anti"
+        ).localCheckpoint(eager=True)
+        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
         out_counts.append(
             visited.groupBy("seed")
             .agg((F.count(F.lit(1)) - 1).cast("bigint").alias(f"reach_{k}"))
