@@ -8554,6 +8554,11 @@ from movie_data_etl_pipeline_spark.plans import wave43 as _wave43  # noqa: E402
 QUERIES.update(_wave43.QUERIES)
 ORACLES.update(_wave43.ORACLES)
 
+from movie_data_etl_pipeline_spark.plans import wave44 as _wave44  # noqa: E402
+
+QUERIES.update(_wave44.QUERIES)
+ORACLES.update(_wave44.ORACLES)
+
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the
