@@ -22,6 +22,12 @@ _KHOP = 3
 # ~190 seeds at sf0.1 (visited-set volume is seeds × |V| worst case on
 # this dense small-world graph) while staying nonempty at sf0.001.
 _SEED_MOD = 80
+# hard cap ENFORCING the fixed-seed-count contract in code (the 30×
+# amplification sweep showed the modulus alone lets seeds scale with
+# the corpus, multiplying the seed×visited product 900×): the smallest
+# _SEED_CAP qualifying custkeys are taken deterministically, a no-op
+# at every fixture sf (<=190 qualify) and the safety rail beyond.
+_SEED_CAP = 400
 
 
 def gr_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
@@ -60,8 +66,11 @@ def gr_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     customer = load_table(spark, sf, "customer")
-    seeds = customer.filter(F.col("c_custkey") % _SEED_MOD == 0).select(
-        (F.col("c_custkey") * 2).alias("seed")
+    seeds = (
+        customer.filter(F.col("c_custkey") % _SEED_MOD == 0)
+        .orderBy("c_custkey")
+        .limit(_SEED_CAP)
+        .select((F.col("c_custkey") * 2).alias("seed"))
     )
     # visited_k: (seed, node) pairs within <= k hops (excluding the seed
     # itself at k=0 so counts are "others reached"). Delta-frontier BFS:
@@ -116,6 +125,7 @@ edges AS (
 v0 AS (
   SELECT c_custkey * 2 AS seed, c_custkey * 2 AS node
   FROM customer WHERE c_custkey % {_SEED_MOD} = 0
+  ORDER BY c_custkey LIMIT {_SEED_CAP}
 ),
 {_khop_round_sql('v0', 'v1')},
 {_khop_round_sql('v1', 'v2')},
