@@ -134,6 +134,7 @@ NESTED_LOOP_OK = {
     "ev_rfm_segments",  # broadcast 1-row high-water date + per-metric 1-row totals
     "ag_cramers_v",  # broadcast 1-row (n, r, c) contingency totals (qa_chi2 shape)
     "ag_kendall_tau",  # day-grain pair enumeration (ag_theil_sen's sanctioned shape)
+    "ag_ols2_cramer",  # broadcast 1-row anchor means (ts_esd's sanctioned shape)
 }
 
 
