@@ -8569,6 +8569,11 @@ from movie_data_etl_pipeline_spark.plans import wave46 as _wave46  # noqa: E402
 QUERIES.update(_wave46.QUERIES)
 ORACLES.update(_wave46.ORACLES)
 
+from movie_data_etl_pipeline_spark.plans import wave47 as _wave47  # noqa: E402
+
+QUERIES.update(_wave47.QUERIES)
+ORACLES.update(_wave47.ORACLES)
+
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the
