@@ -135,6 +135,7 @@ NESTED_LOOP_OK = {
     "ag_cramers_v",  # broadcast 1-row (n, r, c) contingency totals (qa_chi2 shape)
     "ag_kendall_tau",  # day-grain pair enumeration (ag_theil_sen's sanctioned shape)
     "ag_ols2_cramer",  # broadcast 1-row anchor means (ts_esd's sanctioned shape)
+    "ap_hll_setops",  # type-domain² sketch-pair skeleton (ev_audience_overlap shape)
 }
 
 
