@@ -8579,6 +8579,11 @@ from movie_data_etl_pipeline_spark.plans import wave48 as _wave48  # noqa: E402
 QUERIES.update(_wave48.QUERIES)
 ORACLES.update(_wave48.ORACLES)
 
+from movie_data_etl_pipeline_spark.plans import wave49 as _wave49  # noqa: E402
+
+QUERIES.update(_wave49.QUERIES)
+ORACLES.update(_wave49.ORACLES)
+
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the

@@ -136,6 +136,7 @@ NESTED_LOOP_OK = {
     "ag_kendall_tau",  # day-grain pair enumeration (ag_theil_sen's sanctioned shape)
     "ag_ols2_cramer",  # broadcast 1-row anchor means (ts_esd's sanctioned shape)
     "ap_hll_setops",  # type-domain² sketch-pair skeleton (ev_audience_overlap shape)
+    "ag_cuped",  # broadcast 1-row pooled moments into the 2-variant rows
 }
 
 
