@@ -137,6 +137,7 @@ NESTED_LOOP_OK = {
     "ag_ols2_cramer",  # broadcast 1-row anchor means (ts_esd's sanctioned shape)
     "ap_hll_setops",  # type-domain² sketch-pair skeleton (ev_audience_overlap shape)
     "ag_cuped",  # broadcast 1-row pooled moments into the 2-variant rows
+    "ag_levene_bf",  # broadcast 1-row pivoted W statistic into the 5 group rows
 }
 
 
