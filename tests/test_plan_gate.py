@@ -138,6 +138,7 @@ NESTED_LOOP_OK = {
     "ap_hll_setops",  # type-domain² sketch-pair skeleton (ev_audience_overlap shape)
     "ag_cuped",  # broadcast 1-row pooled moments into the 2-variant rows
     "ag_levene_bf",  # broadcast 1-row pivoted W statistic into the 5 group rows
+    "ag_granger_lite",  # broadcast 1-row anchor means (wave-45 sanctioned shape)
 }
 
 
