@@ -8594,6 +8594,11 @@ from movie_data_etl_pipeline_spark.plans import wave51 as _wave51  # noqa: E402
 QUERIES.update(_wave51.QUERIES)
 ORACLES.update(_wave51.ORACLES)
 
+from movie_data_etl_pipeline_spark.plans import wave52 as _wave52  # noqa: E402
+
+QUERIES.update(_wave52.QUERIES)
+ORACLES.update(_wave52.ORACLES)
+
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the

@@ -139,6 +139,7 @@ NESTED_LOOP_OK = {
     "ag_cuped",  # broadcast 1-row pooled moments into the 2-variant rows
     "ag_levene_bf",  # broadcast 1-row pivoted W statistic into the 5 group rows
     "ag_granger_lite",  # broadcast 1-row anchor means (wave-45 sanctioned shape)
+    "px_curation_e2e",  # broadcast 1-row mixture cap (sa_mixture_sample shape)
 }
 
 
