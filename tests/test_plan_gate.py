@@ -140,6 +140,7 @@ NESTED_LOOP_OK = {
     "ag_levene_bf",  # broadcast 1-row pivoted W statistic into the 5 group rows
     "ag_granger_lite",  # broadcast 1-row anchor means (wave-45 sanctioned shape)
     "px_curation_e2e",  # broadcast 1-row mixture cap (sa_mixture_sample shape)
+    "ts_changepoint_binseg",  # broadcast 1-row (n, sy) totals into day candidates
 }
 
 
