@@ -8604,6 +8604,11 @@ from movie_data_etl_pipeline_spark.plans import wave53 as _wave53  # noqa: E402
 QUERIES.update(_wave53.QUERIES)
 ORACLES.update(_wave53.ORACLES)
 
+from movie_data_etl_pipeline_spark.plans import wave54 as _wave54  # noqa: E402
+
+QUERIES.update(_wave54.QUERIES)
+ORACLES.update(_wave54.ORACLES)
+
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the

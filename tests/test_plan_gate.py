@@ -141,6 +141,8 @@ NESTED_LOOP_OK = {
     "ag_granger_lite",  # broadcast 1-row anchor means (wave-45 sanctioned shape)
     "px_curation_e2e",  # broadcast 1-row mixture cap (sa_mixture_sample shape)
     "ts_changepoint_binseg",  # broadcast 1-row (n, sy) totals into day candidates
+    "ag_negbin_fit",  # broadcast 1-row anchor mean (wave-45 sanctioned shape)
+    "sq_lateral_topn",  # 5-row region ⨯ lateral rank (decorrelated by Catalyst)
 }
 
 
