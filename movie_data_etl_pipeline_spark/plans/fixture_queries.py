@@ -8614,6 +8614,11 @@ from movie_data_etl_pipeline_spark.plans import wave55 as _wave55  # noqa: E402
 QUERIES.update(_wave55.QUERIES)
 ORACLES.update(_wave55.ORACLES)
 
+from movie_data_etl_pipeline_spark.plans import wave56 as _wave56  # noqa: E402
+
+QUERIES.update(_wave56.QUERIES)
+ORACLES.update(_wave56.ORACLES)
+
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the

@@ -143,6 +143,7 @@ NESTED_LOOP_OK = {
     "ts_changepoint_binseg",  # broadcast 1-row (n, sy) totals into day candidates
     "ag_negbin_fit",  # broadcast 1-row anchor mean (wave-45 sanctioned shape)
     "sq_lateral_topn",  # 5-row region ⨯ lateral rank (decorrelated by Catalyst)
+    "ev_session_gap_median",  # broadcast 1-row totals + 1-row order statistics
 }
 
 
