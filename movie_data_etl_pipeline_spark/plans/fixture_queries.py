@@ -8624,6 +8624,11 @@ from movie_data_etl_pipeline_spark.plans import wave57 as _wave57  # noqa: E402
 QUERIES.update(_wave57.QUERIES)
 ORACLES.update(_wave57.ORACLES)
 
+from movie_data_etl_pipeline_spark.plans import wave58 as _wave58  # noqa: E402
+
+QUERIES.update(_wave58.QUERIES)
+ORACLES.update(_wave58.ORACLES)
+
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the

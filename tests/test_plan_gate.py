@@ -144,6 +144,7 @@ NESTED_LOOP_OK = {
     "ag_negbin_fit",  # broadcast 1-row anchor mean (wave-45 sanctioned shape)
     "sq_lateral_topn",  # 5-row region ⨯ lateral rank (decorrelated by Catalyst)
     "ev_session_gap_median",  # broadcast 1-row totals + 1-row order statistics
+    "ev_stickiness",  # broadcast 1-row min-date bound into the day filter
 }
 
 
