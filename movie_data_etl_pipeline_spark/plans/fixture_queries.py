@@ -8629,6 +8629,11 @@ from movie_data_etl_pipeline_spark.plans import wave58 as _wave58  # noqa: E402
 QUERIES.update(_wave58.QUERIES)
 ORACLES.update(_wave58.ORACLES)
 
+from movie_data_etl_pipeline_spark.plans import wave59 as _wave59  # noqa: E402
+
+QUERIES.update(_wave59.QUERIES)
+ORACLES.update(_wave59.ORACLES)
+
 # ------------------------------------------------------------------ rotation
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the

@@ -145,6 +145,7 @@ NESTED_LOOP_OK = {
     "sq_lateral_topn",  # 5-row region ⨯ lateral rank (decorrelated by Catalyst)
     "ev_session_gap_median",  # broadcast 1-row totals + 1-row order statistics
     "ev_stickiness",  # broadcast 1-row min-date bound into the day filter
+    "ix_bm25_topk",  # broadcast 1-row corpus (n_docs, total_len) into scoring
 }
 
 
