@@ -519,26 +519,35 @@ class VersionedCowTable:
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Expire old snapshots (Iceberg ``expire_snapshots``): retain
-        the newest ``keep_last`` manifests, delete older manifest files
-        and every version directory no retained manifest references —
-        including orphan dirs a crashed writer left. Trades time-travel
-        depth for space; the latest state is never touched. Returns the
-        removed paths (for audit logging)."""
+        the newest ``keep_last`` COMMITTED manifests, delete older
+        manifest files and every version directory no retained manifest
+        references — including orphan dirs a crashed writer left. Trades
+        time-travel depth for space; the latest committed state is never
+        touched. Retention is anchored at ``latest_version()`` (the
+        ``_latest`` pointer): manifests ABOVE the committed head are
+        open stages from ``upsert(publish=False)`` — they are kept, and
+        the version dirs they reference are kept, so a
+        write-audit-publish flow in progress survives a concurrent
+        vacuum and ``abort_staged`` afterwards cannot strand the table.
+        Returns the removed paths (for audit logging)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         import shutil as _shutil
 
+        head = self.latest_version()
         versions = sorted(
             int(f[len(MANIFEST_PREFIX) : -len(".json")])
             for f in _os.listdir(self.path)
             if f.startswith(MANIFEST_PREFIX) and f.endswith(".json")
         )
-        retained = versions[-keep_last:]
+        committed = [v for v in versions if v <= head]
+        staged = [v for v in versions if v > head]
+        retained = committed[-keep_last:] + staged
         referenced: set[int] = set()
         for v in retained:
             referenced.update(int(ver) for ver in self.manifest(v)["buckets"].values())
         removed: list[str] = []
-        for v in versions[:-keep_last]:
+        for v in committed[:-keep_last]:
             p = self._manifest_path(v)
             _os.remove(p)
             removed.append(p)

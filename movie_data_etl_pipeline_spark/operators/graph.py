@@ -231,7 +231,11 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         F.when(fwd | tie, F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(fwd | tie, F.col("y")).otherwise(F.col("x")).alias("dst"),
         F.when(fwd | tie, F.col("dy")).otherwise(F.col("dx")).alias("ddst"),
-    ).persist()
+        # localCheckpoint, not persist(): checkpoint blocks are released by
+        # the ContextCleaner when the DataFrame is GC'd, so repeated calls
+        # in a long-lived session (bench runs every query twice) don't
+        # accumulate cached partitions.
+    ).localCheckpoint(eager=True)
     o1 = oriented.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy2"))
     o2 = oriented.select("src", F.col("dst").alias("z"), F.col("ddst").alias("dz2"))
     out_wedges = o1.join(o2, "src").filter(
@@ -289,7 +293,11 @@ def local_clustering(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         F.when(fwd | tie, F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(fwd | tie, F.col("y")).otherwise(F.col("x")).alias("dst"),
         F.when(fwd | tie, F.col("dy")).otherwise(F.col("dx")).alias("ddst"),
-    ).persist()
+        # localCheckpoint, not persist(): checkpoint blocks are released by
+        # the ContextCleaner when the DataFrame is GC'd, so repeated calls
+        # in a long-lived session (bench runs every query twice) don't
+        # accumulate cached partitions.
+    ).localCheckpoint(eager=True)
     o1 = oriented.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy2"))
     o2 = oriented.select("src", F.col("dst").alias("z"), F.col("ddst").alias("dz2"))
     out_wedges = o1.join(o2, "src").filter(
@@ -338,6 +346,8 @@ def hits_fixed_point(edges: DataFrame, iters: int = 2, scale: int = 1 << 20) -> 
 
     Returns the union of both role rankings: ``(role, node, score)``
     with role ∈ {'authority', 'hub'}."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     edges = edges.select("c", "s").localCheckpoint(eager=True)
     hubs = edges.select("c").distinct().select("c", F.lit(scale).cast("bigint").alias("h"))
     auths = None

@@ -141,8 +141,10 @@ def gains_deciles(
     binned = (
         cum.join(F.broadcast(totals))
         .withColumn(
+            # integer `div`, not floor(double /): exact past 2^53 rows and
+            # consistent with calibration_bins / ml_pr_curve's binners
             "decile",
-            F.floor(F.lit(n_bins) * F.col("cum_n_s") / F.col("n")).cast("bigint"),
+            F.expr(f"({n_bins} * cum_n_s) div n").cast("bigint"),
         )
         .groupBy("decile")
         .agg(
@@ -200,7 +202,7 @@ def gini_stump(
         cum.join(F.broadcast(totals))
         .withColumn(
             "bin",
-            F.floor(F.lit(n_bins) * F.col("cum_n_s") / F.col("n")).cast("bigint"),
+            F.expr(f"({n_bins} * cum_n_s) div n").cast("bigint"),
         )
         .groupBy("bin")
         .agg(

@@ -95,7 +95,7 @@ cum AS (
   FROM hist
 ),
 binned AS (
-  SELECT CAST(FLOOR(10 * cum_n_s / n) AS BIGINT) AS decile,
+  SELECT CAST((10 * cum_n_s) // n AS BIGINT) AS decile,
          CAST(SUM(n_s) AS BIGINT) AS bin_n,
          CAST(SUM(p) AS BIGINT) AS bin_pos,
          MAX(n) AS n, MAX(pos) AS pos
@@ -138,7 +138,7 @@ cum AS (
   FROM hist
 ),
 per_bin AS (
-  SELECT CAST(FLOOR(10 * cum_n_s / n) AS BIGINT) AS bin,
+  SELECT CAST((10 * cum_n_s) // n AS BIGINT) AS bin,
          MAX(s) AS threshold,
          CAST(SUM(n_s) AS BIGINT) AS bin_n,
          CAST(SUM(p) AS BIGINT) AS bin_pos,

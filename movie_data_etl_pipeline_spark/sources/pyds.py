@@ -212,7 +212,18 @@ class SyntheticEventsDataSource(DataSource):
 
 
 def register_python_sources(spark) -> None:
-    """Idempotently register both connectors on a session."""
+    """Idempotently register both connectors on a session.
+
+    Also flips ``spark.sql.python.filterPushdown.enabled`` on at runtime:
+    ``_TmdbPagesReader`` implements ``pushFilters()``, and Spark 4 refuses
+    to even initialize such a reader (DATA_SOURCE_PUSHDOWN_DISABLED) when
+    the conf is false. The repo's own session factory sets it at build
+    time, but a *vanilla* SparkSession (e.g. the correctness driver's)
+    does not — setting it here makes every consumer of these sources
+    session-independent. The conf is runtime-settable (RuntimeConfig, not
+    a static conf), so this is safe on a live session.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TmdbPagesDataSource)
     spark.dataSource.register(SyntheticEventsDataSource)
     spark.dataSource.register(JsonlDirDataSource)

@@ -110,3 +110,12 @@ def test_label_prop_partition_independence(spark):
     a = sorted(map(tuple, graph.label_propagation(e1, s, iters=3).collect()))
     b = sorted(map(tuple, graph.label_propagation(e2, s, iters=3).collect()))
     assert a == b
+
+
+def test_hits_rejects_zero_iters(spark):
+    # iters=0 used to fall through to a None.select AttributeError
+    import pytest
+
+    e = spark.createDataFrame([(1, 10), (2, 10)], ["c", "s"])
+    with pytest.raises(ValueError, match="iters must be >= 1"):
+        graph.hits_fixed_point(e, iters=0)

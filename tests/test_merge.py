@@ -337,6 +337,51 @@ def test_versioned_cow_vacuum_expires_old_snapshots(spark, tmp_path):
     assert dirs == {f"v{latest:05d}"}
 
 
+def test_versioned_cow_vacuum_is_anchored_at_committed_head(spark, tmp_path):
+    """vacuum() with an open stage (upsert(publish=False)) must retain the
+    COMMITTED head — a staged manifest above the `_latest` pointer cannot
+    displace it from the keep_last window — and must keep the stage's own
+    dirs so publish()/abort_staged() still work afterwards (round-5 ADVICE,
+    cow.py vacuum staged-manifest bug)."""
+    import os
+
+    from movie_data_etl_pipeline_spark.operators.cow import VersionedCowTable
+
+    t = VersionedCowTable(str(tmp_path / "vcow"), ["k"], n_buckets=4)
+    t.init(spark.createDataFrame([(i, i) for i in range(20)], ["k", "v"]))
+    head = t.latest_version()
+    before = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+
+    staged = t.upsert(
+        spark, spark.createDataFrame([(1, 101)], ["k", "v"]), publish=False
+    )
+    assert t.latest_version() == head  # pointer untouched by the stage
+
+    removed = t.vacuum(keep_last=1)
+    # committed head survives: manifest readable, data intact
+    assert t.latest_version() == head
+    assert sorted((r["k"], r["v"]) for r in t.read(spark).collect()) == before
+    # the head manifest was NOT in the removed set
+    assert all(f"{head:05d}" not in p for p in removed)
+    # the open stage also survives and can still be audited + published
+    audit = {r["k"]: r["v"] for r in t.read(spark, version=staged).collect()}
+    assert audit[1] == 101
+    t.publish(staged)
+    assert t.latest_version() == staged
+    # abort path on a fresh stage still leaves committed data intact
+    staged2 = t.upsert(
+        spark, spark.createDataFrame([(2, 202)], ["k", "v"]), publish=False
+    )
+    t.vacuum(keep_last=1)
+    t.abort_staged(staged2)
+    after = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert after[1] == 101 and after[2] == 2
+    # no stray version dirs: only those the committed head references
+    referenced = {int(v) for v in t.manifest()["buckets"].values()}
+    dirs = {int(d[1:]) for d in os.listdir(str(tmp_path / "vcow")) if d.startswith("v")}
+    assert dirs == referenced
+
+
 def test_versioned_cow_delete_where_prunes_and_time_travels(spark, tmp_path):
     import glob
     import os
