@@ -20,17 +20,34 @@ _CF_MIN_SUPPORT = 3
 _CF_TOP = 100
 
 
-def rc_item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
-    """Item-item collaborative filtering over co-purchase baskets:
-    distinct (customer, part) pairs → per-customer self-join (the
-    classic co-occurrence build, fanout bounded by the basket cap —
-    power customers above ``_CF_MAX_BASKET`` distinct parts are
-    dropped, the standard CF degree control that keeps the pair
-    relation Σ|basket|² instead of unbounded) → support prune →
-    cosine = n_ab / √(n_a·n_b) from exact int64 counts. Top-100
-    pairs; cosine ties broken by part keys. The all-pairs work is
-    per-customer-key-local — at 100 TB this is one shuffle on
-    customer plus one on the pruned pair key, never a cross join."""
+def _cf_baskets(spark: SparkSession, sf: str):
+    """Shared basket build for the co-purchase family (`rc_item_item_cf`,
+    `rc_assoc_rules`): distinct (customer, part) pairs, capped at
+    ``_CF_MAX_BASKET`` distinct parts per customer.
+
+    Returns ``(kept, item_n, pruned)``:
+
+    - ``kept`` — the capped basket relation (support denominators run
+      over THIS, so pruning below cannot move any reported metric);
+    - ``item_n`` — exact per-item basket counts over ``kept``;
+    - ``pruned`` — ``kept`` restricted to items with ``n_item >=
+      _CF_MIN_SUPPORT``: the Apriori monotonicity prune. A pair can
+      only reach ``n_ab >= k`` if both items reach ``n_item >= k``, so
+      building the quadratic per-customer self-join from ``pruned``
+      instead of ``kept`` drops infrequent items BEFORE the fan-out at
+      zero semantic cost — the classic frequent-1-itemset stage. At
+      100 TB this is the difference between Σ|basket|² over all items
+      and over frequent items only.
+
+    Plan shape: the prune is an ANTI-join against the INFREQUENT item
+    list, not a semi-join against the frequent one — on a uniform
+    corpus (TPC-H parts) the infrequent set is empty/tiny, AQE turns
+    the anti-join into a broadcast, and ``kept``'s partitioning
+    survives into the pair self-join at zero shuffle cost; on a
+    long-tail corpus the set is large, AQE keeps the shuffle, and the
+    fan-out reduction pays for it many times over. Either way the
+    optimizer picks the right physical strategy from runtime stats.
+    """
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (
@@ -43,8 +60,28 @@ def rc_item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
         "c", "p"
     )
     item_n = kept.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
-    a = kept.select("c", F.col("p").alias("pa"))
-    b = kept.select("c", F.col("p").alias("pb"))
+    infrequent = item_n.filter(F.col("n_item") < _CF_MIN_SUPPORT).select("p")
+    pruned = kept.join(infrequent, "p", "left_anti").select("c", "p")
+    return kept, item_n, pruned
+
+
+def rc_item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item collaborative filtering over co-purchase baskets:
+    distinct (customer, part) pairs → per-customer self-join (the
+    classic co-occurrence build, fanout bounded by the basket cap —
+    power customers above ``_CF_MAX_BASKET`` distinct parts are
+    dropped, the standard CF degree control that keeps the pair
+    relation Σ|basket|² instead of unbounded) → support prune →
+    cosine = n_ab / √(n_a·n_b) from exact int64 counts. Top-100
+    pairs; cosine ties broken by part keys. The all-pairs work is
+    per-customer-key-local — at 100 TB this is one shuffle on
+    customer plus one on the pruned pair key, never a cross join.
+    Items below ``_CF_MIN_SUPPORT`` are pruned BEFORE the self-join
+    (Apriori monotonicity: ``n_ab >= k`` needs ``n_a, n_b >= k``), so
+    the quadratic fan-out only sees frequent items."""
+    kept, item_n, pruned = _cf_baskets(spark, sf)
+    a = pruned.select("c", F.col("p").alias("pa"))
+    b = pruned.select("c", F.col("p").alias("pb"))
     pairs = (
         a.join(b, "c")
         .filter(F.col("pa") < F.col("pb"))
@@ -90,9 +127,13 @@ kept AS (
   WHERE c IN (SELECT c FROM baskets GROUP BY c HAVING COUNT(*) <= {_CF_MAX_BASKET})
 ),
 item_n AS (SELECT p, COUNT(*)::BIGINT AS n_item FROM kept GROUP BY 1),
+pruned AS (
+  SELECT c, p FROM kept
+  WHERE p IN (SELECT p FROM item_n WHERE n_item >= {_CF_MIN_SUPPORT})
+),
 pairs AS (
   SELECT a.p AS pa, b.p AS pb, COUNT(*)::BIGINT AS n_ab
-  FROM kept a JOIN kept b ON a.c = b.c AND a.p < b.p
+  FROM pruned a JOIN pruned b ON a.c = b.c AND a.p < b.p
   GROUP BY 1, 2 HAVING COUNT(*) >= {_CF_MIN_SUPPORT}
 ),
 scored AS (

@@ -18,6 +18,7 @@ from movie_data_etl_pipeline_spark.operators import ml_eval
 from movie_data_etl_pipeline_spark.plans.wave36 import (
     _CF_MAX_BASKET,
     _CF_MIN_SUPPORT,
+    _cf_baskets,
 )
 from movie_data_etl_pipeline_spark.sources import load_table
 
@@ -33,24 +34,17 @@ def rc_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     over exact int64 counts (lift is symmetric, so ties are broken by
     confidence then keys). Top-100 via distributed
     TakeOrderedAndProject, never a global window. At 100 TB: one
-    shuffle on customer, one on the pruned pair key, one top-k merge."""
-    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = (
-        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    sizes = baskets.groupBy("c").agg(F.count(F.lit(1)).alias("bn"))
-    kept = baskets.join(sizes.filter(F.col("bn") <= _CF_MAX_BASKET), "c").select(
-        "c", "p"
-    )
+    shuffle on customer, one on the pruned pair key, one top-k merge.
+    The frequent-1-itemset prune (``_cf_baskets``) drops items below
+    ``_CF_MIN_SUPPORT`` before the per-customer self-join; support /
+    confidence / lift denominators still run over the UNpruned
+    relation, so every reported number is unchanged."""
+    kept, item_n, pruned = _cf_baskets(spark, sf)
     n_baskets = kept.agg(
         F.count_distinct(F.col("c")).cast("bigint").alias("n_baskets")
     )
-    item_n = kept.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
-    a = kept.select("c", F.col("p").alias("pa"))
-    b = kept.select("c", F.col("p").alias("pb"))
+    a = pruned.select("c", F.col("p").alias("pa"))
+    b = pruned.select("c", F.col("p").alias("pb"))
     pairs = (
         a.join(b, "c")
         .filter(F.col("pa") < F.col("pb"))
@@ -112,9 +106,13 @@ kept AS (
 ),
 tot AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n_baskets FROM kept),
 item_n AS (SELECT p, COUNT(*)::BIGINT AS n_item FROM kept GROUP BY 1),
+pruned AS (
+  SELECT c, p FROM kept
+  WHERE p IN (SELECT p FROM item_n WHERE n_item >= {_CF_MIN_SUPPORT})
+),
 pairs AS (
   SELECT a.p AS pa, b.p AS pb, COUNT(*)::BIGINT AS n_ab
-  FROM kept a JOIN kept b ON a.c = b.c AND a.p < b.p
+  FROM pruned a JOIN pruned b ON a.c = b.c AND a.p < b.p
   GROUP BY 1, 2 HAVING COUNT(*) >= {_CF_MIN_SUPPORT}
 ),
 sized AS (
