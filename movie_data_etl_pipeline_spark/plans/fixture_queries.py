@@ -616,10 +616,11 @@ def gr_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     fixed-point arithmetic (``operators/graph.py``) makes all three
     propagation rounds engine-exact, so the DuckDB twin simply unrolls
     the same iterations as chained CTEs. Join+groupBy per round, lineage
-    checkpointed — the Pregel-on-DataFrames shape."""
-    orders = load_table(spark, sf, "orders")
-    lineitem = load_table(spark, sf, "lineitem")
-    edges = graph.cotransaction_edges(orders, lineitem)
+    checkpointed — the Pregel-on-DataFrames shape. The edge relation
+    comes from the family-shared cached build (``plans/graph_edges``)."""
+    from movie_data_etl_pipeline_spark.plans.graph_edges import cotx_edges
+
+    edges = cotx_edges(spark, sf)
     ranks = graph.pagerank_fixed_point(edges, iters=3)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
 
@@ -937,14 +938,11 @@ def gr_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     Iterative like PageRank, and like it fully oracle-checked via
     unrolled rounds (integer votes, (count desc, label asc) tie-break).
     """
-    orders = load_table(spark, sf, "orders")
-    lineitem = load_table(spark, sf, "lineitem")
+    from movie_data_etl_pipeline_spark.plans.graph_edges import cotx_node_pairs
+
     customer = load_table(spark, sf, "customer")
-    edges = (
-        orders.select("o_orderkey", "o_custkey")
-        .join(lineitem.select("l_orderkey", "l_suppkey"), F.col("o_orderkey") == F.col("l_orderkey"))
-        .select((F.col("o_custkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst"))
-        .distinct()
+    edges = cotx_node_pairs(spark, sf).select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
     )
     seeds = customer.filter(F.col("c_custkey") % 4 == 0).select(
         (F.col("c_custkey") * 2).alias("node"), F.col("c_mktsegment").alias("label")

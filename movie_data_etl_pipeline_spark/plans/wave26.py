@@ -46,25 +46,11 @@ def gr_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
     distinct — seed-count × |E| bounded, embarrassingly partitioned by
     seed. The seed modulus is the sampling knob (fixed seed count at
     any corpus size, like `dd_lsh_recall`'s)."""
-    orders = load_table(spark, sf, "orders")
-    lineitem = load_table(spark, sf, "lineitem")
-    pairs = (
-        orders.select("o_orderkey", "o_custkey")
-        .join(
-            lineitem.select("l_orderkey", "l_suppkey"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(
-            (F.col("o_custkey") * 2).alias("c_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
-        )
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
-        .unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    from movie_data_etl_pipeline_spark.plans.graph_edges import cotx_edges
+
+    # family-shared cached pair build; the union projection over the
+    # checkpointed pairs is map-side, no further checkpoint needed
+    edges = cotx_edges(spark, sf)
     customer = load_table(spark, sf, "customer")
     seeds = (
         customer.filter(F.col("c_custkey") % _SEED_MOD == 0)

@@ -23,21 +23,10 @@ def gr_conductance(spark: SparkSession, sf: str) -> DataFrame:
     clustering optimizes. Same graph, same 3-round partition, same
     integer discipline: cut and volume are exact edge counts, one
     division renders at the end."""
-    orders = load_table(spark, sf, "orders")
-    lineitem = load_table(spark, sf, "lineitem")
+    from movie_data_etl_pipeline_spark.plans.graph_edges import cotx_node_pairs
+
     customer = load_table(spark, sf, "customer")
-    edges_cs = (
-        orders.select("o_orderkey", "o_custkey")
-        .join(
-            lineitem.select("l_orderkey", "l_suppkey"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(
-            (F.col("o_custkey") * 2).alias("c_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
-        )
-        .distinct()
-    )
+    edges_cs = cotx_node_pairs(spark, sf)
     seeds = customer.filter(F.col("c_custkey") % 4 == 0).select(
         (F.col("c_custkey") * 2).alias("node"), F.col("c_mktsegment").alias("label")
     )

@@ -87,18 +87,9 @@ def gr_hits(spark: SparkSession, sf: str) -> DataFrame:
     (``graph.hits_fixed_point``): 2 unrolled rounds of int64 key-sums
     with max-normalization by integer floor division — top-20 of each
     role, engine-exact."""
-    orders = load_table(spark, sf, "orders")
-    lineitem = load_table(spark, sf, "lineitem")
-    pairs = (
-        orders.select("o_orderkey", "o_custkey")
-        .join(
-            lineitem.select("l_orderkey", "l_suppkey"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    return graph.hits_fixed_point(pairs, iters=2)
+    from movie_data_etl_pipeline_spark.plans.graph_edges import cotx_pairs
+
+    return graph.hits_fixed_point(cotx_pairs(spark, sf), iters=2)
 
 
 def _hits_round_sql(h_prev: str, a_out: str, h_out: str) -> str:

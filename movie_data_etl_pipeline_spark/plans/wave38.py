@@ -30,15 +30,10 @@ def gr_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
     Output: per-hop reached-node count and an integer node-id checksum
     (hop 0 = the seed customers). At 100 TB: rounds are bounded, every
     join keys on node id, frontiers only shrink the unknown set."""
-    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    e = (
-        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(
-            (F.col("o_custkey") * 2).cast("bigint").alias("u"),
-            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("v"),
-        )
-        .distinct()
+    from movie_data_etl_pipeline_spark.plans.graph_edges import cotx_node_pairs
+
+    e = cotx_node_pairs(spark, sf).select(
+        F.col("c_node").alias("u"), F.col("s_node").alias("v")
     )
     und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     seeds = (
