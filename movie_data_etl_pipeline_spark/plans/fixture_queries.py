@@ -8636,16 +8636,40 @@ ORACLES.update(_wave59.ORACLES)
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the
 # mechanism by which the official record converges on the registry.
-# Names below have a green driver row in CORRECTNESS_r01–r03; they park
-# at the tail. The front 50 are hand-picked for round 4 (the 16 entries
-# parked "next rotation" in r3, the VERDICT-r3 asks — portable-hash
-# twins, graph, CDC apply, the sketch family — and one representative
-# per operator family that has never had a driver row, preferring
-# queries whose code changed this round: o15/o16/dd_lsh_recall). The
-# remaining never-checked entries keep insertion order behind them and
-# enter in rounds 5+. Every entry is verified locally at sf0.001 AND
-# sf0.01 via tools/crosscheck.py regardless of window position.
-_DRIVER_CHECKED_R1_R3 = frozenset({
+# Names below have a green driver row in CORRECTNESS_r01–r04; they park
+# at the tail. The round-5 window is hand-picked: src_paged_api first
+# (its r4 red row was a session-conf dependency, fixed in
+# sources/pyds.py:register_python_sources — the green rows-only record
+# needs to land), then every never-checked query whose implementation
+# changed this round (the ml_eval integer-div binners and the graph
+# family now on the shared cached edge build), then the waves-36..59
+# block (recsys/stats/engine-surface probes with zero driver rows; the
+# four most-stable fn_* surface probes are parked for round 6 to make
+# room). ROUND-6 ROTATION: fold CORRECTNESS_r05's green names into this
+# set (rename _R1_R5), replace `_R5_WINDOW` with the next 50
+# never-checked names (print them: python -c "from
+# movie_data_etl_pipeline_spark.plans import fixture_queries as f;
+# print(list(f.QUERIES)[50:100])"). Every entry is verified locally at
+# sf0.001 AND sf0.01 via tools/crosscheck.py AND under a VANILLA
+# SparkSession (tests/test_vanilla_session.py) regardless of window
+# position.
+_DRIVER_CHECKED_R1_R4 = frozenset({
+    # --- green driver rows first recorded in CORRECTNESS_r04 ---
+    "ag_gini", "ag_weighted_median", "ap_cms_counts", "ap_hll_rollup",
+    "ap_kmv_jaccard", "ap_kmv_sources", "ap_quantile_rollup",
+    "dd_lsh_recall", "dd_minhash_incr_portable", "dd_minhash_portable",
+    "dd_simhash_portable", "emb_int8_quantize", "emb_pca_power",
+    "ev_attribution", "ev_cohort_retention", "ev_transitions",
+    "f3_variant_json", "fe_quantile_bins", "fe_woe_iv", "g2_cube",
+    "gr_kcore", "gr_label_prop", "gr_pagerank", "gr_triangles",
+    "inc_rollup", "ix_global_rownum", "ix_inverted_index",
+    "j6_anti_join", "j7_semi_join", "mm_features", "o12_apply_changes",
+    "o13_scd2_lookup", "o15_partition_overwrite", "o16_merge_conditional",
+    "qa_benford", "qa_k_anonymity", "sa_hash_split", "sa_temporal_split",
+    "sim_knn_portable", "sim_label_centroids", "st_dedup", "ts_acf",
+    "ts_ewma", "tx_chunking", "tx_rare_tokens", "tx_tfidf_topk",
+    "w2_lag_delta", "w3_ntile_quartiles", "w5_value_windows",
+    # --- green driver rows from rounds 1-3 ---
     "a6_duplicate_report", "ag_histogram", "ag_stats_moments", "aj_asof_join",
     "ap_approx_stats", "ap_exact_quantiles", "dd_contamination",
     "dd_dup_clusters", "dd_exact_dup_groups", "dd_incremental",
@@ -8677,37 +8701,43 @@ _DRIVER_CHECKED_R1_R3 = frozenset({
     "w1_running_total", "w4_trailing_7d",
 })
 
-_R4_WINDOW = [
-    # the 16 parked in r3 as "next rotation's window"
-    "j6_anti_join", "j7_semi_join", "w2_lag_delta", "w3_ntile_quartiles",
-    "w5_value_windows", "g2_cube", "ev_cohort_retention", "ev_transitions",
-    "tx_rare_tokens", "sim_label_centroids", "inc_rollup", "tx_tfidf_topk",
-    "f3_variant_json", "mm_features", "tx_chunking", "src_paged_api",
-    # VERDICT-r3 asks: portable-hash twins, graph, CDC apply, sketches
-    "dd_minhash_portable", "dd_simhash_portable", "sim_knn_portable",
-    "dd_minhash_incr_portable", "gr_pagerank", "gr_label_prop",
-    "o12_apply_changes", "ap_hll_rollup", "ap_quantile_rollup",
-    "ap_cms_counts", "ap_kmv_sources", "ap_kmv_jaccard",
-    # family representatives with no driver row yet
-    "gr_triangles", "gr_kcore", "ts_ewma", "ts_acf", "qa_k_anonymity",
-    "qa_benford", "ag_weighted_median", "ag_gini", "sa_hash_split",
-    "sa_temporal_split", "emb_int8_quantize", "emb_pca_power",
-    "fe_quantile_bins", "fe_woe_iv", "ix_global_rownum",
-    "ix_inverted_index", "st_dedup", "o13_scd2_lookup",
-    # queries whose implementation changed in round 4
-    "o15_partition_overwrite", "o16_merge_conditional", "dd_lsh_recall",
-    "ev_attribution",
+_R5_WINDOW = [
+    # the r4 red row, fixed this round (rows-only record must land)
+    "src_paged_api",
+    # never-checked queries whose implementation changed this round
+    "ml_gains_deciles", "ml_gini_stump",          # integer-div binners
+    "gr_khop_reach", "gr_hits", "gr_local_clustering",  # shared edges /
+    "gr_modularity", "gr_conductance",            # localCheckpoint fix
+    # waves 36-59: recsys/stats/ML-eval/engine-surface, zero driver rows
+    "rc_item_item_cf", "ag_corr_matrix",
+    "rc_assoc_rules", "ml_calibration",
+    "gr_bfs_hops", "ml_pr_curve", "jx_bloom_semijoin", "qa_uniqueness_profile",
+    "ev_batch_sessions", "ev_rfm_segments", "ag_cramers_v",
+    "sq_correlated_agg", "w11_rank_surface",
+    "mm_band_near_dup", "ev_trigram_paths", "ag_kendall_tau",
+    "fn_json_surface", "fn_conditional_surface",
+    "tx_filter_funnel", "qa_dup_impact",
+    "ts_rolling_median", "ag_spearman",
+    "ag_ols2_cramer", "tx_rake_keywords", "qa_scd2_integrity",
+    "ap_hll_setops", "ag_cuped", "ag_levene_bf", "ag_granger_lite",
+    "px_curation_e2e",
+    "ts_changepoint_binseg", "ev_concurrency_sweep",
+    "sq_lateral_topn", "ag_negbin_fit",
+    "fn_url_surface", "ts_mase_baselines",
+    "ag_capture_recapture", "ev_session_gap_median",
+    "ag_cohens_kappa", "ag_odds_ratio",
+    "ev_stickiness", "ix_bm25_topk",
 ]
 
 
 def _rotated(registry: dict[str, QueryFn]) -> dict[str, QueryFn]:
-    front = [n for n in _R4_WINDOW if n in registry]
+    front = [n for n in _R5_WINDOW if n in registry]
     placed = set(front)
     mid = [
         n for n in registry
-        if n not in _DRIVER_CHECKED_R1_R3 and n not in placed
+        if n not in _DRIVER_CHECKED_R1_R4 and n not in placed
     ]
-    tail = [n for n in registry if n in _DRIVER_CHECKED_R1_R3 and n not in placed]
+    tail = [n for n in registry if n in _DRIVER_CHECKED_R1_R4 and n not in placed]
     return {n: registry[n] for n in [*front, *mid, *tail]}
 
 
