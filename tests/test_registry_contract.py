@@ -88,12 +88,12 @@ def test_rotation_front50_is_all_never_driver_checked():
     # the whole point of the rotation: the driver's 50-entry window
     # must contain ONLY entries without a prior green driver row
     from movie_data_etl_pipeline_spark.plans.fixture_queries import (
-        _DRIVER_CHECKED_R1_R3,
+        _DRIVER_CHECKED_R1_R4,
     )
 
     front = list(QUERIES)[:50]
-    overlap = sorted(set(front) & _DRIVER_CHECKED_R1_R3)
+    overlap = sorted(set(front) & _DRIVER_CHECKED_R1_R4)
     assert not overlap, f"already-checked names in the driver window: {overlap}"
     # and the checked tail must actually be at the tail
-    tail = list(QUERIES)[-len(_DRIVER_CHECKED_R1_R3):]
-    assert set(tail) <= _DRIVER_CHECKED_R1_R3
+    tail = list(QUERIES)[-len(_DRIVER_CHECKED_R1_R4):]
+    assert set(tail) <= _DRIVER_CHECKED_R1_R4
