@@ -89,24 +89,44 @@ def with_exclusive_prefix(
     return out.drop("pid", *[f"ppre_{c}" for c in value_cols])
 
 
-def auc_mann_whitney(df: DataFrame, score: Column, label: Column) -> DataFrame:
-    """AUC via the Mann-Whitney rank-sum identity, tie-aware and
-    integer-exact: over the ascending score histogram,
-    ``2U = Σ_s p_s · (2·NegBelow(s) + m_s)`` (each tie block contributes
-    half credit), ``AUC = 2U / (2·P·N)``. One fact aggregation, one
-    histogram prefix sum, one 1-row result — the only double is the
-    final division of exact int64s."""
-    hist = score_histogram(df, score, label)
-    cum = with_exclusive_prefix(hist, "s", ["m"])
+def score_cum_relation(df: DataFrame, score: Column, label: Column) -> DataFrame:
+    """The ONE relation every histogram metric below derives from —
+    per distinct score value: counts ``(p, m, n_s)``, ASCENDING
+    exclusive prefixes ``(cum_n_s, cum_p, cum_m)``, and broadcast
+    totals ``(n, pos, neg)``. One fact aggregation, one
+    range-repartition + checkpoint, one tiny partition-totals pass;
+    a DESCENDING exclusive prefix never needs a second sort because
+    ``desc_X(s) = tot_X − asc_X(s) − X(s)`` is map-side arithmetic.
+
+    Built so a whole metric family (AUC, gains, Gini stump,
+    calibration, PR curve) can share a single cached instance: totals
+    are aggregated from the checkpointed prefix output, not the source,
+    so no consumer re-scans the fact table."""
+    hist = score_histogram(df, score, label).withColumn(
+        "n_s", (F.col("p") + F.col("m")).cast("bigint")
+    )
+    cum = with_exclusive_prefix(hist, "s", ["n_s", "p", "m"])
+    totals = cum.agg(
+        F.sum("n_s").cast("bigint").alias("n"),
+        F.sum("p").cast("bigint").alias("pos"),
+        F.sum("m").cast("bigint").alias("neg"),
+    )
+    return cum.join(F.broadcast(totals))
+
+
+def auc_from_cum(rel: DataFrame) -> DataFrame:
+    """Mann-Whitney AUC over a :func:`score_cum_relation`."""
     return (
-        cum.select(
+        rel.select(
             "p",
             "m",
+            "pos",
+            "neg",
             (F.col("p") * (2 * F.col("cum_m") + F.col("m"))).alias("contrib"),
         )
         .agg(
-            F.sum("p").cast("bigint").alias("n_pos"),
-            F.sum("m").cast("bigint").alias("n_neg"),
+            F.max("pos").cast("bigint").alias("n_pos"),
+            F.max("neg").cast("bigint").alias("n_neg"),
             F.sum("contrib").cast("bigint").alias("u2"),
         )
         .select(
@@ -121,6 +141,16 @@ def auc_mann_whitney(df: DataFrame, score: Column, label: Column) -> DataFrame:
     )
 
 
+def auc_mann_whitney(df: DataFrame, score: Column, label: Column) -> DataFrame:
+    """AUC via the Mann-Whitney rank-sum identity, tie-aware and
+    integer-exact: over the ascending score histogram,
+    ``2U = Σ_s p_s · (2·NegBelow(s) + m_s)`` (each tie block contributes
+    half credit), ``AUC = 2U / (2·P·N)``. One fact aggregation, one
+    histogram prefix sum, one 1-row result — the only double is the
+    final division of exact int64s."""
+    return auc_from_cum(score_cum_relation(df, score, label))
+
+
 def gains_deciles(
     df: DataFrame, score: Column, label: Column, n_bins: int = 10
 ) -> DataFrame:
@@ -131,20 +161,19 @@ def gains_deciles(
     positive capture and lift. ``bin = floor(n_bins · CntAbove(s) / n)``
     over the descending histogram — the prefix sum again, never a
     global row rank."""
-    hist = score_histogram(df, score, label)
-    hist = hist.withColumn("n_s", (F.col("p") + F.col("m")).cast("bigint"))
-    cum = with_exclusive_prefix(hist, "s", ["n_s"], descending=True)
-    totals = hist.agg(
-        F.sum("n_s").cast("bigint").alias("n"),
-        F.sum("p").cast("bigint").alias("pos"),
-    )
+    return gains_deciles_from_cum(score_cum_relation(df, score, label), n_bins)
+
+
+def gains_deciles_from_cum(rel: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Gains/lift table over a :func:`score_cum_relation` — the
+    descending count-above prefix is derived map-side
+    (``n − cum_n_s − n_s``), no second sort."""
     binned = (
-        cum.join(F.broadcast(totals))
-        .withColumn(
+        rel.withColumn(
             # integer `div`, not floor(double /): exact past 2^53 rows and
             # consistent with calibration_bins / ml_pr_curve's binners
             "decile",
-            F.expr(f"({n_bins} * cum_n_s) div n").cast("bigint"),
+            F.expr(f"({n_bins} * (n - cum_n_s - n_s)) div n").cast("bigint"),
         )
         .groupBy("decile")
         .agg(
@@ -191,16 +220,13 @@ def gini_stump(
     identical in the oracle), and the winning split is
     ``row_number() ORDER BY imp, threshold`` over the
     ``n_bins − 1``-row candidate relation."""
-    hist = score_histogram(df, score, label)
-    hist = hist.withColumn("n_s", (F.col("p") + F.col("m")).cast("bigint"))
-    cum = with_exclusive_prefix(hist, "s", ["n_s"])
-    totals = hist.agg(
-        F.sum("n_s").cast("bigint").alias("n"),
-        F.sum("p").cast("bigint").alias("pos"),
-    )
+    return gini_stump_from_cum(score_cum_relation(df, score, label), n_bins)
+
+
+def gini_stump_from_cum(rel: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Gini decision stump over a :func:`score_cum_relation`."""
     per_bin = (
-        cum.join(F.broadcast(totals))
-        .withColumn(
+        rel.withColumn(
             "bin",
             F.expr(f"({n_bins} * cum_n_s) div n").cast("bigint"),
         )
@@ -269,15 +295,19 @@ def calibration_bins(
     (per distinct score: p·(p̂−scale)² + m·p̂²) — only the final
     per-bin divisions are doubles. Int64 budget: scale²=1e8 per row
     supports ~9e10 rows per bin before overflow."""
-    hist = score_histogram(df, score, label)
-    hist = hist.withColumn("n_s", (F.col("p") + F.col("m")).cast("bigint"))
-    cum = with_exclusive_prefix(hist, "s", ["n_s"])
-    totals = hist.agg(F.sum("n_s").cast("bigint").alias("n"))
+    return calibration_bins_from_cum(
+        score_cum_relation(df, score, label), n_bins=n_bins, scale=scale
+    )
+
+
+def calibration_bins_from_cum(
+    rel: DataFrame, n_bins: int = 10, scale: int = 10_000
+) -> DataFrame:
+    """Reliability table + Brier over a :func:`score_cum_relation`."""
     width = scale // n_bins
     phat = F.expr(f"({scale} * (2 * cum_n_s + n_s)) div (2 * n)")
     return (
-        cum.join(F.broadcast(totals))
-        .withColumn("phat", phat)
+        rel.withColumn("phat", phat)
         .withColumn(
             "bin",
             F.least(F.expr(f"phat div {width}"), F.lit(n_bins - 1)).cast("bigint"),

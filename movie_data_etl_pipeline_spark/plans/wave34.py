@@ -13,9 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from movie_data_etl_pipeline_spark.functions import scalar as SC
 from movie_data_etl_pipeline_spark.operators import ml_eval
-from movie_data_etl_pipeline_spark.sources import load_table
 
 # scored-example relation shared by all three metrics: score is the
 # order's total price in exact integer cents, label marks fulfilled
@@ -35,25 +33,15 @@ hist AS (
 """
 
 
-def _scored(spark: SparkSession, sf: str):
-    o = load_table(spark, sf, "orders")
-    return (
-        o.select(
-            SC.cents("o_totalprice").alias("score"),
-            (F.col("o_orderstatus") == "F").alias("label"),
-        ),
-        F.col("score"),
-        F.col("label"),
-    )
-
-
 def ml_auc_mw(spark: SparkSession, sf: str) -> DataFrame:
     """Tie-aware AUC via the Mann-Whitney rank-sum identity
-    (``ml_eval.auc_mann_whitney``): 2U accumulated as exact int64 over
+    (``ml_eval.auc_from_cum``): 2U accumulated as exact int64 over
     the ascending score histogram's distributed prefix sum; the only
-    double is the final ``2U / (2·P·N)`` division."""
-    df, s, y = _scored(spark, sf)
-    return ml_eval.auc_mann_whitney(df, s, y)
+    double is the final ``2U / (2·P·N)`` division. Reads the
+    family-shared cached cum relation (``plans/ml_scored``)."""
+    from movie_data_etl_pipeline_spark.plans.ml_scored import orders_score_cum
+
+    return ml_eval.auc_from_cum(orders_score_cum(spark, sf))
 
 
 _ML_AUC_SQL = f"""
@@ -79,9 +67,11 @@ def ml_gains_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """Cumulative-gains/lift table (``ml_eval.gains_deciles``):
     descending-score equal-population deciles cut by pure value
     arithmetic over the histogram prefix sum — deterministic under
-    ties, no global row rank."""
-    df, s, y = _scored(spark, sf)
-    return ml_eval.gains_deciles(df, s, y, n_bins=10)
+    ties, no global row rank. Shared cached cum relation; the
+    descending prefix is derived map-side (n − cum − own)."""
+    from movie_data_etl_pipeline_spark.plans.ml_scored import orders_score_cum
+
+    return ml_eval.gains_deciles_from_cum(orders_score_cum(spark, sf), n_bins=10)
 
 
 _ML_GAINS_SQL = f"""
@@ -122,9 +112,11 @@ def ml_gini_stump(spark: SparkSession, sf: str) -> DataFrame:
     """Decision-stump split search under Gini impurity
     (``ml_eval.gini_stump``): the 9 internal decile boundaries as
     candidate thresholds, each priced by one fixed double expression
-    over exact int64 left/right counts; winner = rank 1."""
-    df, s, y = _scored(spark, sf)
-    return ml_eval.gini_stump(df, s, y, n_bins=10)
+    over exact int64 left/right counts; winner = rank 1. Shared cached
+    cum relation (``plans/ml_scored``)."""
+    from movie_data_etl_pipeline_spark.plans.ml_scored import orders_score_cum
+
+    return ml_eval.gini_stump_from_cum(orders_score_cum(spark, sf), n_bins=10)
 
 
 _ML_STUMP_SQL = f"""

@@ -144,14 +144,12 @@ def ml_calibration(spark: SparkSession, sf: str) -> DataFrame:
     probability is the score's own midrank percentile (an exact
     integer p̂ ∈ [0,10000] from the distributed prefix sum), cut into
     10 equal-width bins with per-bin mean p̂, empirical positive rate,
-    and exact-int64 Brier sums (``ml_eval.calibration_bins``)."""
-    o = load_table(spark, sf, "orders")
-    scored = o.select(
-        SC.cents("o_totalprice").alias("score"),
-        (F.col("o_orderstatus") == "F").alias("label"),
-    )
-    return ml_eval.calibration_bins(
-        scored, F.col("score"), F.col("label"), n_bins=10, scale=10_000
+    and exact-int64 Brier sums (``ml_eval.calibration_bins_from_cum``
+    over the family-shared cached cum relation)."""
+    from movie_data_etl_pipeline_spark.plans.ml_scored import orders_score_cum
+
+    return ml_eval.calibration_bins_from_cum(
+        orders_score_cum(spark, sf), n_bins=10, scale=10_000
     )
 
 

@@ -97,27 +97,28 @@ def ml_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
     positives k = max(cum+own) and true positives tp — both exact
     int64 — so precision = tp/k, recall = tp/pos, F1 = 2tp/(k+pos)
     are fixed double expressions. No global row rank; bins are pure
-    integer arithmetic on the prefix sums (ties share a bin)."""
-    o = load_table(spark, sf, "orders")
-    scored = o.select(
-        SC.cents("o_totalprice").alias("score"),
-        (F.col("o_orderstatus") == "F").alias("label"),
-    )
-    hist = ml_eval.score_histogram(scored, F.col("score"), F.col("label"))
-    hist = hist.withColumn("n_s", (F.col("p") + F.col("m")).cast("bigint"))
-    cum = ml_eval.with_exclusive_prefix(hist, "s", ["n_s", "p"], descending=True)
-    totals = hist.agg(
-        F.sum("n_s").cast("bigint").alias("n"),
-        F.sum("p").cast("bigint").alias("pos"),
+    integer arithmetic on the prefix sums (ties share a bin). Reads the
+    family-shared cached cum relation (``plans/ml_scored``); the
+    descending prefixes it needs are derived map-side
+    (``desc_X = tot_X − asc_X − own``)."""
+    from movie_data_etl_pipeline_spark.plans.ml_scored import orders_score_cum
+
+    rel = orders_score_cum(spark, sf).select(
+        "s",
+        "n_s",
+        "p",
+        "n",
+        "pos",
+        (F.col("n") - F.col("cum_n_s") - F.col("n_s")).alias("dcum_n_s"),
+        (F.col("pos") - F.col("cum_p") - F.col("p")).alias("dcum_p"),
     )
     return (
-        cum.join(F.broadcast(totals))
-        .withColumn("decile", F.expr("(10 * cum_n_s) div n"))
+        rel.withColumn("decile", F.expr("(10 * dcum_n_s) div n"))
         .groupBy("decile")
         .agg(
             F.min("s").cast("bigint").alias("thresh_cents"),
-            F.max(F.col("cum_n_s") + F.col("n_s")).cast("bigint").alias("pred_pos"),
-            F.max(F.col("cum_p") + F.col("p")).cast("bigint").alias("tp"),
+            F.max(F.col("dcum_n_s") + F.col("n_s")).cast("bigint").alias("pred_pos"),
+            F.max(F.col("dcum_p") + F.col("p")).cast("bigint").alias("tp"),
             F.max("pos").alias("pos"),
         )
         .select(
