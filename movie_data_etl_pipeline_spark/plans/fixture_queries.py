@@ -565,9 +565,11 @@ FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
 def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5) —
     the fixture generator plants real near-duplicates, so this finds
-    non-trivial pairs. Candidates via inverted-index join, no crossJoin."""
-    docs = load_table(spark, sf, "documents")
-    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    non-trivial pairs. Candidates via inverted-index join, no crossJoin.
+    Reads the family-shared cached pair relation (``plans/doc_pairs``)."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import jaccard_pairs
+
+    return jaccard_pairs(spark, sf, 0.5)
 
 
 _DD_JACCARD_SQL = r"""
@@ -3509,10 +3511,11 @@ def dd_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     dedup pass actually keeps. The oracle twin recomputes components
     with a recursive CTE over the same pair relation, so the iterative
     DataFrame algorithm is hash-verified against a declarative
-    fixpoint."""
-    docs = load_table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
-    comp = dedup.connected_components(pairs, "a_id", "b_id")
+    fixpoint. Components come from the family-shared cached labeling
+    (``plans/doc_pairs.dup_components``)."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import dup_components
+
+    comp = dup_components(spark, sf, 0.8)
     return (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
@@ -6363,9 +6366,11 @@ def gr_triangles(spark: SparkSession, sf: str) -> DataFrame:
     degree distribution) over the exact 3-shingle Jaccard near-dup
     graph: the transitivity audit that says whether duplicate PAIRS
     form CLUSTERS (high clustering → connected-components dedup is
-    safe; low → pair threshold too loose)."""
-    docs = load_table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
+    safe; low → pair threshold too loose). Shared cached pair relation
+    (``plans/doc_pairs``)."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import jaccard_pairs
+
+    pairs = jaccard_pairs(spark, sf, 0.5).select(
         F.col("a_id").alias("a"), F.col("b_id").alias("b")
     )
     return graph.triangle_count(pairs)
@@ -7022,10 +7027,11 @@ def dd_canonical_pick(spark: SparkSession, sf: str) -> DataFrame:
     keeps the best duplicate instead of a random one. Completes the
     chain the other dd_* queries build (pairs → clusters → what
     actually ships); the per-cluster argmax compiles to a pre-shuffle
-    WindowGroupLimit."""
+    WindowGroupLimit. Shared cached components (``plans/doc_pairs``)."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import dup_components
+
     docs = load_table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
-    comp = dedup.connected_components(pairs, "a_id", "b_id")
+    comp = dup_components(spark, sf, 0.8)
     membered = comp.join(
         docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
     )
@@ -7668,10 +7674,12 @@ def dd_survivorship(spark: SparkSession, sf: str) -> DataFrame:
     (count DESC, value ASC) tie-break), maximum length, minimum
     source — the rule set that makes the surviving record better than
     any single member. Field rules are one aggregate over the
-    membered relation plus one mode window."""
+    membered relation plus one mode window. Shared cached components
+    (``plans/doc_pairs``)."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import dup_components
+
     docs = load_table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
-    comp = dedup.connected_components(pairs, "a_id", "b_id")
+    comp = dup_components(spark, sf, 0.8)
     membered = comp.join(
         docs.select(
             F.col("doc_id").alias("id"), "lang", "source", "n_chars"

@@ -134,9 +134,11 @@ def gr_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
     """Per-node clustering coefficients (``graph.local_clustering``)
     over the exact 3-shingle Jaccard near-dup graph — the node-grain
     companion to ``gr_triangles``' global census: which documents sit
-    in tightly-knit duplicate clusters vs on loose chains."""
-    docs = load_table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
+    in tightly-knit duplicate clusters vs on loose chains. Shared
+    cached pair relation (``plans/doc_pairs``)."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import jaccard_pairs
+
+    pairs = jaccard_pairs(spark, sf, 0.5).select(
         F.col("a_id").alias("a"), F.col("b_id").alias("b")
     )
     return graph.local_clustering(pairs)
