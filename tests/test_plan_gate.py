@@ -125,6 +125,7 @@ NESTED_LOOP_OK = {
     "dd_cross_source_dups",  # source-domain² pair skeleton
     "ml_gains_deciles",  # broadcast 1-row (n, pos) totals into bin pricing
     "ml_gini_stump",  # broadcast 1-row (n, pos) totals into candidate pricing
+    "ml_auc_mw",  # broadcast 1-row totals via the shared score_cum_relation
     "ir_ndcg_mrr",  # broadcast 50-row query set into the exact re-rank eval
     "gr_hits",  # broadcast 1-row max per normalization round
     "rc_assoc_rules",  # broadcast 1-row basket-count N into rule pricing
