@@ -10,6 +10,8 @@ engine built-ins value-for-value on a bounded key range.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -65,6 +67,41 @@ def _cf_baskets(spark: SparkSession, sf: str):
     return kept, item_n, pruned
 
 
+_CF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _cf_pair_counts(spark: SparkSession, sf: str):
+    """The co-occurrence pair counts BOTH co-purchase queries start
+    from: the per-customer self-join over the pruned basket relation,
+    aggregated to ``(pa, pb, n_ab)`` and support-pruned. This is the
+    quadratic stage — built once per (session, sf) and eagerly
+    localCheckpointed (same WeakKeyDictionary discipline as
+    ``plans/graph_edges``), so `rc_item_item_cf` and `rc_assoc_rules`
+    share one fan-out instead of running it twice. ``kept`` and
+    ``item_n`` are returned alongside for the denominators.
+
+    Returns ``(kept, item_n, pairs)``."""
+    per = _CF_CACHE.setdefault(spark, {})
+    if sf in per:
+        return per[sf]
+    kept, item_n, pruned = _cf_baskets(spark, sf)
+    a = pruned.select("c", F.col("p").alias("pa"))
+    b = pruned.select("c", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "c")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= _CF_MIN_SUPPORT)
+        .localCheckpoint(eager=True)
+    )
+    item_n = item_n.localCheckpoint(eager=True)
+    per[sf] = (kept, item_n, pairs)
+    return per[sf]
+
+
 def rc_item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
     """Item-item collaborative filtering over co-purchase baskets:
     distinct (customer, part) pairs → per-customer self-join (the
@@ -79,16 +116,7 @@ def rc_item_item_cf(spark: SparkSession, sf: str) -> DataFrame:
     Items below ``_CF_MIN_SUPPORT`` are pruned BEFORE the self-join
     (Apriori monotonicity: ``n_ab >= k`` needs ``n_a, n_b >= k``), so
     the quadratic fan-out only sees frequent items."""
-    kept, item_n, pruned = _cf_baskets(spark, sf)
-    a = pruned.select("c", F.col("p").alias("pa"))
-    b = pruned.select("c", F.col("p").alias("pb"))
-    pairs = (
-        a.join(b, "c")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
-        .filter(F.col("n_ab") >= _CF_MIN_SUPPORT)
-    )
+    kept, item_n, pairs = _cf_pair_counts(spark, sf)
     scored = (
         pairs.join(item_n.select(F.col("p").alias("pa"), F.col("n_item").alias("n_a")), "pa")
         .join(item_n.select(F.col("p").alias("pb"), F.col("n_item").alias("n_b")), "pb")

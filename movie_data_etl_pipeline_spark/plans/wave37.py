@@ -18,7 +18,7 @@ from movie_data_etl_pipeline_spark.operators import ml_eval
 from movie_data_etl_pipeline_spark.plans.wave36 import (
     _CF_MAX_BASKET,
     _CF_MIN_SUPPORT,
-    _cf_baskets,
+    _cf_pair_counts,
 )
 from movie_data_etl_pipeline_spark.sources import load_table
 
@@ -39,18 +39,9 @@ def rc_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     ``_CF_MIN_SUPPORT`` before the per-customer self-join; support /
     confidence / lift denominators still run over the UNpruned
     relation, so every reported number is unchanged."""
-    kept, item_n, pruned = _cf_baskets(spark, sf)
+    kept, item_n, pairs = _cf_pair_counts(spark, sf)
     n_baskets = kept.agg(
         F.count_distinct(F.col("c")).cast("bigint").alias("n_baskets")
-    )
-    a = pruned.select("c", F.col("p").alias("pa"))
-    b = pruned.select("c", F.col("p").alias("pb"))
-    pairs = (
-        a.join(b, "c")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
-        .filter(F.col("n_ab") >= _CF_MIN_SUPPORT)
     )
     sized = (
         pairs.join(item_n.select(F.col("p").alias("pa"), F.col("n_item").alias("n_a")), "pa")
