@@ -32,7 +32,7 @@ _SEED_CAP = 400
 
 def gr_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
     """K-hop reach: for a deterministic seed sample of customers
-    (``c_custkey % 40 == 0``), the number of graph nodes within 1, 2,
+    (``c_custkey % _SEED_MOD == 0``), the number of graph nodes within 1, 2,
     and 3 hops on the customer↔supplier co-transaction graph — the
     bounded-frontier BFS that prices influence/contagion reach and is
     the building block closeness-centrality approximations sample.

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from movie_data_etl_pipeline_spark.operators import dedup, graph, ml_eval
+from movie_data_etl_pipeline_spark.operators import graph, ml_eval
 from movie_data_etl_pipeline_spark.sources import load_table
 
 
