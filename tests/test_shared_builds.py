@@ -1,0 +1,47 @@
+"""Lifecycle contract of the per-(session, sf) shared-build caches
+(`plans/graph_edges`, `plans/ml_scored`, `plans/doc_pairs`,
+`wave27.kmeans_state`, `wave36._cf_pair_counts`):
+
+- same session + same sf → the SAME DataFrame object (cache hit: the
+  expensive build runs once per session);
+- a different SparkSession object (``newSession()`` shares the
+  SparkContext but is a distinct session) → a fresh build, no
+  cross-session bleed (the WeakKeyDictionary keys on the live session
+  object, which is what makes the caches vanilla-driver-safe);
+- and the fresh build's VALUES match the cached one's — the cache is
+  an amortization, never a semantic dependency.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from movie_data_etl_pipeline_spark.plans import doc_pairs, graph_edges, ml_scored
+from movie_data_etl_pipeline_spark.plans.wave27 import kmeans_state
+from movie_data_etl_pipeline_spark.plans.wave36 import _cf_pair_counts
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+BUILDERS = [
+    ("cotx_pairs", lambda s, sf: graph_edges.cotx_pairs(s, sf)),
+    ("orders_score_cum", lambda s, sf: ml_scored.orders_score_cum(s, sf)),
+    ("jaccard_pairs", lambda s, sf: doc_pairs.jaccard_pairs(s, sf, 0.5)),
+    ("dup_components", lambda s, sf: doc_pairs.dup_components(s, sf, 0.8)),
+    ("kmeans_assign", lambda s, sf: kmeans_state(s, sf)[0]),
+    ("cf_pair_counts", lambda s, sf: _cf_pair_counts(s, sf)[2]),
+]
+
+
+@pytest.mark.parametrize("name,build", BUILDERS, ids=[n for n, _ in BUILDERS])
+def test_shared_build_cache_contract(spark, sf_dir, name, build):
+    first = build(spark, sf_dir)
+    again = build(spark, sf_dir)
+    assert again is first, f"{name}: second call in one session must be a cache hit"
+
+    other = spark.newSession()
+    fresh = build(other, sf_dir)
+    assert fresh is not first, f"{name}: a new session must not see the old cache"
+    assert _rows(fresh) == _rows(first), f"{name}: rebuild changed values"
