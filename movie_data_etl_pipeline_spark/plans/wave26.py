@@ -63,10 +63,16 @@ def gr_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
     # each round expands only the NEW nodes (an anti-join against the
     # visited set), not the whole visited relation — same result, and
     # rounds 2..k stop re-joining the ever-growing visited set against
-    # the edge list.
+    # the edge list. Only the per-round DELTA (the frontier) is ever
+    # materialized: every (seed, node) pair is checkpointed exactly once
+    # in the round that discovers it, ``visited`` stays a lazy union of
+    # those checkpointed deltas (scanning k flat checkpoints is cheap;
+    # re-materializing the growing union each round is what cost ~2x),
+    # and reach_k = Σ_{i<=k} |frontier_i| per seed by the disjointness
+    # of the deltas.
     visited = seeds.select("seed", F.col("seed").alias("node"))
     frontier = visited
-    out_counts = []
+    delta_counts = []
     for k in range(1, _KHOP + 1):
         expanded = (
             frontier.join(edges, F.col("node") == F.col("src"))
@@ -76,15 +82,20 @@ def gr_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
         frontier = expanded.join(
             visited, ["seed", "node"], "left_anti"
         ).localCheckpoint(eager=True)
-        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
-        out_counts.append(
-            visited.groupBy("seed")
-            .agg((F.count(F.lit(1)) - 1).cast("bigint").alias(f"reach_{k}"))
+        visited = visited.unionAll(frontier)
+        delta_counts.append(
+            frontier.groupBy("seed")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"d_{k}"))
         )
-    out = out_counts[0]
-    for c in out_counts[1:]:
-        out = out.join(c, "seed")
-    return out.orderBy("seed")
+    out = seeds
+    for c in delta_counts:
+        out = out.join(c, "seed", "left")
+    running = F.lit(0).cast("bigint")
+    reach_cols = []
+    for k in range(1, _KHOP + 1):
+        running = running + F.coalesce(F.col(f"d_{k}"), F.lit(0))
+        reach_cols.append(running.cast("bigint").alias(f"reach_{k}"))
+    return out.select("seed", *reach_cols).orderBy("seed")
 
 
 def _khop_round_sql(prev: str, out: str) -> str:
