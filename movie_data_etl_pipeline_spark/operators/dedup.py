@@ -129,8 +129,14 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with exact n-gram-shingle Jaccard ≥ threshold.
+
+    ``sh`` optionally supplies a pre-built shingle-set relation
+    (id, sh, n_sh) — e.g. the session-shared cached build in
+    ``plans.doc_pairs`` — so the tokenize+hash pass over the corpus is
+    not re-derived per call; semantics are identical.
 
     Scalable exact algorithm (AllPairs/PPJoin-style prefix filtering,
     public literature):
@@ -152,7 +158,7 @@ def ngram_jaccard_pairs(
     # the shingle-set relation is consumed four times (freq, prefix,
     # verify×2); persist so the tokenize+shingle expression chain runs
     # once instead of once per consumer
-    sh = _shingle_sets(docs, id_col, text_col, n).persist()
+    sh = (sh if sh is not None else _shingle_sets(docs, id_col, text_col, n)).persist()
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
     freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # prefix length: k = n_sh - ceil(t * n_sh) + 1
@@ -284,6 +290,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding: signature → ``bands``
     bands of ``num_hashes/bands`` rows each → bucket-join on (band,
@@ -293,10 +300,12 @@ def minhash_lsh_pairs(
     buckets (shuffle on a well-distributed hash), and only candidates pay
     the exact-verification cost. Output matches ``ngram_jaccard_pairs``
     restricted to LSH-recalled pairs: (a_id, b_id, jaccard).
+    ``sh`` optionally supplies a pre-built shingle-set relation (see
+    ``ngram_jaccard_pairs``).
     """
     # one persisted shingle-set relation feeds BOTH the signatures and
     # the exact verification — the corpus is tokenized exactly once
-    sh = _shingle_sets(docs, id_col, text_col, n).persist()
+    sh = (sh if sh is not None else _shingle_sets(docs, id_col, text_col, n)).persist()
     banded = _minhash_banded(sh, num_hashes, bands).persist()
     # both sides of the self-join read this — hash the corpus once
     a = banded.alias("a")
@@ -325,6 +334,8 @@ def incremental_minhash_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    sh_c: DataFrame | None = None,
+    sh_b: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs that INVOLVE the arriving batch: batch×corpus and
     batch×batch, never corpus×corpus — the shape that keeps continuous
@@ -347,8 +358,8 @@ def incremental_minhash_pairs(
     # both shingle relations feed banding AND exact verification —
     # persist so each side is tokenized once (in production the corpus
     # side is a precomputed table and never recomputed at all)
-    sh_c = _shingle_sets(corpus, id_col, text_col, n).persist()
-    sh_b = _shingle_sets(batch, id_col, text_col, n).persist()
+    sh_c = (sh_c if sh_c is not None else _shingle_sets(corpus, id_col, text_col, n)).persist()
+    sh_b = (sh_b if sh_b is not None else _shingle_sets(batch, id_col, text_col, n)).persist()
     banded_b = _minhash_banded(sh_b, num_hashes, bands).persist()
     all_banded = _minhash_banded(sh_c, num_hashes, bands).unionByName(banded_b)
     a = banded_b.alias("a")
@@ -530,14 +541,16 @@ def minhash_lsh_pairs_portable(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`minhash_lsh_pairs` with every hash replaced by portable
     arithmetic (LCG permutations over a polynomial shingle fold): the
     exact same banding plan shape — zero-shuffle signatures, band-bucket
     equality self-join, verify-on-candidates — but with output that a
     DuckDB oracle reproduces value-for-value. Same plan, provable bits.
+    ``sh`` optionally supplies a pre-built portable shingle-set relation.
     """
-    sh = _portable_shingle_sets(docs, id_col, text_col, n).persist()
+    sh = (sh if sh is not None else _portable_shingle_sets(docs, id_col, text_col, n)).persist()
     banded = _portable_banded(sh, num_hashes, bands).persist()
     a = banded.alias("a")
     b = banded.alias("b")
@@ -563,14 +576,16 @@ def incremental_minhash_pairs_portable(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    sh_c: DataFrame | None = None,
+    sh_b: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`incremental_minhash_pairs` over the portable hash family:
     batch-buckets ⨝ all-buckets (work scales with the arriving batch,
     never corpus×corpus), with hash values a DuckDB oracle reproduces —
     so the INCREMENTAL indexing path gets value-checked evidence too,
     not just the batch==full-recompute property test."""
-    sh_c = _portable_shingle_sets(corpus, id_col, text_col, n).persist()
-    sh_b = _portable_shingle_sets(batch, id_col, text_col, n).persist()
+    sh_c = (sh_c if sh_c is not None else _portable_shingle_sets(corpus, id_col, text_col, n)).persist()
+    sh_b = (sh_b if sh_b is not None else _portable_shingle_sets(batch, id_col, text_col, n)).persist()
     banded_b = _portable_banded(sh_b, num_hashes, bands).persist()
     all_banded = _portable_banded(sh_c, num_hashes, bands).unionByName(banded_b)
     a = banded_b.alias("a")

@@ -711,6 +711,7 @@ def tfidf_cosine_pairs(
     max_df: int = 50,
     threshold: float = 0.2,
     idf_unit: float = 1024.0,
+    terms_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Exact sparse TF-IDF cosine similarity between documents, via the
     inverted-posting join (Elsayed/Lin/Oard-style pairwise-similarity
@@ -737,13 +738,25 @@ def tfidf_cosine_pairs(
     int64; dots and squared norms are exact integer sums; ONE final
     double expression (dot / sqrt(na²)·sqrt(nb²)) renders the cosine —
     order-independent at any parallelism, hash-checkable cross-engine.
+
+    ``terms_rel`` optionally supplies a pre-built positional term
+    relation (id, t: array of terms or term hashes) — e.g. the cached
+    per-session shingle-hash arrays in ``plans.doc_pairs`` — replacing
+    the in-plan tokenize+shingle pass. tf/df/idf/cosine depend only on
+    term COUNTS, so a hashed rendering of the terms leaves every output
+    value unchanged (same 1e-13-collision argument as
+    ``dedup._shingle_sets``).
     """
     from movie_data_etl_pipeline_spark.functions import text as TX
 
-    terms = TX.shingles(text_col, ngram) if ngram > 1 else TX.tokens(text_col)
-    base = ensure_min_partitions(
-        docs.select(F.col(id_col).alias("id"), terms.alias("t"))
-    )
+    if terms_rel is not None:
+        base = terms_rel.select(F.col(terms_rel.columns[0]).alias("id"),
+                                F.col(terms_rel.columns[1]).alias("t"))
+    else:
+        terms = TX.shingles(text_col, ngram) if ngram > 1 else TX.tokens(text_col)
+        base = ensure_min_partitions(
+            docs.select(F.col(id_col).alias("id"), terms.alias("t"))
+        )
     dt = (
         base.select("id", F.explode("t").alias("tok"))
         .groupBy("id", "tok")

@@ -11,9 +11,23 @@ discipline as ``plans/graph_edges``) and eagerly localCheckpoints it,
 so the shingle explode + inverted-index self-join — the expensive part
 of every consumer — is paid once per session.
 
-At 100 TB the shared relation is the near-dup pair list itself
-(bounded by the prefix/positional filters in ``operators/dedup``), the
-natural intermediate a production dedup pipeline materializes anyway.
+Round 6 extends the same discipline one level DOWN the derivation
+tree: the per-document POSITIONAL 3-shingle hash arrays (one xxhash64
+rendering, one engine-portable rendering) are cached here too, because
+every text-similarity family re-derived them per query —
+``tx_winnowing``, ``sim_tfidf_cosine``, ``dd_containment``,
+``dd_minhash_lsh``, ``dd_minhash_portable``, ``dd_minhash_incr*``, and
+the pair build itself all start from tokenize → 3-gram shingle → hash
+over the identical corpus. Everything each consumer needs beyond the
+positional array is a ROW-LOCAL map over the checkpoint (distinct set
++ size for Jaccard/containment/minhash, explode+count for TF-IDF,
+window minima for winnowing), so one materialized relation per hash
+family serves all of them without changing any query's semantics.
+
+At 100 TB the shared relations are exactly what a production dedup
+pipeline materializes anyway: the tokenized/fingerprinted corpus and
+the near-dup pair list (bounded by the prefix/positional filters in
+``operators/dedup``).
 """
 
 from __future__ import annotations
@@ -21,13 +35,81 @@ from __future__ import annotations
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from movie_data_etl_pipeline_spark.functions import portable_hash as ph
+from movie_data_etl_pipeline_spark.functions.text import shingles
 from movie_data_etl_pipeline_spark.operators import dedup
 from movie_data_etl_pipeline_spark.sources import load_table
 
 _CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def _shingle_arrays(spark: SparkSession, sf: str, family: str) -> DataFrame:
+    """(id, h) positional 3-shingle hash arrays for the whole
+    ``documents`` table, hashed with ``family`` ∈ {xxh, portable};
+    built and eagerly localCheckpointed once per (session, sf, family).
+    Documents shorter than 3 tokens (empty shingle array) are excluded,
+    matching every consumer's own guard."""
+    per = _CACHE.setdefault(spark, {})
+    key = (sf, "sharr", family)
+    if key not in per:
+        docs = load_table(spark, sf, "documents")
+        # lambda wrapper: F.transform inspects the callable's signature
+        # and rejects xxhash64's *cols (VAR_POSITIONAL) form
+        hash_fn = (
+            (lambda s: F.xxhash64(s)) if family == "xxh"
+            else (lambda s: ph.str_hash(s))
+        )
+        per[key] = (
+            docs.select(
+                F.col("doc_id").alias("id"),
+                F.transform(shingles("text", 3), hash_fn).alias("h"),
+            )
+            .filter(F.size("h") > 0)
+            .localCheckpoint(eager=True)
+        )
+    return per[key]
+
+
+def xxh_shingle_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    """Cached positional xxhash64 3-shingle arrays (id, h) — the base
+    relation for the Jaccard/containment/TF-IDF/minhash-LSH family."""
+    return _shingle_arrays(spark, sf, "xxh")
+
+
+def portable_shingle_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    """Cached positional engine-portable (``functions.portable_hash``)
+    3-shingle arrays (id, h) — the base for ``tx_winnowing`` and the
+    oracle-provable minhash twins."""
+    return _shingle_arrays(spark, sf, "portable")
+
+
+def _sets_from_arrays(arr: DataFrame) -> DataFrame:
+    """(id, sh: sorted distinct hashes, n_sh) — the row-local map from a
+    positional array relation to the shingle-SET relation
+    ``operators.dedup._shingle_sets`` / ``_portable_shingle_sets``
+    produce; value-identical by construction (same tokenizer, same
+    hash, distinct+sort commute with the positional order)."""
+    return (
+        arr.select("id", F.array_sort(F.array_distinct("h")).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+    )
+
+
+def xxh_shingle_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-set form of :func:`xxh_shingle_arrays` — lazy map over
+    the checkpoint (re-deriving a set from a materialized array is a
+    codegen'd projection; only the array pays a build)."""
+    return _sets_from_arrays(xxh_shingle_arrays(spark, sf))
+
+
+def portable_shingle_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-set form of :func:`portable_shingle_arrays`."""
+    return _sets_from_arrays(portable_shingle_arrays(spark, sf))
 
 
 def jaccard_pairs(spark: SparkSession, sf: str, threshold: float) -> DataFrame:
@@ -39,7 +121,8 @@ def jaccard_pairs(spark: SparkSession, sf: str, threshold: float) -> DataFrame:
     if key not in per:
         docs = load_table(spark, sf, "documents")
         per[key] = dedup.ngram_jaccard_pairs(
-            docs, n=3, threshold=threshold
+            docs, n=3, threshold=threshold,
+            sh=xxh_shingle_sets(spark, sf),
         ).localCheckpoint(eager=True)
     return per[key]
 

@@ -600,9 +600,15 @@ WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
 def dd_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (banded signatures → bucket join →
     exact verify). Approximate recall → rows-only check; the exact
-    Jaccard twin above is the oracle-checked ground truth."""
+    Jaccard twin above is the oracle-checked ground truth. Shingle sets
+    come from the family-shared cached build (``plans/doc_pairs``)."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import xxh_shingle_sets
+
     docs = load_table(spark, sf, "documents")
-    return dedup.minhash_lsh_pairs(docs, n=3, num_hashes=64, bands=16, threshold=0.5)
+    return dedup.minhash_lsh_pairs(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.5,
+        sh=xxh_shingle_sets(spark, sf),
+    )
 
 
 def dd_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -666,9 +672,15 @@ def dd_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
     band-bucket-join → verify plan as ``dd_minhash_lsh``, but every hash
     value is reproducible in DuckDB — so the LSH pipeline itself (which
     pairs collide, not just how many) is hash-checked by the oracle.
-    The xxhash64 production twin stays rows-only + recall-tested."""
+    The xxhash64 production twin stays rows-only + recall-tested.
+    Portable shingle sets come from the family-shared cached build."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import portable_shingle_sets
+
     docs = load_table(spark, sf, "documents")
-    return dedup.minhash_lsh_pairs_portable(docs, n=3, num_hashes=32, bands=8, threshold=0.5)
+    return dedup.minhash_lsh_pairs_portable(
+        docs, n=3, num_hashes=32, bands=8, threshold=0.5,
+        sh=portable_shingle_sets(spark, sf),
+    )
 
 
 # shared CTE prefix: portable-hashed shingle sets → 32-slot LCG minhash
@@ -1198,11 +1210,20 @@ def dd_minhash_incr_portable(spark: SparkSession, sf: str) -> DataFrame:
     portable hash family: same batch split as ``dd_minhash_incremental``
     (doc_id % 10 == 0 arrives, rest indexed) with a full value-checked
     oracle — the incremental indexing path's collisions are hash-proved,
-    not just property-tested."""
+    not just property-tested. Corpus/batch shingle sets are id-filters
+    over the family-shared cached build (row-local shingling commutes
+    with the id filter)."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import portable_shingle_sets
+
     docs = load_table(spark, sf, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     batch = docs.where(F.col("doc_id") % 10 == 0)
-    return dedup.incremental_minhash_pairs_portable(corpus, batch)
+    sets = portable_shingle_sets(spark, sf)
+    return dedup.incremental_minhash_pairs_portable(
+        corpus, batch,
+        sh_c=sets.where(F.col("id") % 10 != 0),
+        sh_b=sets.where(F.col("id") % 10 == 0),
+    )
 
 
 def dd_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
@@ -4768,11 +4789,20 @@ def dd_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     work scales with the batch, never corpus×corpus. Deterministic
     (seeded xxhash64) but hash-dependent, so rows-only here; the exact
     ``== full-recompute-restricted-to-batch`` property is asserted in
-    tests."""
+    tests. The corpus/batch shingle sets are id-filters over the
+    family-shared cached build — shingling is per-document row-local,
+    so filtering before or after it is value-identical."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import xxh_shingle_sets
+
     docs = load_table(spark, sf, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     batch = docs.where(F.col("doc_id") % 10 == 0)
-    return dedup.incremental_minhash_pairs(corpus, batch).orderBy("a_id", "b_id")
+    sets = xxh_shingle_sets(spark, sf)
+    return dedup.incremental_minhash_pairs(
+        corpus, batch,
+        sh_c=sets.where(F.col("id") % 10 != 0),
+        sh_b=sets.where(F.col("id") % 10 == 0),
+    ).orderBy("a_id", "b_id")
 
 
 def qa_volume_anomaly(spark: SparkSession, sf: str) -> DataFrame:
@@ -5824,10 +5854,16 @@ def sim_tfidf_cosine(spark: SparkSession, sf: str) -> DataFrame:
     (``operators/similarity.tfidf_cosine_pairs``): 3-shingle terms,
     df-cut at 50 bounding the posting self-join's fan-out (the
     DISCO-style cut that keeps candidate volume linear in corpus
-    size), quantized-idf integer weights, one final IEEE division."""
+    size), quantized-idf integer weights, one final IEEE division.
+    The positional shingle-hash terms come from the family-shared
+    cached build — tf/df/idf depend only on counts, so the hashed
+    rendering leaves every cosine unchanged."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import xxh_shingle_arrays
+
     docs = load_table(spark, sf, "documents")
     return similarity.tfidf_cosine_pairs(
-        docs, ngram=3, max_df=50, threshold=0.2
+        docs, ngram=3, max_df=50, threshold=0.2,
+        terms_rel=xxh_shingle_arrays(spark, sf),
     )
 
 

@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movie_data_etl_pipeline_spark.functions import portable_hash as ph
-from movie_data_etl_pipeline_spark.functions.text import shingles
 from movie_data_etl_pipeline_spark.operators import graph
 from movie_data_etl_pipeline_spark.sources import load_table
 
@@ -41,18 +40,17 @@ def tx_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     equi-join with a document-frequency cut (df ≤ 50) exactly like
     ``dd_containment``, so candidate volume is bounded by posting-list
     sizes, never all-pairs. Output: document pairs sharing ≥ 2
-    winnowed fingerprints."""
-    docs = load_table(spark, sf, "documents")
-    hs = F.transform(shingles("text", 3), lambda s: ph.str_hash(s))
-    # persist() is load-bearing: without the materialization barrier,
-    # CollapseProject inlines the O(chars)-per-shingle hash transform
-    # into every downstream reference of `h` (4 slices + 2 sizes —
-    # measured 23 s vs 3 s at sf0.1)
-    d = (
-        docs.select(F.col("doc_id").alias("id"), hs.alias("h"))
-        .filter(F.size("h") >= 4)
-        .persist()
-    )
+    winnowed fingerprints.
+
+    The positional shingle-hash base comes from the family-shared
+    cached build (``plans/doc_pairs.portable_shingle_arrays``); its
+    eager localCheckpoint doubles as the materialization barrier that
+    stops CollapseProject inlining the O(chars)-per-shingle hash
+    transform into every downstream reference of ``h`` (4 slices + 2
+    sizes — measured 23 s vs 3 s at sf0.1 before the barrier)."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import portable_shingle_arrays
+
+    d = portable_shingle_arrays(spark, sf).filter(F.size("h") >= 4)
     # window-of-4 minima via 3 zip_with folds over shifted slices
     # (each shift drops the trailing incomplete windows as nulls)
     m = F.col("h")

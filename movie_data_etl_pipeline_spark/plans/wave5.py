@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from movie_data_etl_pipeline_spark.functions import scalar as SC
-from movie_data_etl_pipeline_spark.functions import text as TX
 from movie_data_etl_pipeline_spark.operators import stats
 from movie_data_etl_pipeline_spark.sources import load_table
 
@@ -174,15 +173,19 @@ def dd_containment(spark: SparkSession, sf: str) -> DataFrame:
     Same candidate discipline as `dd_ngram_jaccard`: pairs are
     generated ONLY by the shingle-equality self-join (shuffle on
     shingle, never corpus²); containment is an exact integer ratio
-    per surviving pair."""
-    docs = load_table(spark, sf, "documents")
-    sh = (
-        docs.select(
-            "doc_id", F.array_distinct(TX.shingles("text", 3)).alias("shingles")
-        )
-        .filter(F.size("shingles") > 0)
+    per surviving pair.
+
+    The shingle sets come from the family-shared cached build
+    (``plans/doc_pairs.xxh_shingle_sets``) — hashed shingles, so the
+    posting join runs on fixed-width longs; shared counts (and
+    therefore every containment ratio) are unchanged (the same
+    ~1e-13-collision argument as ``dedup._shingle_sets``)."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import xxh_shingle_sets
+
+    sh = xxh_shingle_sets(spark, sf).select(
+        F.col("id").alias("doc_id"), F.col("sh").alias("shingles"), "n_sh"
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    sizes = sh.select("doc_id", "n_sh")
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     a = ex.select(F.col("doc_id").alias("a_id"), "shingle")
     b = ex.select(F.col("doc_id").alias("b_id"), "shingle")

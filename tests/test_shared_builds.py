@@ -32,6 +32,8 @@ BUILDERS = [
     ("dup_components", lambda s, sf: doc_pairs.dup_components(s, sf, 0.8)),
     ("kmeans_assign", lambda s, sf: kmeans_state(s, sf)[0]),
     ("cf_pair_counts", lambda s, sf: _cf_pair_counts(s, sf)[2]),
+    ("xxh_shingle_arrays", lambda s, sf: doc_pairs.xxh_shingle_arrays(s, sf)),
+    ("portable_shingle_arrays", lambda s, sf: doc_pairs.portable_shingle_arrays(s, sf)),
 ]
 
 
@@ -45,3 +47,20 @@ def test_shared_build_cache_contract(spark, sf_dir, name, build):
     fresh = build(other, sf_dir)
     assert fresh is not first, f"{name}: a new session must not see the old cache"
     assert _rows(fresh) == _rows(first), f"{name}: rebuild changed values"
+
+
+def test_shingle_set_derivations_match_operator_forms(spark, sf_dir):
+    """The row-local set derivations over the cached positional arrays
+    must be value-identical to the operator-level derivations they
+    replace (``dedup._shingle_sets`` / ``_portable_shingle_sets``) —
+    the cache is an amortization, never a semantic fork."""
+    from movie_data_etl_pipeline_spark.operators import dedup
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert _rows(doc_pairs.xxh_shingle_sets(spark, sf_dir)) == _rows(
+        dedup._shingle_sets(docs, "doc_id", "text", 3)
+    )
+    assert _rows(doc_pairs.portable_shingle_sets(spark, sf_dir)) == _rows(
+        dedup._portable_shingle_sets(docs, "doc_id", "text", 3)
+    )
