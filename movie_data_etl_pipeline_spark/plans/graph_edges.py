@@ -1,7 +1,7 @@
 """Shared customer↔supplier co-transaction edge build for the graph
 query family.
 
-Six registry queries (``gr_pagerank``, ``gr_label_prop``, ``gr_hits``,
+Seven registry queries (``gr_pagerank``, ``gr_label_prop``, ``gr_hits``,
 ``gr_khop_reach``, ``gr_modularity``, ``gr_conductance``, ``gr_bfs_hops``)
 run over the SAME base relation — the distinct (customer, supplier)
 pairs of the orders⋈lineitem order graph — and each used to rebuild it

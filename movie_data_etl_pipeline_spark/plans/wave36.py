@@ -98,6 +98,9 @@ def _cf_pair_counts(spark: SparkSession, sf: str):
         .localCheckpoint(eager=True)
     )
     item_n = item_n.localCheckpoint(eager=True)
+    # kept feeds rc_assoc_rules' n_baskets denominator — checkpoint it
+    # too so the orders⋈lineitem scan+distinct is not re-run per call
+    kept = kept.localCheckpoint(eager=True)
     per[sf] = (kept, item_n, pairs)
     return per[sf]
 

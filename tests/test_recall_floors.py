@@ -1,0 +1,79 @@
+"""Recall/agreement floors for the four hash-dependent production
+twins that the driver can only rows-only-check (their xxhash64 /
+Gaussian-plane values are not DuckDB-reproducible):
+
+- ``dd_minhash_lsh``        vs the exact ``dd_ngram_jaccard`` pairs
+- ``dd_minhash_incremental``vs the exact pairs touching the batch
+- ``dd_simhash``            vs the exact pairs at Jaccard ≥ 0.8
+- ``sim_embedding_near_dup``vs brute-force exact cosine pairs
+
+Each twin's verify stage is exact, so its output must be a SUBSET of
+the exact ground truth (precision 1.0 by construction — asserted), and
+the banding/bucketing must recall at least the floor below (measured
+1.0 / 1.0 / 0.93 / 1.0 at sf0.001; floors leave headroom for fixture
+regeneration). This upgrades the four from "runs" to self-certifying
+(VERDICT-r5 ask #7). All hashes are fixed-seed, so the measurements
+are deterministic per fixture.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+from pyspark.sql import functions as F
+
+from movie_data_etl_pipeline_spark.plans import fixture_queries as FQ
+from movie_data_etl_pipeline_spark.sources import load_table
+
+
+def _pairs(spark, sf_dir, name, flt=None):
+    df = FQ.QUERIES[name](spark, sf_dir)
+    if flt is not None:
+        df = df.filter(flt)
+    return {(r["a_id"], r["b_id"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_floor(spark, sf_dir):
+    exact = _pairs(spark, sf_dir, "dd_ngram_jaccard")
+    lsh = _pairs(spark, sf_dir, "dd_minhash_lsh")
+    assert lsh <= exact, "exact-verify stage must never emit a non-pair"
+    assert len(lsh & exact) >= 0.9 * len(exact)
+
+
+def test_minhash_incremental_recall_floor(spark, sf_dir):
+    exact = _pairs(spark, sf_dir, "dd_ngram_jaccard")
+    touching_batch = {(a, b) for (a, b) in exact if a % 10 == 0 or b % 10 == 0}
+    incr = _pairs(spark, sf_dir, "dd_minhash_incremental")
+    assert incr <= touching_batch
+    assert len(incr & touching_batch) >= 0.9 * len(touching_batch)
+
+
+def test_simhash_agreement_floor(spark, sf_dir):
+    """SimHash(hamming ≤ 6) is a different similarity than Jaccard, so
+    subset does not hold; the floor is agreement on the unambiguous
+    near-dups (Jaccard ≥ 0.8)."""
+    hi = _pairs(spark, sf_dir, "dd_ngram_jaccard", F.col("jaccard") >= 0.8)
+    sim = _pairs(spark, sf_dir, "dd_simhash")
+    assert hi, "fixture must plant near-duplicates"
+    assert len(sim & hi) >= 0.7 * len(hi)
+
+
+def test_embedding_near_dup_recall_floor(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()
+
+    def cos(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        return dp / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    exact = set()
+    for r1, r2 in itertools.combinations(rows, 2):
+        if cos(r1["embedding"], r2["embedding"]) >= 0.45:
+            exact.add(tuple(sorted((r1["vec_id"], r2["vec_id"]))))
+    nd = _pairs(spark, sf_dir, "sim_embedding_near_dup")
+    assert nd <= exact
+    assert exact, "fixture must contain near-parallel embeddings"
+    assert len(nd & exact) >= 0.7 * len(exact)

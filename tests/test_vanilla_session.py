@@ -20,16 +20,25 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import subprocess
 import sys
 import textwrap
 from pathlib import Path
 
 import pandas as pd
+import pytest
 
 REPO_ROOT = str(Path(__file__).resolve().parents[1])
-SF_DIR = "/root/testdata/sf0.001"
+# same sourcing rule as tests/conftest.py (not importable: tests/ is
+# not a package)
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 WINDOW = 50
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR),
+    reason=f"fixture dir {SF_DIR} absent (driver-generated testdata)",
+)
 
 # One hashing implementation, used verbatim in both sessions (keep in
 # sync textually — the subprocess re-executes this source).
