@@ -6,10 +6,19 @@ tail-truncating log capture (parse the LAST parseable line):
 
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
      "core_r2_total": <sec>, "core_r3_total": <sec>,
+     "calib_core_r2_ref": <sec>, "drift_factor": <x>,
+     "drift_normalized_total": <sec>,
      "queries": {"v1_top_actors": <sec>, ...}, "sf": "<dir>"}
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
      "core_r2_total": <sec>, "core_r3_total": <sec>,
-     "n_queries": <int>, "sf": "<dir>"}
+     "calib_core_r2_ref": <sec>, "drift_factor": <x>,
+     "drift_normalized_total": <sec>, "n_queries": <int>, "sf": "<dir>"}
+
+The calibration keys make box drift checkable without driver reruns:
+the frozen r2 core is code-untouched since round 2, so
+``drift_factor = core_r2_total / calib_core_r2_ref`` measures this
+box/run vs the pinned round-5 driver record, and
+``drift_normalized_total`` is the headline in reference-box seconds.
 
 Each query is forced end-to-end with the noop sink (full materialization
 of every output row — no pruning shortcut a ``count()`` might allow).
@@ -763,6 +772,20 @@ def main() -> None:
     # headline queries.
     core = round(sum(times[n] for n in CORE_R2), 3)
     core3 = round(sum(times[n] for n in CORE_R3), 3)
+    # Machine-calibration line (VERDICT-r5 ask #4): the frozen r2 core
+    # is code-untouched since round 2, so its total is a pure gauge of
+    # THIS BOX TODAY vs the pinned driver record below. Any
+    # round-over-round comparison of absolute seconds should divide by
+    # drift_factor first; a query is only a real regression if it
+    # exceeds ~1.5x its drift-normalized prior. (Box swings of 20-40%
+    # on identical code are the measured norm — see SCALE.md r6 A/B.)
+    calib_ref = 48.081  # core_r2_total in the round-5 DRIVER record (BENCH_r05)
+    drift = round(core / calib_ref, 3)
+    calib = {
+        "calib_core_r2_ref": calib_ref,
+        "drift_factor": drift,
+        "drift_normalized_total": round(total / drift, 1) if drift > 0 else None,
+    }
     print(
         json.dumps(
             {
@@ -771,6 +794,7 @@ def main() -> None:
                 "unit": "sec",
                 "core_r2_total": core,
                 "core_r3_total": core3,
+                **calib,
                 "queries": times,
                 "sf": sf_dir,
             }
@@ -788,6 +812,7 @@ def main() -> None:
                 "unit": "sec",
                 "core_r2_total": core,
                 "core_r3_total": core3,
+                **calib,
                 "n_queries": len(times),
                 "sf": sf_dir,
             }

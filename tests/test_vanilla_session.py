@@ -59,7 +59,9 @@ def result_hash(pdf):
 exec(_NORMALIZE_SRC)  # defines result_hash in this module
 
 
-_SUBPROCESS_SCRIPT = f'''
+def _subprocess_script(limit: int | None) -> str:
+    bound = "" if limit is None else f"[:{limit}]"
+    return f'''
 import json, sys, traceback
 
 sys.path.insert(0, {REPO_ROOT!r})
@@ -79,7 +81,7 @@ import __spark_entry__ as m
 
 qs = m.queries()
 out = {{}}
-for name in list(qs)[:{WINDOW}]:
+for name in list(qs){bound}:
     try:
         pdf = qs[name](spark, {SF_DIR!r}).toPandas()
         out[name] = {{"rows": len(pdf), "hash": result_hash(pdf)}}
@@ -90,12 +92,12 @@ spark.stop()
 '''
 
 
-def test_driver_window_is_session_independent(spark):
+def _run_and_compare(spark, limit: int | None, timeout: int) -> None:
     proc = subprocess.run(
-        [sys.executable, "-c", _SUBPROCESS_SCRIPT],
+        [sys.executable, "-c", _subprocess_script(limit)],
         capture_output=True,
         text=True,
-        timeout=1700,
+        timeout=timeout,
         cwd=REPO_ROOT,
     )
     lines = [
@@ -108,18 +110,35 @@ def test_driver_window_is_session_independent(spark):
     vanilla = json.loads(lines[-1][len("VANILLA_RESULT ") :])
 
     errors = {n: r["error"] for n, r in vanilla.items() if "error" in r}
-    assert not errors, f"window queries ERROR under a vanilla session: {errors}"
+    assert not errors, f"queries ERROR under a vanilla session: {errors}"
 
     import __spark_entry__ as m
 
     qs = m.queries()
+    names = list(qs) if limit is None else list(qs)[:limit]
     mismatches = {}
-    for name in list(qs)[:WINDOW]:
+    for name in names:
         pdf = qs[name](spark, SF_DIR).toPandas()
         repo = {"rows": len(pdf), "hash": result_hash(pdf)}
         if repo != vanilla[name]:
             mismatches[name] = {"repo": repo, "vanilla": vanilla[name]}
     assert not mismatches, (
-        "window queries produce DIFFERENT results under a vanilla session "
+        "queries produce DIFFERENT results under a vanilla session "
         f"(conf-dependent values): {mismatches}"
     )
+
+
+def test_driver_window_is_session_independent(spark):
+    _run_and_compare(spark, WINDOW, timeout=1700)
+
+
+@pytest.mark.slow
+def test_full_registry_is_session_independent(spark):
+    """The whole-registry variant (VERDICT-r5 ask #5): certifies every
+    entry — not just the driver window — against the conf-dependence
+    failure class before its driver round arrives. Marked slow; run
+    explicitly once per round:
+
+        python -m pytest tests/test_vanilla_session.py -m slow -q
+    """
+    _run_and_compare(spark, None, timeout=5400)
