@@ -8689,10 +8689,12 @@ ORACLES.update(_wave59.ORACLES)
 # that changed this round but are ALREADY in the checked tail
 # (dd_ngram_jaccard, dd_minhash_lsh, dd_minhash_portable,
 # dd_minhash_incr_portable, dd_dup_clusters, dd_canonical_pick's
-# siblings) are NOT re-windowed — their re-validation relies on the
-# full local crosscheck at sf0.01/sf0.001 plus the equivalence test in
-# tests/test_shared_builds.py, which pins the cached derivations
-# against the operator-level forms value-for-value.
+# siblings, and gr_khop_reach's MS-BFS bitmap rewrite) are NOT
+# re-windowed — their re-validation relies on the full local
+# crosscheck at sf0.01/sf0.001 plus the equivalence test in
+# tests/test_shared_builds.py (and for khop the exact Python BFS
+# reference in tests/test_wave26.py), which pin the new forms
+# value-for-value.
 # ROUND-7 ROTATION: fold CORRECTNESS_r06's green names into this set
 # (rename _R1_R6), replace `_R6_WINDOW` with the next 50 never-checked
 # names (print them: python -c "from
