@@ -167,7 +167,9 @@ def gr_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
         )
     out = sj
     for c in delta_counts:
-        out = out.join(c, "j", "left")
+        # per-round count relations are <= _SEED_CAP rows — broadcast
+        # so the final assembly never exchanges the seed relation
+        out = out.join(F.broadcast(c), "j", "left")
     running = zero
     reach_cols = []
     for k in range(1, _KHOP + 1):
