@@ -8689,8 +8689,10 @@ ORACLES.update(_wave59.ORACLES)
 # that changed this round but are ALREADY in the checked tail
 # (dd_ngram_jaccard, dd_minhash_lsh, dd_minhash_portable,
 # dd_minhash_incr_portable, dd_dup_clusters, dd_canonical_pick's
-# siblings, and gr_khop_reach's MS-BFS bitmap rewrite) are NOT
-# re-windowed — their re-validation relies on the full local
+# siblings, gr_khop_reach's MS-BFS bitmap rewrite, and the
+# rc_item_item_cf / rc_assoc_rules base now on the shared
+# copurchase_pairs build) are NOT re-windowed — their re-validation
+# relies on the full local
 # crosscheck at sf0.01/sf0.001 plus the equivalence test in
 # tests/test_shared_builds.py (and for khop the exact Python BFS
 # reference in tests/test_wave26.py), which pin the new forms

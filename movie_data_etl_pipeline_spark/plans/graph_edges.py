@@ -57,6 +57,30 @@ def cotx_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return per[sf]
 
 
+def copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct (c, p) = (o_custkey, l_partkey) co-PURCHASE pairs —
+    the customer↔part analogue of :func:`cotx_pairs`, built and
+    eagerly localCheckpointed once per (session, sf). Shared base of
+    the co-purchase family: ``wave36._cf_baskets`` (item-item CF,
+    association rules) and ``wave25.gr_link_prediction`` each started
+    from this exact orders⋈lineitem scan + distinct."""
+    per = _PAIRS_CACHE.setdefault(spark, {})
+    key = f"{sf}::copurchase"
+    if key not in per:
+        o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        per[key] = (
+            o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(
+                F.col("o_custkey").cast("bigint").alias("c"),
+                F.col("l_partkey").cast("bigint").alias("p"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return per[key]
+
+
 def cotx_node_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """The pairs under the shared node encoding — customers at even ids
     (2c), suppliers at odd (2s+1) — as (c_node, s_node)."""

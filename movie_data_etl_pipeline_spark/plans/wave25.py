@@ -158,22 +158,17 @@ def gr_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     the same candidate-bounding discipline as `dd_containment`.
     Top-100 pairs by (jaccard desc, keys asc); integer counts until
     one division."""
-    orders = load_table(spark, sf, "orders")
-    lineitem = load_table(spark, sf, "lineitem")
-    cs = (
-        orders.select("o_orderkey", "o_custkey")
-        .join(
-            lineitem.select("l_orderkey", "l_partkey"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("s"))
-        .distinct()
-        # NOT checkpointed on purpose: the three consumers (deg, hub
-        # cut, posting side) share one identical exchange, which Spark
-        # dedups via ReusedExchange; an A/B measured the explicit
-        # barrier strictly slower (it adds a materialization without
-        # removing any work)
-    )
+    from movie_data_etl_pipeline_spark.plans.graph_edges import copurchase_pairs
+
+    # family-shared cached (customer, part) distinct build — the same
+    # base relation wave36's CF/assoc-rules family starts from, so the
+    # orders⋈lineitem scan + distinct is paid once per session. (An
+    # earlier in-query A/B found an explicit barrier strictly slower
+    # than ReusedExchange for THIS query alone; the shared checkpoint
+    # differs by amortizing the build across the whole co-purchase
+    # family, and all three consumers here — deg, hub cut, posting —
+    # read the flat checkpoint.)
+    cs = copurchase_pairs(spark, sf).select("c", F.col("p").alias("s"))
     deg = cs.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     hub_ok = (
         cs.groupBy("s")

@@ -50,13 +50,11 @@ def _cf_baskets(spark: SparkSession, sf: str):
     fan-out reduction pays for it many times over. Either way the
     optimizer picks the right physical strategy from runtime stats.
     """
-    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = (
-        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
+    from movie_data_etl_pipeline_spark.plans.graph_edges import copurchase_pairs
+
+    # family-shared cached (c, p) distinct build (also feeds
+    # gr_link_prediction)
+    baskets = copurchase_pairs(spark, sf)
     sizes = baskets.groupBy("c").agg(F.count(F.lit(1)).alias("bn"))
     kept = baskets.join(sizes.filter(F.col("bn") <= _CF_MAX_BASKET), "c").select(
         "c", "p"

@@ -34,6 +34,7 @@ BUILDERS = [
     ("cf_pair_counts", lambda s, sf: _cf_pair_counts(s, sf)[2]),
     ("xxh_shingle_arrays", lambda s, sf: doc_pairs.xxh_shingle_arrays(s, sf)),
     ("portable_shingle_arrays", lambda s, sf: doc_pairs.portable_shingle_arrays(s, sf)),
+    ("copurchase_pairs", lambda s, sf: graph_edges.copurchase_pairs(s, sf)),
 ]
 
 
