@@ -589,9 +589,14 @@ def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
     round count is a fixed unroll (matching the SQL oracle); a
     production full peel iterates the same step with a convergence
     aggregate, exactly like ``dedup.duplicate_clusters``."""
+    # internal node ids are LONGS (suppliers even 2s, parts odd 2p+1 —
+    # the graph_edges encoding): every peel round shuffles/aggregates
+    # the adjacency 4+ times, and fixed-width int64 keys beat ~6-char
+    # strings on every one of those exchanges. The public "s123"/"p456"
+    # labels are rendered once at the end — output values unchanged.
     li = load_table(spark, sf, "lineitem").select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("u"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("v"),
+        (F.col("l_suppkey").cast("bigint") * 2).alias("u"),
+        (F.col("l_partkey").cast("bigint") * 2 + 1).alias("v"),
     ).distinct()
     adj = (
         li.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
@@ -635,6 +640,19 @@ def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return (
         adj.groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .select(
+            F.when(
+                F.col("node") % 2 == 0,
+                F.concat(F.lit("s"), (F.col("node") / 2).cast("bigint").cast("string")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("p"), ((F.col("node") - 1) / 2).cast("bigint").cast("string")
+                )
+            )
+            .alias("node"),
+            "degree",
+        )
         .orderBy(F.desc("degree"), F.asc("node"))
     )
 
