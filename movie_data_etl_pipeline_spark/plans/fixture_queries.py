@@ -951,17 +951,12 @@ def gr_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     imputation pass (language/license/quality tiers) at corpus scale.
     Iterative like PageRank, and like it fully oracle-checked via
     unrolled rounds (integer votes, (count desc, label asc) tie-break).
-    """
-    from movie_data_etl_pipeline_spark.plans.graph_edges import cotx_node_pairs
+    The fixed point comes from the family-shared cached build
+    (``plans/graph_edges.cotx_labels`` — gr_modularity and
+    gr_conductance iterate the identical propagation)."""
+    from movie_data_etl_pipeline_spark.plans.graph_edges import cotx_labels
 
-    customer = load_table(spark, sf, "customer")
-    edges = cotx_node_pairs(spark, sf).select(
-        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
-    )
-    seeds = customer.filter(F.col("c_custkey") % 4 == 0).select(
-        (F.col("c_custkey") * 2).alias("node"), F.col("c_mktsegment").alias("label")
-    )
-    out = graph.label_propagation(edges, seeds, iters=3)
+    out = cotx_labels(spark, sf)
     return out.filter(F.col("label").isNotNull()).orderBy("node")
 
 
@@ -8689,10 +8684,11 @@ ORACLES.update(_wave59.ORACLES)
 # that changed this round but are ALREADY in the checked tail
 # (dd_ngram_jaccard, dd_minhash_lsh, dd_minhash_portable,
 # dd_minhash_incr_portable, dd_dup_clusters, dd_canonical_pick's
-# siblings, gr_khop_reach's MS-BFS bitmap rewrite, and the
-# rc_item_item_cf / rc_assoc_rules base now on the shared
-# copurchase_pairs build) are NOT re-windowed — their re-validation
-# relies on the full local
+# siblings, gr_khop_reach's MS-BFS bitmap rewrite, gr_kcore's int64
+# node encoding, the rc_item_item_cf / rc_assoc_rules base now on the
+# shared copurchase_pairs build, and gr_label_prop / gr_modularity /
+# gr_conductance on the shared cotx_labels fixed point) are NOT
+# re-windowed — their re-validation relies on the full local
 # crosscheck at sf0.01/sf0.001 plus the equivalence test in
 # tests/test_shared_builds.py (and for khop the exact Python BFS
 # reference in tests/test_wave26.py), which pin the new forms

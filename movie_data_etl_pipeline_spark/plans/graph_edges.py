@@ -97,3 +97,33 @@ def cotx_edges(spark: SparkSession, sf: str) -> DataFrame:
     return p.select(
         F.col("c_node").alias("src"), F.col("s_node").alias("dst")
     ).unionByName(p.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
+
+
+def cotx_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """The 3-round deterministic label-propagation fixed point over the
+    co-transaction graph (25% of customers seeded with their market
+    segment — the exact relation ``gr_label_prop`` returns before its
+    NULL filter), built once per (session, sf) and eagerly
+    localCheckpointed. Three registry queries run this identical
+    iteration (``gr_label_prop``, ``gr_modularity``,
+    ``gr_conductance``); the propagation is deterministic ((count desc,
+    label asc) tie-break), so sharing the fixed point is pure
+    amortization."""
+    from movie_data_etl_pipeline_spark.operators import graph
+    from movie_data_etl_pipeline_spark.sources import load_table as _lt
+
+    per = _PAIRS_CACHE.setdefault(spark, {})
+    key = f"{sf}::labels"
+    if key not in per:
+        customer = _lt(spark, sf, "customer")
+        edges = cotx_node_pairs(spark, sf).select(
+            F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+        )
+        seeds = customer.filter(F.col("c_custkey") % 4 == 0).select(
+            (F.col("c_custkey") * 2).alias("node"),
+            F.col("c_mktsegment").alias("label"),
+        )
+        per[key] = graph.label_propagation(edges, seeds, iters=3).localCheckpoint(
+            eager=True
+        )
+    return per[key]

@@ -200,19 +200,15 @@ def gr_modularity(spark: SparkSession, sf: str) -> DataFrame:
     (edge counts, degree sums) until one final double expression per
     row, written with identical association in both engines. The
     total modularity is Σ of the per-community rows."""
-    from movie_data_etl_pipeline_spark.plans.graph_edges import cotx_node_pairs
-
-    customer = load_table(spark, sf, "customer")
-    edges_cs = cotx_node_pairs(spark, sf)
-    seeds = customer.filter(F.col("c_custkey") % 4 == 0).select(
-        (F.col("c_custkey") * 2).alias("node"), F.col("c_mktsegment").alias("label")
+    from movie_data_etl_pipeline_spark.plans.graph_edges import (
+        cotx_labels,
+        cotx_node_pairs,
     )
-    # label_propagation symmetrizes internally — pass the directed edges
-    lab = graph.label_propagation(
-        edges_cs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")),
-        seeds,
-        iters=3,
-    ).filter(F.col("label").isNotNull())
+
+    edges_cs = cotx_node_pairs(spark, sf)
+    # family-shared cached label-propagation fixed point (also feeds
+    # gr_label_prop and gr_conductance)
+    lab = cotx_labels(spark, sf).filter(F.col("label").isNotNull())
     e = (
         edges_cs.join(
             lab.select(F.col("node").alias("c_node"), F.col("label").alias("la")),

@@ -35,6 +35,7 @@ BUILDERS = [
     ("xxh_shingle_arrays", lambda s, sf: doc_pairs.xxh_shingle_arrays(s, sf)),
     ("portable_shingle_arrays", lambda s, sf: doc_pairs.portable_shingle_arrays(s, sf)),
     ("copurchase_pairs", lambda s, sf: graph_edges.copurchase_pairs(s, sf)),
+    ("cotx_labels", lambda s, sf: graph_edges.cotx_labels(s, sf)),
 ]
 
 
