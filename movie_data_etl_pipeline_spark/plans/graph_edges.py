@@ -1,5 +1,4 @@
-"""Shared customer↔supplier co-transaction edge build for the graph
-query family.
+"""Shared relation builds for the graph / co-purchase query families.
 
 Seven registry queries (``gr_pagerank``, ``gr_label_prop``, ``gr_hits``,
 ``gr_khop_reach``, ``gr_modularity``, ``gr_conductance``, ``gr_bfs_hops``)
@@ -8,7 +7,11 @@ pairs of the orders⋈lineitem order graph — and each used to rebuild it
 from the parquet scans. This module builds it ONCE per (SparkSession,
 sf_dir) and hands out cheap map-side derivations (node encoding, edge
 direction), so a bench/driver pass over the family pays the scan + join
-+ distinct exactly once.
++ distinct exactly once. Round 6 added two more cached builds on the
+same discipline: the distinct (customer, part) co-PURCHASE pairs
+(``copurchase_pairs`` — CF, association rules, link prediction) and
+the 3-round label-propagation fixed point (``cotx_labels`` —
+gr_label_prop, gr_modularity, gr_conductance).
 
 The cache is a ``WeakKeyDictionary`` keyed by the live session: entries
 die with the session (no stale DataFrames bound to a stopped session),
