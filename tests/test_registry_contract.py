@@ -86,14 +86,18 @@ def test_queries_callable_with_two_args():
 
 def test_rotation_front50_is_all_never_driver_checked():
     # the whole point of the rotation: the driver's 50-entry window
-    # must contain ONLY entries without a prior green driver row
-    from movie_data_etl_pipeline_spark.plans.fixture_queries import (
-        _DRIVER_CHECKED_R1_R4,
-    )
+    # must contain ONLY entries without a prior green driver row.
+    # The checked frozenset is renamed each rotation (_R1_R4 -> _R1_R5
+    # -> ...) — resolve it by prefix so this test survives rotations.
+    from movie_data_etl_pipeline_spark.plans import fixture_queries as FQ
+
+    names = [n for n in dir(FQ) if n.startswith("_DRIVER_CHECKED")]
+    assert len(names) == 1, f"expected one _DRIVER_CHECKED_* set, got {names}"
+    checked = getattr(FQ, names[0])
 
     front = list(QUERIES)[:50]
-    overlap = sorted(set(front) & _DRIVER_CHECKED_R1_R4)
+    overlap = sorted(set(front) & checked)
     assert not overlap, f"already-checked names in the driver window: {overlap}"
     # and the checked tail must actually be at the tail
-    tail = list(QUERIES)[-len(_DRIVER_CHECKED_R1_R4):]
-    assert set(tail) <= _DRIVER_CHECKED_R1_R4
+    tail = list(QUERIES)[-len(checked):]
+    assert set(tail) <= checked
