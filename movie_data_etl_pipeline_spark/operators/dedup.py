@@ -542,16 +542,18 @@ def minhash_lsh_pairs_portable(
     bands: int = 8,
     threshold: float = 0.5,
     sh: DataFrame | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`minhash_lsh_pairs` with every hash replaced by portable
     arithmetic (LCG permutations over a polynomial shingle fold): the
     exact same banding plan shape — zero-shuffle signatures, band-bucket
     equality self-join, verify-on-candidates — but with output that a
     DuckDB oracle reproduces value-for-value. Same plan, provable bits.
-    ``sh`` optionally supplies a pre-built portable shingle-set relation.
+    ``sh`` / ``banded`` optionally supply pre-built portable
+    shingle-set / (id, band, bucket) index relations.
     """
     sh = (sh if sh is not None else _portable_shingle_sets(docs, id_col, text_col, n)).persist()
-    banded = _portable_banded(sh, num_hashes, bands).persist()
+    banded = (banded if banded is not None else _portable_banded(sh, num_hashes, bands)).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -578,16 +580,25 @@ def incremental_minhash_pairs_portable(
     threshold: float = 0.5,
     sh_c: DataFrame | None = None,
     sh_b: DataFrame | None = None,
+    banded_b: DataFrame | None = None,
+    banded_all: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`incremental_minhash_pairs` over the portable hash family:
     batch-buckets ⨝ all-buckets (work scales with the arriving batch,
     never corpus×corpus), with hash values a DuckDB oracle reproduces —
     so the INCREMENTAL indexing path gets value-checked evidence too,
-    not just the batch==full-recompute property test."""
+    not just the batch==full-recompute property test. ``banded_b`` /
+    ``banded_all`` optionally supply pre-built (id, band, bucket)
+    index relations (banding is per-document row-local, so slicing a
+    full-corpus index by id is value-identical to banding the slice)."""
     sh_c = (sh_c if sh_c is not None else _portable_shingle_sets(corpus, id_col, text_col, n)).persist()
     sh_b = (sh_b if sh_b is not None else _portable_shingle_sets(batch, id_col, text_col, n)).persist()
-    banded_b = _portable_banded(sh_b, num_hashes, bands).persist()
-    all_banded = _portable_banded(sh_c, num_hashes, bands).unionByName(banded_b)
+    banded_b = (banded_b if banded_b is not None else _portable_banded(sh_b, num_hashes, bands)).persist()
+    all_banded = (
+        banded_all
+        if banded_all is not None
+        else _portable_banded(sh_c, num_hashes, bands).unionByName(banded_b)
+    )
     a = banded_b.alias("a")
     b = all_banded.alias("b")
     candidates = (

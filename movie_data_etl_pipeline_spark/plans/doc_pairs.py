@@ -112,6 +112,24 @@ def portable_shingle_sets(spark: SparkSession, sf: str) -> DataFrame:
     return _sets_from_arrays(portable_shingle_arrays(spark, sf))
 
 
+def portable_banded_index(spark: SparkSession, sf: str) -> DataFrame:
+    """The (id, band, bucket) portable MinHash LSH index at the
+    registry's standard 32 hashes / 8 bands, built once per (session,
+    sf) and eagerly localCheckpointed. Three queries compute this
+    identical relation (``dd_minhash_portable``,
+    ``dd_minhash_incr_portable`` — banding is per-document row-local,
+    so its corpus/batch splits are id-filters over the full index —
+    and ``dd_lsh_recall``); at 100 TB this IS the persisted near-dup
+    index table a production pipeline maintains."""
+    per = _CACHE.setdefault(spark, {})
+    key = (sf, "banded32x8")
+    if key not in per:
+        per[key] = dedup._portable_banded(
+            portable_shingle_sets(spark, sf), 32, 8
+        ).localCheckpoint(eager=True)
+    return per[key]
+
+
 def jaccard_pairs(spark: SparkSession, sf: str, threshold: float) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs at ``threshold``,
     built and eagerly localCheckpointed once per (session, sf,

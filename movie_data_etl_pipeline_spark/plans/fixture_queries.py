@@ -673,13 +673,18 @@ def dd_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
     value is reproducible in DuckDB — so the LSH pipeline itself (which
     pairs collide, not just how many) is hash-checked by the oracle.
     The xxhash64 production twin stays rows-only + recall-tested.
-    Portable shingle sets come from the family-shared cached build."""
-    from movie_data_etl_pipeline_spark.plans.doc_pairs import portable_shingle_sets
+    Portable shingle sets AND the 32x8 banded index come from the
+    family-shared cached builds."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import (
+        portable_banded_index,
+        portable_shingle_sets,
+    )
 
     docs = load_table(spark, sf, "documents")
     return dedup.minhash_lsh_pairs_portable(
         docs, n=3, num_hashes=32, bands=8, threshold=0.5,
         sh=portable_shingle_sets(spark, sf),
+        banded=portable_banded_index(spark, sf),
     )
 
 
@@ -1205,19 +1210,26 @@ def dd_minhash_incr_portable(spark: SparkSession, sf: str) -> DataFrame:
     portable hash family: same batch split as ``dd_minhash_incremental``
     (doc_id % 10 == 0 arrives, rest indexed) with a full value-checked
     oracle — the incremental indexing path's collisions are hash-proved,
-    not just property-tested. Corpus/batch shingle sets are id-filters
-    over the family-shared cached build (row-local shingling commutes
-    with the id filter)."""
-    from movie_data_etl_pipeline_spark.plans.doc_pairs import portable_shingle_sets
+    not just property-tested. Corpus/batch shingle sets and batch
+    banding are id-filters over the family-shared cached builds
+    (row-local shingling/banding commutes with the id filter; the
+    all-side index is the full cached index verbatim)."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import (
+        portable_banded_index,
+        portable_shingle_sets,
+    )
 
     docs = load_table(spark, sf, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     batch = docs.where(F.col("doc_id") % 10 == 0)
     sets = portable_shingle_sets(spark, sf)
+    banded = portable_banded_index(spark, sf)
     return dedup.incremental_minhash_pairs_portable(
         corpus, batch,
         sh_c=sets.where(F.col("id") % 10 != 0),
         sh_b=sets.where(F.col("id") % 10 == 0),
+        banded_b=banded.where(F.col("id") % 10 == 0),
+        banded_all=banded,
     )
 
 
@@ -7944,9 +7956,16 @@ def dd_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     ``k ≈ N / 20_000`` so the ground-truth side stays ~20k docs
     regardless of N. The banded candidate side is restricted to the
     same slice (only sampled pairs are probed). The DuckDB oracle
-    applies the identical predicate, keeping the pair in lockstep."""
-    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 4 == 0)
-    sh = dedup._portable_shingle_sets(docs, "doc_id", "text", 3).persist()
+    applies the identical predicate, keeping the pair in lockstep.
+    Shingle sets and the 32x8 banded index are id-filters over the
+    family-shared cached builds (both derivations are per-document
+    row-local, so the filter commutes)."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import (
+        portable_banded_index,
+        portable_shingle_sets,
+    )
+
+    sh = portable_shingle_sets(spark, sf).where(F.col("id") % 4 == 0).persist()
     ex = sh.select("id", F.explode("sh").alias("h"))
     shared = (
         ex.alias("a")
@@ -7963,7 +7982,7 @@ def dd_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
         .join(sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb")), "b_id")
         .withColumn("u", F.col("na") + F.col("nb") - F.col("n_shared"))
     )
-    banded = dedup._portable_banded(sh, 32, 8)
+    banded = portable_banded_index(spark, sf).where(F.col("id") % 4 == 0)
     cand = (
         banded.alias("x")
         .join(

@@ -343,11 +343,16 @@ def ts_esd_outliers(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("y").cast("bigint").alias("sy"),
         ).select("n", F.expr("sy div n").cast("bigint").alias("a"))
         anchored = remaining.crossJoin(F.broadcast(pre))
+        # d2 in DECIMAL(38,0): the anchored squares are deviation-
+        # bounded but Σ(y−a)² still brushes int64 max at ~30× sf0.1
+        # (caught by the 30× sweep, round 6 — ANSI mode faults instead
+        # of wrapping). Decimal keeps the sum EXACT like DuckDB's
+        # HUGEINT, and the value reaches the r statistic only through
+        # the same cast-to-double both engines apply.
+        dev = (F.col("y") - F.col("a")).cast("decimal(19,0)")
         s = anchored.groupBy("n", "a").agg(
             F.sum(F.col("y") - F.col("a")).cast("bigint").alias("d1"),
-            F.sum((F.col("y") - F.col("a")) * (F.col("y") - F.col("a")))
-            .cast("bigint")
-            .alias("d2"),
+            F.sum(dev * dev).alias("d2"),
         )
         scored = remaining.crossJoin(F.broadcast(s)).select(
             "dte",

@@ -36,6 +36,7 @@ BUILDERS = [
     ("portable_shingle_arrays", lambda s, sf: doc_pairs.portable_shingle_arrays(s, sf)),
     ("copurchase_pairs", lambda s, sf: graph_edges.copurchase_pairs(s, sf)),
     ("cotx_labels", lambda s, sf: graph_edges.cotx_labels(s, sf)),
+    ("portable_banded_index", lambda s, sf: doc_pairs.portable_banded_index(s, sf)),
 ]
 
 
