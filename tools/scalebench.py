@@ -178,12 +178,21 @@ def amplify(spark, src_dir: str, out_dir: str, factor: int) -> None:
     Path(done).touch()
 
 
-def run_set(spark, sf_dir: str) -> dict[str, float]:
-    times: dict[str, float] = {}
+def run_set(spark, sf_dir: str) -> dict[str, object]:
+    """Times per query; a failing query records its error string
+    instead of killing the whole sweep (one scale bug must not hide
+    the other 88 measurements), and progress goes to stderr so a
+    crashed run still names its last query."""
+    times: dict[str, object] = {}
     for name in SCALE_QUERIES:
         fn = FQ.QUERIES[name]
+        print(f"scalebench: {name} @ {sf_dir}", file=sys.stderr, flush=True)
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — record and continue
+            times[name] = f"ERROR: {str(e).splitlines()[0][:200]}"
+            continue
         times[name] = round(time.time() - t0, 3)
     return times
 
@@ -204,13 +213,13 @@ def main() -> None:
     ).save()
     t1 = run_set(spark, base_dir)
     tn = run_set(spark, amp_dir)
-    result = {
-        "factor": factor,
-        "queries": {
-            q: {"t1": t1[q], "tn": tn[q], "ratio": round(tn[q] / max(t1[q], 1e-9), 2)}
-            for q in SCALE_QUERIES
-        },
-    }
+    def cell(q):
+        a, b = t1[q], tn[q]
+        if isinstance(a, str) or isinstance(b, str):
+            return {"t1": a, "tn": b, "ratio": None}
+        return {"t1": a, "tn": b, "ratio": round(b / max(a, 1e-9), 2)}
+
+    result = {"factor": factor, "queries": {q: cell(q) for q in SCALE_QUERIES}}
     line = json.dumps(result)
     print(line)
     if out_json:
