@@ -1,0 +1,52 @@
+"""Whole-registry execution sweep at an amplified scale point: run
+EVERY registry query (no exclusions — including the near-dup families
+the timing sweep excludes for measurement-semantics reasons) against
+`/tmp/scalebench_xN` fixtures, recording per-query wall time or error.
+
+This is not a benchmark — it is an ANSI-mode fault hunt: Spark raises
+ARITHMETIC_OVERFLOW / broadcast-OOM loudly instead of wrapping, so one
+pass certifies "every query EXECUTES at Nx data", the class of latent
+scale bug the round-6 30x sweep caught in ts_esd_outliers.
+
+    python tools/error_sweep.py [factor] [out_json]
+
+Writes one JSON line {"factor": N, "results": {name: sec | "ERROR: ..."}}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from movie_data_etl_pipeline_spark.plans import fixture_queries as FQ
+from movie_data_etl_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_json = sys.argv[2] if len(sys.argv) > 2 else ""
+    sf_dir = f"/tmp/scalebench_x{factor}"
+    spark = get_spark("error-sweep")
+    results: dict[str, object] = {}
+    for name, fn in FQ.QUERIES.items():
+        print(f"error_sweep: {name}", file=sys.stderr, flush=True)
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            results[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — the whole point
+            results[name] = f"ERROR: {str(e).splitlines()[0][:300]}"
+        spark.catalog.clearCache()
+    errs = {k: v for k, v in results.items() if isinstance(v, str)}
+    line = json.dumps({"factor": factor, "n_errors": len(errs), "results": results})
+    print(line)
+    if out_json:
+        Path(out_json).write_text(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
