@@ -170,17 +170,46 @@ def gr_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     # read the flat checkpoint.)
     cs = copurchase_pairs(spark, sf).select("c", F.col("p").alias("s"))
     deg = cs.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    hub_ok = (
+    # candidate pairs via ARRAY-FORM generation instead of the posting
+    # self-join: group the postings per part, sort the customer list,
+    # apply the hub cut as an array-size filter, and emit the ordered
+    # pairs map-side with nested array transforms. Same pair multiset
+    # as the self-join — but ONE shuffle of the posting relation (the
+    # groupBy) instead of two join sides plus an ~18M-row join output
+    # feeding the aggregate. Round-6 interleaved A/B
+    # (tools/ab_linkpred.py, identical top-100 asserted): median 3.3 s
+    # vs 6.9-7.3 s (join form) at sf0.1 and 13.6 vs 16.0 at 10x; a
+    # filter-before-collect variant (hub_ok join ahead of the
+    # collect) planned a SortMergeJoin on the post-agg relation and
+    # measured 10+ s — and at corpus scale hub_ok ≈ ALL parts, so
+    # that join is never broadcastable anyway. Trade-off: a mega-hub
+    # key buffers its full posting list before the size filter drops
+    # it; on co-purchase-shaped data fan is distribution-bounded, and
+    # for adversarial long-tail corpora the pre-cut join form is kept
+    # in tools/ab_linkpred.py.
+    groups = (
         cs.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("fan"))
-        .filter(F.col("fan") <= 200)
-        .select("s")
+        .agg(F.array_sort(F.collect_list("c")).alias("cu"))
+        .filter((F.size("cu") <= 200) & (F.size("cu") >= 2))
     )
-    p = cs.join(hub_ok, "s")
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("cu"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("cu"), i + 2,
+                            F.greatest(F.size("cu") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("c_a"), y.alias("c_b")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select("pr.c_a", "pr.c_b")
     shared = (
-        p.alias("a")
-        .join(p.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.c") < F.col("b.c")))
-        .groupBy(F.col("a.c").alias("c_a"), F.col("b.c").alias("c_b"))
+        pairs.groupBy("c_a", "c_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
