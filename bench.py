@@ -28,6 +28,7 @@ numbers reflect steady-state throughput.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -780,6 +781,14 @@ def main() -> None:
     # exceeds ~1.5x its drift-normalized prior. (Box swings of 20-40%
     # on identical code are the measured norm — see SCALE.md r6 A/B.)
     calib_ref = 48.081  # core_r2_total in the round-5 DRIVER record (BENCH_r05)
+    # calib_ref is only meaningful for the EXACT CORE_R2 membership it
+    # was recorded against (ADVICE-r6): pin it so any change to the set
+    # forces an explicit re-calibration instead of silently skewing
+    # every drift-normalized total.
+    assert (
+        hashlib.sha256(",".join(sorted(CORE_R2)).encode()).hexdigest()[:12]
+        == "62954eb98e95"
+    ), "CORE_R2 membership changed — re-pin calib_ref against a fresh driver record"
     drift = round(core / calib_ref, 3)
     calib = {
         "calib_core_r2_ref": calib_ref,

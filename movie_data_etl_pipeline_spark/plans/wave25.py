@@ -182,15 +182,25 @@ def gr_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     # filter-before-collect variant (hub_ok join ahead of the
     # collect) planned a SortMergeJoin on the post-agg relation and
     # measured 10+ s — and at corpus scale hub_ok ≈ ALL parts, so
-    # that join is never broadcastable anyway. Trade-off: a mega-hub
-    # key buffers its full posting list before the size filter drops
-    # it; on co-purchase-shaped data fan is distribution-bounded, and
-    # for adversarial long-tail corpora the pre-cut join form is kept
-    # in tools/ab_linkpred.py.
-    groups = (
+    # that join is never broadcastable anyway. Per-group memory is
+    # bounded by pre-dropping hubs with a broadcast ANTI-join on the
+    # fan>200 key set (ADVICE-r6): the COMPLEMENT of hub_ok is tiny
+    # even when hub_ok is not (hubs are the distribution tail), so the
+    # anti side always broadcasts, a mega-hub never buffers its full
+    # posting list in one aggregation group, and the count aggregate
+    # that derives the hub set is map-side partial — one cheap extra
+    # pass over the checkpointed build, no SortMergeJoin.
+    hubs = (
         cs.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("fan"))
+        .filter(F.col("fan") > 200)
+        .select("s")
+    )
+    groups = (
+        cs.join(F.broadcast(hubs), "s", "left_anti")
+        .groupBy("s")
         .agg(F.array_sort(F.collect_list("c")).alias("cu"))
-        .filter((F.size("cu") <= 200) & (F.size("cu") >= 2))
+        .filter(F.size("cu") >= 2)
     )
     pairs = groups.select(
         F.explode(

@@ -641,14 +641,16 @@ def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
         adj.groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
         .select(
+            # shiftright is exact integer division by 2 for both
+            # parities (even: n/2; odd: (n-1)/2) — a float `/ 2` is
+            # exact only below 2^53 and would render a wrong label
+            # silently for larger encoded keys (ADVICE-r6)
             F.when(
                 F.col("node") % 2 == 0,
-                F.concat(F.lit("s"), (F.col("node") / 2).cast("bigint").cast("string")),
+                F.concat(F.lit("s"), F.shiftright("node", 1).cast("string")),
             )
             .otherwise(
-                F.concat(
-                    F.lit("p"), ((F.col("node") - 1) / 2).cast("bigint").cast("string")
-                )
+                F.concat(F.lit("p"), F.shiftright("node", 1).cast("string"))
             )
             .alias("node"),
             "degree",
