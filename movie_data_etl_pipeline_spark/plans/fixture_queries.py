@@ -8694,33 +8694,47 @@ ORACLES.update(_wave59.ORACLES)
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the
 # mechanism by which the official record converges on the registry.
-# Names below have a green driver row in CORRECTNESS_r01–r05; they park
-# at the tail. The round-6 window front-loads the four NEVER-CHECKED
-# queries whose implementation changed this round (sim_tfidf_cosine,
-# dd_containment, tx_winnowing, dd_minhash_incremental — now reading
-# the shared cached shingle-hash builds in plans/doc_pairs), then the
-# next never-checked entries in build order. NOTE (ADVICE-r5): queries
-# that changed this round but are ALREADY in the checked tail
-# (dd_ngram_jaccard, dd_minhash_lsh, dd_minhash_portable,
-# dd_minhash_incr_portable, dd_dup_clusters, dd_canonical_pick's
-# siblings, gr_khop_reach's MS-BFS bitmap rewrite, gr_kcore's int64
-# node encoding, the rc_item_item_cf / rc_assoc_rules base now on the
-# shared copurchase_pairs build, and gr_label_prop / gr_modularity /
-# gr_conductance on the shared cotx_labels fixed point) are NOT
-# re-windowed — their re-validation relies on the full local
-# crosscheck at sf0.01/sf0.001 plus the equivalence test in
-# tests/test_shared_builds.py (and for khop the exact Python BFS
-# reference in tests/test_wave26.py), which pin the new forms
-# value-for-value.
-# ROUND-7 ROTATION: fold CORRECTNESS_r06's green names into this set
-# (rename _R1_R6), replace `_R6_WINDOW` with the next 50 never-checked
+# Names below have a green driver row in CORRECTNESS_r01–r06; they park
+# at the tail. The round-7 window (VERDICT-r6 ask #1) FRONT-LOADS the
+# eight already-checked queries whose plans were rewritten AFTER their
+# green driver row (gr_khop_reach bitmap MS-BFS, gr_kcore int64
+# peel + shiftright labels, the gr_label_prop/gr_modularity/
+# gr_conductance shared fixed point, the rc_item_item_cf /
+# rc_assoc_rules shared co-purchase base, and dd_containment's
+# round-7 PPJoin-prefix rewrite) so no driver-green row attests a
+# superseded plan; then the three never-checked queries changed in
+# r6/r7 (gr_link_prediction array-form + hub anti-join,
+# ts_esd_outliers decimal sums, sim_matryoshka_recall fixed query
+# panel); then the next never-checked entries in build order.
+# ROUND-8 ROTATION: fold CORRECTNESS_r07's green names into this set
+# (rename _R1_R7), replace `_R7_WINDOW` with the next 50 never-checked
 # names (print them: python -c "from
 # movie_data_etl_pipeline_spark.plans import fixture_queries as f;
-# print(list(f.QUERIES)[50:100])"). Every entry is verified locally at
-# sf0.001 AND sf0.01 via tools/crosscheck.py AND under a VANILLA
-# SparkSession (tests/test_vanilla_session.py) regardless of window
-# position.
-_DRIVER_CHECKED_R1_R5 = frozenset({
+# print([n for n in list(f.QUERIES)[50:] if n not in
+# f._DRIVER_CHECKED_R1_R6][:50])"). 60 never-checked entries remain
+# after r7, so r8 windows 50 of them and r9 the final 10 — r9's spare
+# 40 slots absorb re-checks of anything rewritten in r8. Every entry
+# is verified locally at sf0.001 AND sf0.01 via tools/crosscheck.py
+# AND under a VANILLA SparkSession (tests/test_vanilla_session.py)
+# regardless of window position.
+_DRIVER_CHECKED_R1_R6 = frozenset({
+    # --- green driver rows first recorded in CORRECTNESS_r06 ---
+    "sim_tfidf_cosine", "dd_containment", "tx_winnowing",
+    "dd_minhash_incremental", "sa_mixture_sample", "dd_bloom_incremental",
+    "st_interval_join_left", "tx_datacard", "ev_top_paths",
+    "tx_adaptive_quality", "qa_volume_anomaly", "px_training_mix",
+    "fn_try_surface", "tx_vocab_coverage", "qa_key_skew", "ag_median_mode",
+    "emb_prefix_norm", "px_source_budget", "px_shard_manifest",
+    "qa_json_dlq", "ev_type_pmi", "tx_unigram_logprob",
+    "sim_hard_negatives", "tx_source_divergence", "pit_topk_events",
+    "emb_random_projection", "fp_token_pairs", "qa_mad_outliers",
+    "tx_bigram_surprisal", "st_enrich", "jx_salted_join",
+    "ly_compaction", "ag_ols_brand", "qa_replica_diff",
+    "tx_score_calibration", "qa_join_explosion", "inc_join_view",
+    "sa_weighted_sample", "ag_ab_test", "qa_release_gate",
+    "tx_skipgram_pmi", "tx_bpe_merges", "ev_debounce", "qa_fk_repair",
+    "ag_mutual_info", "w6_sliding_distinct", "qa_seasonal_anomaly",
+    "qa_entropy_profile", "dd_canonical_pick", "qa_winsorize",
     # --- green driver rows first recorded in CORRECTNESS_r05 ---
     "src_paged_api", "ml_gains_deciles", "ml_gini_stump", "gr_khop_reach",
     "gr_hits", "gr_local_clustering", "gr_modularity", "gr_conductance",
@@ -8784,40 +8798,44 @@ _DRIVER_CHECKED_R1_R5 = frozenset({
     "w1_running_total", "w4_trailing_7d",
 })
 
-_R6_WINDOW = [
-    # never-checked queries whose implementation changed this round
-    # (shared cached shingle-hash builds, plans/doc_pairs)
-    "sim_tfidf_cosine", "dd_containment", "tx_winnowing",
-    "dd_minhash_incremental",
-    # next never-checked entries in build order (ts_rolling_corr and
-    # ag_abc_analysis are parked for round 7 to make room for the four
-    # changed queries above)
-    "sa_mixture_sample", "dd_bloom_incremental", "st_interval_join_left",
-    "tx_datacard", "ev_top_paths", "tx_adaptive_quality",
-    "qa_volume_anomaly", "px_training_mix", "fn_try_surface",
-    "tx_vocab_coverage", "qa_key_skew", "ag_median_mode",
-    "emb_prefix_norm", "px_source_budget", "px_shard_manifest",
-    "qa_json_dlq", "ev_type_pmi", "tx_unigram_logprob",
-    "sim_hard_negatives", "tx_source_divergence", "pit_topk_events",
-    "emb_random_projection", "fp_token_pairs", "qa_mad_outliers",
-    "tx_bigram_surprisal", "st_enrich", "jx_salted_join",
-    "ly_compaction", "ag_ols_brand", "qa_replica_diff",
-    "tx_score_calibration", "qa_join_explosion", "inc_join_view",
-    "sa_weighted_sample", "ag_ab_test", "qa_release_gate",
-    "tx_skipgram_pmi", "tx_bpe_merges", "ev_debounce", "qa_fk_repair",
-    "ag_mutual_info", "w6_sliding_distinct", "qa_seasonal_anomaly",
-    "qa_entropy_profile", "dd_canonical_pick", "qa_winsorize",
+# Already-checked queries whose plans were rewritten after their green
+# driver row — deliberately re-windowed (VERDICT-r6 ask #1) so the
+# record attests the code at HEAD. tests/test_registry_contract.py
+# allows exactly this set to overlap the checked tail.
+_R7_RECHECKS = [
+    "gr_khop_reach", "gr_kcore", "gr_label_prop", "gr_modularity",
+    "gr_conductance", "rc_item_item_cf", "rc_assoc_rules",
+    "dd_containment",
+]
+
+_R7_WINDOW = [
+    *_R7_RECHECKS,
+    # never-checked queries changed in r6/r7, prioritized
+    "gr_link_prediction", "ts_esd_outliers", "sim_matryoshka_recall",
+    # next never-checked entries in build order
+    "ts_rolling_corr", "ag_abc_analysis", "tx_threshold_sweep",
+    "tx_sentence_stats", "sa_systematic", "qa_balance_check",
+    "ev_survival_km", "dd_survivorship", "ag_theil_sen",
+    "ag_trimmed_mean", "qa_psi_drift", "ev_rfm", "ts_cusum", "qa_chi2",
+    "tx_zipf_fit", "ev_markov_reach", "ag_simpsons", "qa_l_diversity",
+    "emb_pq_codebook", "sim_kmeans_assign", "st_late_audit",
+    "qa_ks_test", "ts_weekday_index", "gr_bipartite_project",
+    "sa_bootstrap_ci", "ev_session_entropy", "ts_mk_trend", "ag_hhi",
+    "sa_kfold_assign", "emb_cov_audit", "w7_record_days",
+    "ts_decompose", "ts_m4_downsample", "ev_audience_overlap",
+    "ag_cohort_ltv", "ly_zonemap", "o14_upsert_evolve",
+    "fe_target_encode", "fe_hashed_features",
 ]
 
 
 def _rotated(registry: dict[str, QueryFn]) -> dict[str, QueryFn]:
-    front = [n for n in _R6_WINDOW if n in registry]
+    front = [n for n in _R7_WINDOW if n in registry]
     placed = set(front)
     mid = [
         n for n in registry
-        if n not in _DRIVER_CHECKED_R1_R5 and n not in placed
+        if n not in _DRIVER_CHECKED_R1_R6 and n not in placed
     ]
-    tail = [n for n in registry if n in _DRIVER_CHECKED_R1_R5 and n not in placed]
+    tail = [n for n in registry if n in _DRIVER_CHECKED_R1_R6 and n not in placed]
     return {n: registry[n] for n in [*front, *mid, *tail]}
 
 

@@ -84,20 +84,35 @@ def test_queries_callable_with_two_args():
     assert not bad, f"queries not (spark, sf_dir) callables: {bad}"
 
 
-def test_rotation_front50_is_all_never_driver_checked():
-    # the whole point of the rotation: the driver's 50-entry window
-    # must contain ONLY entries without a prior green driver row.
-    # The checked frozenset is renamed each rotation (_R1_R4 -> _R1_R5
-    # -> ...) — resolve it by prefix so this test survives rotations.
+def test_rotation_front50_is_never_checked_or_declared_recheck():
+    # the point of the rotation: the driver's 50-entry window contains
+    # only entries without a prior green driver row, PLUS the
+    # explicitly declared re-checks — queries whose plan was rewritten
+    # after their green row, re-windowed so the record attests HEAD
+    # (VERDICT-r6 ask #1). The checked frozenset is renamed each
+    # rotation (_R1_R5 -> _R1_R6 -> ...) — resolve it by prefix so
+    # this test survives rotations; the recheck list is resolved the
+    # same way (_R7_RECHECKS -> _R8_RECHECKS -> ..., may be absent).
     from movie_data_etl_pipeline_spark.plans import fixture_queries as FQ
 
     names = [n for n in dir(FQ) if n.startswith("_DRIVER_CHECKED")]
     assert len(names) == 1, f"expected one _DRIVER_CHECKED_* set, got {names}"
     checked = getattr(FQ, names[0])
+    recheck_names = [n for n in dir(FQ) if n.endswith("_RECHECKS")]
+    assert len(recheck_names) <= 1, f"expected at most one *_RECHECKS list: {recheck_names}"
+    rechecks = set(getattr(FQ, recheck_names[0])) if recheck_names else set()
+    assert rechecks <= checked, "a declared re-check has no prior green row"
 
     front = list(QUERIES)[:50]
-    overlap = sorted(set(front) & checked)
-    assert not overlap, f"already-checked names in the driver window: {overlap}"
-    # and the checked tail must actually be at the tail
-    tail = list(QUERIES)[-len(checked):]
-    assert set(tail) <= checked
+    overlap = sorted(set(front) & checked - rechecks)
+    assert not overlap, f"undeclared already-checked names in the driver window: {overlap}"
+    assert rechecks <= set(front), "declared re-checks must be IN the window"
+    # and every checked name outside the window must be in the tail
+    # AFTER every never-checked name (never-checked drain first)
+    order = list(QUERIES)
+    parked = [n for n in order[50:] if n in checked]
+    never = [n for n in order[50:] if n not in checked]
+    if parked and never:
+        assert order.index(parked[0]) > order.index(never[-1]), (
+            "checked tail entries must come after all never-checked entries"
+        )
