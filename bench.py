@@ -722,6 +722,63 @@ CORE_R2 = [
 ]
 
 
+# -------------------------------------------------------------- calibration
+# Machine-calibration (VERDICT-r5 ask #4, shared helper VERDICT-r6 ask
+# #7): the frozen r2 core is code-untouched since round 2, so its total
+# is a pure gauge of THIS BOX TODAY vs the pinned driver record below.
+# Any cross-run comparison of absolute seconds should divide by
+# drift_factor first; a query is only a real regression if it exceeds
+# ~1.5x its drift-normalized prior. (Box swings of 20-40% on identical
+# code are the measured norm — see SCALE.md r6 A/B.)
+CALIB_CORE_R2_REF = 48.081  # core_r2_total in the round-5 DRIVER record (BENCH_r05)
+# calib_ref is only meaningful for the EXACT CORE_R2 membership it was
+# recorded against (ADVICE-r6): pin it so any change to the set forces
+# an explicit re-calibration instead of silently skewing every
+# drift-normalized number downstream.
+_CORE_R2_PIN = "62954eb98e95"
+
+
+def _core_r2_guard() -> None:
+    assert (
+        hashlib.sha256(",".join(sorted(CORE_R2)).encode()).hexdigest()[:12]
+        == _CORE_R2_PIN
+    ), "CORE_R2 membership changed — re-pin CALIB_CORE_R2_REF against a fresh driver record"
+
+
+def calibration(core_r2_total: float, total: float | None = None) -> dict:
+    """The calibration keys every perf-record JSON should carry."""
+    _core_r2_guard()
+    drift = round(core_r2_total / CALIB_CORE_R2_REF, 3)
+    out = {
+        "calib_core_r2_ref": CALIB_CORE_R2_REF,
+        "core_r2_total": core_r2_total,
+        "drift_factor": drift,
+    }
+    if total is not None:
+        out["drift_normalized_total"] = round(total / drift, 1) if drift > 0 else None
+    return out
+
+
+def measure_drift(spark, sf_dir: str | None = None) -> dict:
+    """Time the frozen CORE_R2 set (same best-of-2 noop-sink
+    methodology as the bench main loop) and return the calibration
+    dict — the shared probe tools/scalebench.py and the A/B harnesses
+    embed so every perf JSON is drift-honest, not just BENCH_r{N}."""
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _core_r2_guard()
+    core = 0.0
+    for name in CORE_R2:
+        fn = FQ.QUERIES[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        core += best
+    return calibration(round(core, 3))
+
+
 def _warm_python_workers(spark) -> None:
     """Spawn the per-core Python worker pool and pay the numpy/pandas
     import inside each once, during warmup — on a long-lived cluster the
@@ -773,28 +830,9 @@ def main() -> None:
     # headline queries.
     core = round(sum(times[n] for n in CORE_R2), 3)
     core3 = round(sum(times[n] for n in CORE_R3), 3)
-    # Machine-calibration line (VERDICT-r5 ask #4): the frozen r2 core
-    # is code-untouched since round 2, so its total is a pure gauge of
-    # THIS BOX TODAY vs the pinned driver record below. Any
-    # round-over-round comparison of absolute seconds should divide by
-    # drift_factor first; a query is only a real regression if it
-    # exceeds ~1.5x its drift-normalized prior. (Box swings of 20-40%
-    # on identical code are the measured norm — see SCALE.md r6 A/B.)
-    calib_ref = 48.081  # core_r2_total in the round-5 DRIVER record (BENCH_r05)
-    # calib_ref is only meaningful for the EXACT CORE_R2 membership it
-    # was recorded against (ADVICE-r6): pin it so any change to the set
-    # forces an explicit re-calibration instead of silently skewing
-    # every drift-normalized total.
-    assert (
-        hashlib.sha256(",".join(sorted(CORE_R2)).encode()).hexdigest()[:12]
-        == "62954eb98e95"
-    ), "CORE_R2 membership changed — re-pin calib_ref against a fresh driver record"
-    drift = round(core / calib_ref, 3)
-    calib = {
-        "calib_core_r2_ref": calib_ref,
-        "drift_factor": drift,
-        "drift_normalized_total": round(total / drift, 1) if drift > 0 else None,
-    }
+    # machine-calibration line — see the calibration() docstring above
+    calib = calibration(core, total)
+    calib.pop("core_r2_total")  # printed as its own key below
     print(
         json.dumps(
             {

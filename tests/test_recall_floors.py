@@ -77,3 +77,55 @@ def test_embedding_near_dup_recall_floor(spark, sf_dir):
     assert nd <= exact
     assert exact, "fixture must contain near-parallel embeddings"
     assert len(nd & exact) >= 0.7 * len(exact)
+
+
+def test_knn_ivf_registry_recall_floor(spark, sf_dir):
+    """Registry-surface floor (VERDICT-r6 ask #5): the rows-only
+    ``sim_knn_ivf`` entry must recall most of the exact
+    ``sim_knn_bruteforce`` neighbor pairs for the shared query set
+    (IVF's query side is the full corpus; brute force uses vec_id<50 —
+    compare on the intersection). Seeded k-means + seeded pipeline, so
+    the measurement is deterministic per fixture. A deeper operator
+    test (parameter sweep + determinism rerun) lives in
+    test_joins_stateful.py::test_knn_ivf_recall_vs_bruteforce."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in FQ.QUERIES["sim_knn_bruteforce"](spark, sf_dir).collect()
+    }
+    qids = {q for q, _ in exact}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in FQ.QUERIES["sim_knn_ivf"](spark, sf_dir).collect()
+        if r["query_id"] in qids
+    }
+    assert exact, "brute-force twin must produce pairs"
+    assert len(exact & approx) >= 0.6 * len(exact)
+
+
+def test_approx_stats_registry_agreement_floor(spark, sf_dir):
+    """Registry-surface floor for ``ap_approx_stats`` (rows-only —
+    sketch outputs are implementation-defined): HLL++ distinct-user
+    counts within 4 sigma of exact countDistinct, and the quantile
+    sketch's p50 within 5% of the exact interpolated twin
+    ``ap_exact_quantiles``. Error-bound tests against the operator
+    internals live in test_sketches.py; this one pins the driver-run
+    registry entries to each other."""
+    approx = {
+        r["event_type"]: (r["approx_users"], r["approx_p50"])
+        for r in FQ.QUERIES["ap_approx_stats"](spark, sf_dir).collect()
+    }
+    exact_q = {
+        r["event_type"]: r["p50"]
+        for r in FQ.QUERIES["ap_exact_quantiles"](spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    exact_u = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact_q.keys() == exact_u.keys()
+    for et, (au, ap50) in approx.items():
+        assert abs(au - exact_u[et]) <= max(2, 0.08 * exact_u[et]), (et, au, exact_u[et])
+        assert abs(ap50 - exact_q[et]) <= 0.05 * max(exact_q[et], 1.0), (et, ap50, exact_q[et])

@@ -199,10 +199,16 @@ def main() -> None:
     base = values["new"]
     for name, vals in values.items():
         assert vals == base, f"{name} output differs from new"
+    # within-session interleaving makes the COMPARISON drift-immune;
+    # the calibration keys make the ABSOLUTE seconds readable across
+    # records too (VERDICT-r6 ask #7)
+    import bench
+
     result = {
         "sf": sf,
         "reps": reps,
         "rows": rows["new"],
+        **bench.measure_drift(spark),
         "times": times,
         "median": {k: round(statistics.median(v), 3) for k, v in times.items()},
         "winner": min(times, key=lambda k: statistics.median(times[k])),

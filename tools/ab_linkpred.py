@@ -131,8 +131,15 @@ def main() -> None:
     base = values["prod"]
     for name, vals in values.items():
         assert vals == base, f"{name} output differs"
+    # within-session interleaving makes the COMPARISON drift-immune;
+    # the calibration keys make the ABSOLUTE seconds readable across
+    # records too (VERDICT-r6 ask #7)
+    import bench
+
     print(json.dumps({
-        "sf": sf, "reps": reps, "rows": len(values["prod"]), "times": times,
+        "sf": sf, "reps": reps, "rows": len(values["prod"]),
+        **bench.measure_drift(spark),
+        "times": times,
         "median": {k: round(statistics.median(v), 3) for k, v in times.items()},
         "winner": min(times, key=lambda k: statistics.median(times[k])),
     }))
