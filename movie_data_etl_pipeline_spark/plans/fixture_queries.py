@@ -8711,9 +8711,11 @@ ORACLES.update(_wave59.ORACLES)
 # names (print them: python -c "from
 # movie_data_etl_pipeline_spark.plans import fixture_queries as f;
 # print([n for n in list(f.QUERIES)[50:] if n not in
-# f._DRIVER_CHECKED_R1_R6][:50])"). 60 never-checked entries remain
-# after r7, so r8 windows 50 of them and r9 the final 10 — r9's spare
-# 40 slots absorb re-checks of anything rewritten in r8. Every entry
+# f._DRIVER_CHECKED_R1_R6][:50])"). 62 never-checked entries remain
+# after r7 (two were displaced by the in-round ev_rfm_segments /
+# ag_levene_bf re-checks), so r8 windows 50 of them and r9 the final
+# 12 — r9's spare 38 slots absorb re-checks of anything rewritten in
+# r8. Every entry
 # is verified locally at sf0.001 AND sf0.01 via tools/crosscheck.py
 # AND under a VANILLA SparkSession (tests/test_vanilla_session.py)
 # regardless of window position.
@@ -8806,6 +8808,11 @@ _R7_RECHECKS = [
     "gr_khop_reach", "gr_kcore", "gr_label_prop", "gr_modularity",
     "gr_conductance", "rc_item_item_cf", "rc_assoc_rules",
     "dd_containment",
+    # round-7 in-round rewrites (tools/ab_r7.py checkpoint wins) —
+    # re-windowed immediately so no green row attests a superseded
+    # plan; the two displaced never-checked entries (fe_target_encode,
+    # fe_hashed_features) move to the r8/r9 pool
+    "ev_rfm_segments", "ag_levene_bf",
 ]
 
 _R7_WINDOW = [
@@ -8824,7 +8831,6 @@ _R7_WINDOW = [
     "sa_kfold_assign", "emb_cov_audit", "w7_record_days",
     "ts_decompose", "ts_m4_downsample", "ev_audience_overlap",
     "ag_cohort_ltv", "ly_zonemap", "o14_upsert_evolve",
-    "fe_target_encode", "fe_hashed_features",
 ]
 
 

@@ -116,7 +116,12 @@ def ev_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     rolled up to segment grain: customers and exact metric totals per
     (r,f,m) cell (recency quintile 0 = most recent via descending
     day-diff sign flip). Three histogram pipelines + three value
-    joins — every join keyed, every cut deterministic under ties."""
+    joins — every join keyed, every cut deterministic under ties.
+    The per-customer base is consumed by all three histogram
+    pipelines AND the value joins, so it is eagerly truncated once —
+    without it each consumer replays the orders scan + custkey
+    aggregation (interleaved A/B, tools/ab_r7.py: 2.79 -> 1.97 s
+    median at sf0.1)."""
     o = load_table(spark, sf, "orders").select(
         "o_custkey", "o_orderdate", SC.cents("o_totalprice").alias("cents")
     )
@@ -131,6 +136,7 @@ def ev_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("freq"),
             F.sum("cents").cast("bigint").alias("money"),
         )
+        .localCheckpoint(eager=True)
     )
     rmap = _quintile_map(cust.select("rec"), "rec")
     fmap = _quintile_map(cust.select("freq"), "freq")

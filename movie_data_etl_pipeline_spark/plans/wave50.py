@@ -28,7 +28,12 @@ def ag_levene_bf(spark: SparkSession, sf: str) -> DataFrame:
     from the five groups' (n, Σz, Σz²) moments PIVOTED to one row and
     combined in one fixed left-associated double chain — the
     dispersion-drift gate next to `qa_chi2`'s frequency screen. Output:
-    one row per group (its exact moments + median) plus the shared W."""
+    one row per group (its exact moments + median) plus the shared W.
+    The two 5-row intermediates (med, g) are eagerly truncated: each
+    is consumed twice (z-branch + final join, W-row + final join), and
+    without truncation every consumer replays the full orders scan
+    (interleaved A/B, tools/ab_r7.py: 2.40 -> 1.41 s median at sf0.1);
+    med is additionally broadcast into the deviation join."""
     o = load_table(spark, sf, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.floor("o_totalprice").cast("bigint").alias("x"),
@@ -48,12 +53,19 @@ def ag_levene_bf(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("grp")
         .agg(F.min("x").cast("bigint").alias("med"))
+        .localCheckpoint(eager=True)
     )
-    z = o.join(med, "grp").select("grp", F.abs(F.col("x") - F.col("med")).alias("z"))
-    g = z.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_g"),
-        F.sum("z").cast("bigint").alias("sz"),
-        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+    z = o.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+    g = (
+        z.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum("z").cast("bigint").alias("sz"),
+            F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        )
+        .localCheckpoint(eager=True)
     )
     # pivot the 5 groups to one row of integer moments
     piv_aggs = []
