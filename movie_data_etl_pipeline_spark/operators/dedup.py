@@ -399,6 +399,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     sh: DataFrame | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding: signature → ``bands``
     bands of ``num_hashes/bands`` rows each → bucket-join on (band,
@@ -408,13 +409,15 @@ def minhash_lsh_pairs(
     buckets (shuffle on a well-distributed hash), and only candidates pay
     the exact-verification cost. Output matches ``ngram_jaccard_pairs``
     restricted to LSH-recalled pairs: (a_id, b_id, jaccard).
-    ``sh`` optionally supplies a pre-built shingle-set relation (see
-    ``ngram_jaccard_pairs``).
+    ``sh`` / ``banded`` optionally supply pre-built shingle-set /
+    (id, band, bucket) index relations (e.g. the session-shared
+    checkpointed builds in ``plans.doc_pairs``); supplied relations are
+    not re-persisted.
     """
     # one persisted shingle-set relation feeds BOTH the signatures and
     # the exact verification — the corpus is tokenized exactly once
     sh = sh if sh is not None else _shingle_sets(docs, id_col, text_col, n).persist()
-    banded = _minhash_banded(sh, num_hashes, bands).persist()
+    banded = banded if banded is not None else _minhash_banded(sh, num_hashes, bands).persist()
     # both sides of the self-join read this — hash the corpus once
     a = banded.alias("a")
     b = banded.alias("b")
@@ -444,6 +447,8 @@ def incremental_minhash_pairs(
     threshold: float = 0.5,
     sh_c: DataFrame | None = None,
     sh_b: DataFrame | None = None,
+    banded_b: DataFrame | None = None,
+    banded_all: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs that INVOLVE the arriving batch: batch×corpus and
     batch×batch, never corpus×corpus — the shape that keeps continuous
@@ -468,8 +473,20 @@ def incremental_minhash_pairs(
     # side is a precomputed table and never recomputed at all)
     sh_c = sh_c if sh_c is not None else _shingle_sets(corpus, id_col, text_col, n).persist()
     sh_b = sh_b if sh_b is not None else _shingle_sets(batch, id_col, text_col, n).persist()
-    banded_b = _minhash_banded(sh_b, num_hashes, bands).persist()
-    all_banded = _minhash_banded(sh_c, num_hashes, bands).unionByName(banded_b)
+    # banded_b / banded_all optionally supply pre-built (id, band,
+    # bucket) index relations (banding is per-document row-local, so
+    # slicing a full-corpus index by id is value-identical to banding
+    # the slice — the portable twin's documented equivalence)
+    banded_b = (
+        banded_b
+        if banded_b is not None
+        else _minhash_banded(sh_b, num_hashes, bands).persist()
+    )
+    all_banded = (
+        banded_all
+        if banded_all is not None
+        else _minhash_banded(sh_c, num_hashes, bands).unionByName(banded_b)
+    )
     a = banded_b.alias("a")
     b = all_banded.alias("b")
     candidates = (

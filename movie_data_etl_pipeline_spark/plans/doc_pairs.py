@@ -100,16 +100,33 @@ def _sets_from_arrays(arr: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_sets_cached(spark: SparkSession, sf: str, family: str) -> DataFrame:
+    per = _CACHE.setdefault(spark, {})
+    key = (sf, "sets", family)
+    if key not in per:
+        per[key] = _sets_from_arrays(
+            _shingle_arrays(spark, sf, family)
+        ).localCheckpoint(eager=True)
+    return per[key]
+
+
 def xxh_shingle_sets(spark: SparkSession, sf: str) -> DataFrame:
-    """Distinct-set form of :func:`xxh_shingle_arrays` — lazy map over
-    the checkpoint (re-deriving a set from a materialized array is a
-    codegen'd projection; only the array pays a build)."""
-    return _sets_from_arrays(xxh_shingle_arrays(spark, sf))
+    """Distinct-set form of :func:`xxh_shingle_arrays`, checkpointed
+    once per (session, sf). The set derivation (array_distinct +
+    array_sort per row) is NOT free: every minhash/Jaccard operator
+    consumes the set relation 3-4 times per call (banding, both
+    verification sides), and operators no longer re-persist
+    caller-supplied relations (ADVICE-r6), so an un-materialized set
+    form was re-derived per consumer — measured as a 3x regression on
+    dd_minhash_lsh before this checkpoint existed."""
+    return _shingle_sets_cached(spark, sf, "xxh")
 
 
 def portable_shingle_sets(spark: SparkSession, sf: str) -> DataFrame:
-    """Distinct-set form of :func:`portable_shingle_arrays`."""
-    return _sets_from_arrays(portable_shingle_arrays(spark, sf))
+    """Distinct-set form of :func:`portable_shingle_arrays`,
+    checkpointed once per (session, sf) — same rationale as
+    :func:`xxh_shingle_sets`."""
+    return _shingle_sets_cached(spark, sf, "portable")
 
 
 def portable_banded_index(spark: SparkSession, sf: str) -> DataFrame:
@@ -126,6 +143,23 @@ def portable_banded_index(spark: SparkSession, sf: str) -> DataFrame:
     if key not in per:
         per[key] = dedup._portable_banded(
             portable_shingle_sets(spark, sf), 32, 8
+        ).localCheckpoint(eager=True)
+    return per[key]
+
+
+def xxh_banded_index(spark: SparkSession, sf: str) -> DataFrame:
+    """The (id, band, bucket) xxhash64 MinHash LSH index at the
+    registry's standard 64 hashes / 16 bands, built once per (session,
+    sf) and eagerly localCheckpointed. Two queries need this identical
+    relation — ``dd_minhash_lsh`` (whole corpus) and
+    ``dd_minhash_incremental`` (banding is per-document row-local, so
+    its corpus/batch splits are id-filters over the full index — the
+    same slicing equivalence the portable twins already rely on)."""
+    per = _CACHE.setdefault(spark, {})
+    key = (sf, "banded64x16")
+    if key not in per:
+        per[key] = dedup._minhash_banded(
+            xxh_shingle_sets(spark, sf), 64, 16
         ).localCheckpoint(eager=True)
     return per[key]
 

@@ -601,13 +601,20 @@ def dd_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (banded signatures → bucket join →
     exact verify). Approximate recall → rows-only check; the exact
     Jaccard twin above is the oracle-checked ground truth. Shingle sets
-    come from the family-shared cached build (``plans/doc_pairs``)."""
-    from movie_data_etl_pipeline_spark.plans.doc_pairs import xxh_shingle_sets
+    AND the 64×16 banded index come from the family-shared checkpointed
+    builds (``plans/doc_pairs``) — the index is the relation a
+    production pipeline persists anyway, and ``dd_minhash_incremental``
+    reads the identical one."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import (
+        xxh_banded_index,
+        xxh_shingle_sets,
+    )
 
     docs = load_table(spark, sf, "documents")
     return dedup.minhash_lsh_pairs(
         docs, n=3, num_hashes=64, bands=16, threshold=0.5,
         sh=xxh_shingle_sets(spark, sf),
+        banded=xxh_banded_index(spark, sf),
     )
 
 
@@ -4796,19 +4803,27 @@ def dd_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     work scales with the batch, never corpus×corpus. Deterministic
     (seeded xxhash64) but hash-dependent, so rows-only here; the exact
     ``== full-recompute-restricted-to-batch`` property is asserted in
-    tests. The corpus/batch shingle sets are id-filters over the
-    family-shared cached build — shingling is per-document row-local,
-    so filtering before or after it is value-identical."""
-    from movie_data_etl_pipeline_spark.plans.doc_pairs import xxh_shingle_sets
+    tests. The corpus/batch shingle sets AND (id, band, bucket) index
+    rows are id-filters over the family-shared checkpointed builds —
+    shingling and banding are per-document row-local, so filtering
+    before or after either is value-identical (the portable twin's
+    documented slicing equivalence)."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import (
+        xxh_banded_index,
+        xxh_shingle_sets,
+    )
 
     docs = load_table(spark, sf, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     batch = docs.where(F.col("doc_id") % 10 == 0)
     sets = xxh_shingle_sets(spark, sf)
+    idx = xxh_banded_index(spark, sf)
     return dedup.incremental_minhash_pairs(
         corpus, batch,
         sh_c=sets.where(F.col("id") % 10 != 0),
         sh_b=sets.where(F.col("id") % 10 == 0),
+        banded_b=idx.where(F.col("id") % 10 == 0),
+        banded_all=idx,
     ).orderBy("a_id", "b_id")
 
 
@@ -8711,10 +8726,11 @@ ORACLES.update(_wave59.ORACLES)
 # names (print them: python -c "from
 # movie_data_etl_pipeline_spark.plans import fixture_queries as f;
 # print([n for n in list(f.QUERIES)[50:] if n not in
-# f._DRIVER_CHECKED_R1_R6][:50])"). 62 never-checked entries remain
-# after r7 (two were displaced by the in-round ev_rfm_segments /
-# ag_levene_bf re-checks), so r8 windows 50 of them and r9 the final
-# 12 — r9's spare 38 slots absorb re-checks of anything rewritten in
+# f._DRIVER_CHECKED_R1_R6][:50])"). 64 never-checked entries remain
+# after r7 (four were displaced by the in-round re-checks of
+# ev_rfm_segments / ag_levene_bf / dd_minhash_lsh /
+# dd_minhash_incremental), so r8 windows 50 of them and r9 the final
+# 14 — r9's spare 36 slots absorb re-checks of anything rewritten in
 # r8. Every entry
 # is verified locally at sf0.001 AND sf0.01 via tools/crosscheck.py
 # AND under a VANILLA SparkSession (tests/test_vanilla_session.py)
@@ -8808,11 +8824,15 @@ _R7_RECHECKS = [
     "gr_khop_reach", "gr_kcore", "gr_label_prop", "gr_modularity",
     "gr_conductance", "rc_item_item_cf", "rc_assoc_rules",
     "dd_containment",
-    # round-7 in-round rewrites (tools/ab_r7.py checkpoint wins) —
-    # re-windowed immediately so no green row attests a superseded
-    # plan; the two displaced never-checked entries (fe_target_encode,
-    # fe_hashed_features) move to the r8/r9 pool
+    # round-7 in-round rewrites — re-windowed immediately so no green
+    # row attests a superseded plan; the four displaced never-checked
+    # entries (fe_target_encode, fe_hashed_features, ly_zonemap,
+    # o14_upsert_evolve) move to the r8/r9 pool.
+    # ev_rfm_segments/ag_levene_bf: tools/ab_r7.py checkpoint wins;
+    # dd_minhash_lsh/dd_minhash_incremental: shared-base swap onto the
+    # checkpointed xxh 64x16 banded index (the rc_* r6 precedent)
     "ev_rfm_segments", "ag_levene_bf",
+    "dd_minhash_lsh", "dd_minhash_incremental",
 ]
 
 _R7_WINDOW = [
@@ -8830,7 +8850,7 @@ _R7_WINDOW = [
     "sa_bootstrap_ci", "ev_session_entropy", "ts_mk_trend", "ag_hhi",
     "sa_kfold_assign", "emb_cov_audit", "w7_record_days",
     "ts_decompose", "ts_m4_downsample", "ev_audience_overlap",
-    "ag_cohort_ltv", "ly_zonemap", "o14_upsert_evolve",
+    "ag_cohort_ltv",
 ]
 
 
