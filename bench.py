@@ -5,10 +5,15 @@ per-query record, then a short totals-only line that survives
 tail-truncating log capture (parse the LAST parseable line):
 
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
-     "core_r2_total": <sec>, "core_r3_total": <sec>,
+     "cold_total": <sec>, "core_r2_total": <sec>, "core_r3_total": <sec>,
      "calib_core_r2_ref": <sec>, "drift_factor": <x>,
      "drift_normalized_total": <sec>,
      "queries": {"v1_top_actors": <sec>, ...}, "sf": "<dir>"}
+
+``value`` sums per-query best-of-2 (steady state); ``cold_total`` sums
+every query's FIRST rep, which includes the one-time materialization of
+the session-shared builds (plans/doc_pairs, plans/graph_edges) paid by
+whichever query touches each build first.
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
      "core_r2_total": <sec>, "core_r3_total": <sec>,
      "calib_core_r2_ref": <sec>, "drift_factor": <x>,
@@ -808,22 +813,32 @@ def main() -> None:
     _warm_python_workers(spark)
 
     times: dict[str, float] = {}
+    cold_total = 0.0
     for name in HEADLINE:
         fn = FQ.QUERIES[name]
         # best of 2: single-shot numbers at this scale carry ±20%
         # scheduler/GC noise that swamps real plan differences; the min
         # is the standard steady-state throughput estimate
         best = float("inf")
-        for _ in range(2):
+        for rep in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            if rep == 0:
+                cold_total += dt
             # drop persisted intermediates so no query pays a
             # predecessor's cache-eviction/GC bill
             spark.catalog.clearCache()
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    # cold_total sums every query's FIRST rep: unlike the best-of
+    # headline it INCLUDES the one-time materialization of the
+    # session-shared builds (plans/doc_pairs, plans/graph_edges) paid
+    # by whichever query touches each build first — the honest
+    # whole-session number next to the steady-state one.
+    cold_total = round(cold_total, 3)
     # core totals are the ROUND-COMPARABLE numbers (headline_total
     # grows every time an operator is added and says nothing about
     # speed trends): core_rN_total sums exactly the round-N-era
@@ -839,6 +854,7 @@ def main() -> None:
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                "cold_total": cold_total,
                 "core_r2_total": core,
                 "core_r3_total": core3,
                 **calib,
@@ -857,6 +873,7 @@ def main() -> None:
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                "cold_total": cold_total,
                 "core_r2_total": core,
                 "core_r3_total": core3,
                 **calib,
