@@ -37,6 +37,9 @@ BUILDERS = [
     ("copurchase_pairs", lambda s, sf: graph_edges.copurchase_pairs(s, sf)),
     ("cotx_labels", lambda s, sf: graph_edges.cotx_labels(s, sf)),
     ("portable_banded_index", lambda s, sf: doc_pairs.portable_banded_index(s, sf)),
+    ("xxh_shingle_sets", lambda s, sf: doc_pairs.xxh_shingle_sets(s, sf)),
+    ("portable_shingle_sets", lambda s, sf: doc_pairs.portable_shingle_sets(s, sf)),
+    ("xxh_banded_index", lambda s, sf: doc_pairs.xxh_banded_index(s, sf)),
 ]
 
 
@@ -66,4 +69,26 @@ def test_shingle_set_derivations_match_operator_forms(spark, sf_dir):
     )
     assert _rows(doc_pairs.portable_shingle_sets(spark, sf_dir)) == _rows(
         dedup._portable_shingle_sets(docs, "doc_id", "text", 3)
+    )
+
+
+def test_xxh_banded_index_matches_operator_banding(spark, sf_dir):
+    """The shared xxh 64x16 banded index must equal the operator-level
+    banding of the operator-level shingle sets, and id-slicing it must
+    equal banding the slice (the equivalence dd_minhash_incremental
+    relies on — banding is per-document row-local)."""
+    from pyspark.sql import functions as F
+
+    from movie_data_etl_pipeline_spark.operators import dedup
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    op_sets = dedup._shingle_sets(docs, "doc_id", "text", 3)
+    op_banded = dedup._minhash_banded(op_sets, 64, 16)
+    idx = doc_pairs.xxh_banded_index(spark, sf_dir)
+    assert _rows(idx) == _rows(op_banded)
+    assert _rows(idx.where(F.col("id") % 10 == 0)) == _rows(
+        dedup._minhash_banded(
+            op_sets.where(F.col("id") % 10 == 0), 64, 16
+        )
     )

@@ -30,6 +30,21 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_json = sys.argv[2] if len(sys.argv) > 2 else ""
     sf_dir = f"/tmp/scalebench_x{factor}"
+    # fail fast on missing fixtures — every query would otherwise
+    # "fail" with PATH_NOT_FOUND and the sweep would burn 20 minutes
+    # producing a garbage record (run tools/scalebench.py first, or
+    # let this build them)
+    import os
+
+    if not os.path.exists(os.path.join(sf_dir, "_done")):
+        print(
+            f"error_sweep: {sf_dir} missing/incomplete — amplifying first",
+            file=sys.stderr,
+            flush=True,
+        )
+        from tools.scalebench import amplify
+
+        amplify(get_spark("error-sweep"), "/root/testdata/sf0.1", sf_dir, factor)
     spark = get_spark("error-sweep")
     results: dict[str, object] = {}
     for name, fn in FQ.QUERIES.items():
