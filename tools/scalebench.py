@@ -178,13 +178,13 @@ def amplify(spark, src_dir: str, out_dir: str, factor: int) -> None:
     Path(done).touch()
 
 
-def run_set(spark, sf_dir: str) -> dict[str, object]:
+def run_set(spark, sf_dir: str, names=None) -> dict[str, object]:
     """Times per query; a failing query records its error string
     instead of killing the whole sweep (one scale bug must not hide
     the other 88 measurements), and progress goes to stderr so a
     crashed run still names its last query."""
     times: dict[str, object] = {}
-    for name in SCALE_QUERIES:
+    for name in (names or SCALE_QUERIES):
         fn = FQ.QUERIES[name]
         print(f"scalebench: {name} @ {sf_dir}", file=sys.stderr, flush=True)
         t0 = time.time()
@@ -200,6 +200,9 @@ def run_set(spark, sf_dir: str) -> dict[str, object]:
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_json = sys.argv[2] if len(sys.argv) > 2 else ""
+    # optional trailing query names restrict the sweep (for spot-checks
+    # at extreme factors where the full 89-query set would take hours)
+    names = [a for a in sys.argv[3:] if a in SCALE_QUERIES] or None
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     amp_dir = f"/tmp/scalebench_x{factor}"
     spark = get_spark("scalebench")
@@ -211,8 +214,8 @@ def main() -> None:
     FQ.QUERIES["q1_pricing_summary"](spark, amp_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    t1 = run_set(spark, base_dir)
-    tn = run_set(spark, amp_dir)
+    t1 = run_set(spark, base_dir, names)
+    tn = run_set(spark, amp_dir, names)
     def cell(q):
         a, b = t1[q], tn[q]
         if isinstance(a, str) or isinstance(b, str):
@@ -229,7 +232,7 @@ def main() -> None:
     result = {
         "factor": factor,
         **calib,
-        "queries": {q: cell(q) for q in SCALE_QUERIES},
+        "queries": {q: cell(q) for q in (names or SCALE_QUERIES)},
     }
     line = json.dumps(result)
     print(line)
