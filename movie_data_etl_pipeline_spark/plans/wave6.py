@@ -244,11 +244,18 @@ def gr_bipartite_project(spark: SparkSession, sf: str) -> DataFrame:
     The self-join fans out per part as C(deg,2); the part-degree cap
     is the scale guard (here the natural degree ~sf-stable; at 100 TB
     a hub cap or hashed sampling per part bounds it — same discipline
-    as the near-dup candidate joins). Shuffle key is the part id."""
+    as the near-dup candidate joins). Shuffle key is the part id.
+    The distinct (part, supplier) relation is eagerly truncated: both
+    self-join sides consume it and Catalyst does not reuse the
+    exchange across them (two full lineitem scans otherwise; A/B
+    median 4.1 -> 3.4 s at sf0.1). An array-form rewrite measured 2.1x
+    SLOWER here (tools/ab_r7.py, SCALE.md) — the per-part degree is
+    ~4, so pair fan-out is tiny and the self-join is the right plan."""
     sp = (
         load_table(spark, sf, "lineitem")
         .select("l_partkey", "l_suppkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     a = sp.select("l_partkey", F.col("l_suppkey").alias("s1"))
     b = sp.select("l_partkey", F.col("l_suppkey").alias("s2"))
