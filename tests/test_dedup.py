@@ -205,3 +205,65 @@ def test_incremental_minhash_excludes_corpus_only_pairs(spark):
     )
     out = dedup.incremental_minhash_pairs(corpus, batch, threshold=0.3).collect()
     assert out == []  # (1,2) is corpus-only; batch doc 10 matches nothing
+
+
+def test_containment_pairs_match_pure_python_bruteforce(spark, sf_dir):
+    """The PPJoin-style prefix+positional candidate discipline in
+    ``containment_pairs`` must lose NO pair: compare against a pure
+    Python brute force (every unordered pair, exact Fraction
+    threshold) over the sf0.001 documents, at three thresholds —
+    the independent oracle that would catch a prefix-bound
+    off-by-one the registry crosscheck (single threshold, DuckDB
+    twin re-deriving the same discipline) might not."""
+    from fractions import Fraction
+
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = {
+        r["id"]: frozenset(r["sh"])
+        for r in dedup._shingle_sets(docs, "doc_id", "text", 3).collect()
+    }
+    ids = sorted(sets)
+    for threshold in (0.4, 0.6, 0.8):
+        t = Fraction(threshold).limit_denominator(10**6)
+        expected = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sets[a] & sets[b])
+                if inter * t.denominator >= min(len(sets[a]), len(sets[b])) * t.numerator:
+                    expected.add((a, b, inter, len(sets[a]), len(sets[b])))
+        got = {
+            (r["a_id"], r["b_id"], r["n_shared"], r["na"], r["nb"])
+            for r in dedup.containment_pairs(docs, threshold=threshold).collect()
+        }
+        assert got == expected, f"threshold {threshold}: {len(got)} vs {len(expected)}"
+
+
+def test_jaccard_pairs_match_pure_python_bruteforce(spark, sf_dir):
+    """Same independent pure-Python oracle for the prefix-filtered
+    exact-Jaccard detector, at two thresholds."""
+    from fractions import Fraction
+
+    from movie_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = {
+        r["id"]: frozenset(r["sh"])
+        for r in dedup._shingle_sets(docs, "doc_id", "text", 3).collect()
+    }
+    ids = sorted(sets)
+    for threshold in (0.35, 0.5):
+        t = Fraction(threshold).limit_denominator(10**6)
+        expected = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a]) + len(sets[b]) - inter
+                if inter * t.denominator >= union * t.numerator:
+                    expected.add((a, b))
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=threshold).collect()
+        }
+        assert got == expected, f"threshold {threshold}: {len(got)} vs {len(expected)}"
