@@ -403,11 +403,19 @@ def qa_chi2(spark: SparkSession, sf: str) -> DataFrame:
     that suddenly couples two independent dimensions shows up here).
 
     Cell contributions ``(n·obs − rt·ct)² / (n·rt·ct)`` are computed
-    from exact BIGINT counts (no intermediate overflows at any
-    fixture sf: |n·obs − rt·ct| < 2³¹ here, squared < 2⁶³), snapped
-    to micro units, and the statistic is their exact integer sum —
-    reported identically on every cell row. One scan, one tiny
-    contingency aggregate."""
+    from exact counts, snapped to micro units, and the statistic is
+    their exact integer sum — reported identically on every cell row.
+    One scan, one tiny contingency aggregate.
+
+    Overflow discipline (round-7 30x error sweep caught the int64
+    form faulting under ANSI): ``num = n·obs − rt·ct`` and the
+    denominator ``n·rt·ct`` are computed in DECIMAL(38,0) — exact to
+    ~1e38, covering n up to ~1.5e10 rows (n·rt·ct ≤ n³ ≈ 3e30) — and
+    ``num²`` is an IEEE double product of the exactly-converted num.
+    Value parity with the int64 form everywhere num < 2⁵³: num is then
+    exactly representable, so the IEEE product equals the correctly
+    rounded exact square — bit-identical to squaring in integers and
+    casting, which is what the DuckDB twin does."""
     o = load_table(spark, sf, "orders").select(
         F.col("o_orderpriority").alias("priority"),
         F.col("o_orderstatus").alias("status"),
@@ -421,18 +429,19 @@ def qa_chi2(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(ct), "status")
         .crossJoin(F.broadcast(n))
     )
-    num = F.col("n") * F.col("n_obs") - F.col("row_tot") * F.col("col_tot")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("n") * dec("n_obs") - dec("row_tot") * dec("col_tot")).cast("double")
     contrib_micro = F.round(
         F.lit(1e6)
-        * (num * num).cast("double")
-        / (F.col("n") * F.col("row_tot") * F.col("col_tot")).cast("double")
+        * (num * num)
+        / (dec("n") * dec("row_tot") * dec("col_tot")).cast("double")
     ).cast("bigint")
     per = j.select(
         "priority",
         "status",
         F.col("n_obs").cast("bigint").alias("n_obs"),
         F.round(
-            (F.col("row_tot") * F.col("col_tot")).cast("double")
+            (dec("row_tot") * dec("col_tot")).cast("double")
             / F.col("n").cast("double"),
             3,
         ).alias("expected"),
