@@ -8726,12 +8726,12 @@ ORACLES.update(_wave59.ORACLES)
 # names (print them: python -c "from
 # movie_data_etl_pipeline_spark.plans import fixture_queries as f;
 # print([n for n in list(f.QUERIES)[50:] if n not in
-# f._DRIVER_CHECKED_R1_R6][:50])"). 64 never-checked entries remain
-# after r7 (four were displaced by the in-round re-checks of
+# f._DRIVER_CHECKED_R1_R6][:50])"). 65 never-checked entries remain
+# after r7 (five were displaced by the in-round re-checks of
 # ev_rfm_segments / ag_levene_bf / dd_minhash_lsh /
-# dd_minhash_incremental), so r8 windows 50 of them and r9 the final
-# 14 — r9's spare 36 slots absorb re-checks of anything rewritten in
-# r8. Every entry
+# dd_minhash_incremental / ag_cramers_v), so r8 windows 50 of them
+# and r9 the final 15 — r9's spare 35 slots absorb re-checks of
+# anything rewritten in r8. Every entry
 # is verified locally at sf0.001 AND sf0.01 via tools/crosscheck.py
 # AND under a VANILLA SparkSession (tests/test_vanilla_session.py)
 # regardless of window position.
@@ -8833,6 +8833,10 @@ _R7_RECHECKS = [
     # checkpointed xxh 64x16 banded index (the rc_* r6 precedent)
     "ev_rfm_segments", "ag_levene_bf",
     "dd_minhash_lsh", "dd_minhash_incremental",
+    # ag_cramers_v: DECIMAL(38,0) overflow fix (the 30x error sweep
+    # faulted its int64 chi-square products; same class as qa_chi2,
+    # which sits in the never-checked window already)
+    "ag_cramers_v",
 ]
 
 _R7_WINDOW = [
@@ -8850,7 +8854,6 @@ _R7_WINDOW = [
     "sa_bootstrap_ci", "ev_session_entropy", "ts_mk_trend", "ag_hhi",
     "sa_kfold_assign", "emb_cov_audit", "w7_record_days",
     "ts_decompose", "ts_m4_downsample", "ev_audience_overlap",
-    "ag_cohort_ltv",
 ]
 
 

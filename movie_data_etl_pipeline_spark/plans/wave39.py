@@ -212,10 +212,14 @@ ORDER BY 1, 2, 3
 def ag_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
     """Cramér's V between order priority and status: the chi-square
     statistic accumulated exactly as `qa_chi2` does (micro-snapped
-    int64 cell contributions, reference `plans/wave4.py:400`), then
+    cell contributions, reference `plans/wave4.py:400`), then
     V = √(χ² / (n·min(r−1, c−1))) as ONE fixed double expression over
     exact integers — the normalized association strength a drift
-    monitor thresholds on. One scan, one contingency aggregate."""
+    monitor thresholds on. One scan, one contingency aggregate.
+    Same DECIMAL(38,0) overflow discipline as qa_chi2 (the round-7
+    30x error sweep faulted both int64 forms at once): num and the
+    n·rt·ct denominator exact in decimal, num² as the IEEE double
+    product — bit-identical below 2⁵³, robust to n ~ 1.5e10."""
     o = load_table(spark, sf, "orders").select(
         F.col("o_orderpriority").alias("priority"),
         F.col("o_orderstatus").alias("status"),
@@ -233,11 +237,12 @@ def ag_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(ct), "status")
         .crossJoin(F.broadcast(n))
     )
-    num = F.col("n") * F.col("n_obs") - F.col("row_tot") * F.col("col_tot")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("n") * dec("n_obs") - dec("row_tot") * dec("col_tot")).cast("double")
     contrib_micro = F.round(
         F.lit(1e6)
-        * (num * num).cast("double")
-        / (F.col("n") * F.col("row_tot") * F.col("col_tot")).cast("double")
+        * (num * num)
+        / (dec("n") * dec("row_tot") * dec("col_tot")).cast("double")
     ).cast("bigint")
     agg = j.select(
         contrib_micro.alias("c_micro"), "n", "r", "c"
