@@ -292,7 +292,12 @@ def containment_pairs(
         F.posexplode("ordered").alias("f_pos", "f_sh"),
     )
     min_overlap = F.expr(f"(p_n * {num} + {den - 1}) DIV {den}")
-    candidates = p.join(
+    # pinned shuffle join: both posting sides are corpus-scale, and
+    # AQE's flip-to-broadcast sizes on COMPRESSED shuffle bytes — a
+    # hash-heavy int64 relation can sneak under the threshold while
+    # its deserialized hash build does not fit the driver (the failure
+    # gr_bipartite_project hit twice in the round-7 30x sweep)
+    candidates = p.hint("shuffle_hash").join(
         f,
         (F.col("p_sh") == F.col("f_sh"))
         # exactly one designated prefix side per unordered pair

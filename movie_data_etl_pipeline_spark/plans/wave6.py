@@ -250,7 +250,15 @@ def gr_bipartite_project(spark: SparkSession, sf: str) -> DataFrame:
     exchange across them (two full lineitem scans otherwise; A/B
     median 4.1 -> 3.4 s at sf0.1). An array-form rewrite measured 2.1x
     SLOWER here (tools/ab_r7.py, SCALE.md) — the per-part degree is
-    ~4, so pair fan-out is tiny and the self-join is the right plan."""
+    ~4, so pair fan-out is tiny and the self-join is the right plan.
+    The join is PINNED to a shuffle hash join: both sides are the
+    same fact-scale relation, but AQE sizes the flip-to-broadcast
+    decision on COMPRESSED shuffle bytes, and two well-compressing
+    int64 columns sneak under the 64 MB threshold at 30x while the
+    deserialized hash relation (~13.5M rows) does not fit the driver
+    — the round-7 30x error sweep failed here twice with 'Not enough
+    memory to build and broadcast'. A fact⋈fact key join must never
+    broadcast at scale regardless of what it compresses to."""
     sp = (
         load_table(spark, sf, "lineitem")
         .select("l_partkey", "l_suppkey")
@@ -260,7 +268,7 @@ def gr_bipartite_project(spark: SparkSession, sf: str) -> DataFrame:
     a = sp.select("l_partkey", F.col("l_suppkey").alias("s1"))
     b = sp.select("l_partkey", F.col("l_suppkey").alias("s2"))
     return (
-        a.join(b, "l_partkey")
+        a.hint("shuffle_hash").join(b, "l_partkey")
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_co_parts"))
