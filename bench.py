@@ -15,7 +15,7 @@ every query's FIRST rep, which includes the one-time materialization of
 the session-shared builds (plans/doc_pairs, plans/graph_edges) paid by
 whichever query touches each build first.
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
-     "core_r2_total": <sec>, "core_r3_total": <sec>,
+     "cold_total": <sec>, "core_r2_total": <sec>, "core_r3_total": <sec>,
      "calib_core_r2_ref": <sec>, "drift_factor": <x>,
      "drift_normalized_total": <sec>, "n_queries": <int>, "sf": "<dir>"}
 

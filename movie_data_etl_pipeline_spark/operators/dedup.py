@@ -418,6 +418,16 @@ def minhash_lsh_pairs(
     (id, band, bucket) index relations (e.g. the session-shared
     checkpointed builds in ``plans.doc_pairs``); supplied relations are
     not re-persisted.
+
+    INVARIANT (caller's responsibility — not cheaply checkable in-plan):
+    a supplied ``banded`` must have been built by ``_minhash_banded``
+    from the SAME shingle sets as ``sh`` with the SAME ``num_hashes``
+    and ``bands``. A mismatched index does not error — exact
+    verification still passes every surviving pair — it silently
+    degrades RECALL (wrong buckets → missed candidates). The wiring
+    used by the registry (the 64×16 checkpointed index in
+    ``plans.doc_pairs``) is equivalence-asserted in
+    ``tests/test_dedup.py``; validate any new caller the same way.
     """
     # one persisted shingle-set relation feeds BOTH the signatures and
     # the exact verification — the corpus is tokenized exactly once
@@ -472,7 +482,14 @@ def incremental_minhash_pairs(
     exactly in tests, no recall haircut.
 
     Output: (a_id, b_id, jaccard) with a_id < b_id, exact Jaccard ≥
-    threshold."""
+    threshold.
+
+    INVARIANT (caller's responsibility): supplied ``banded_b`` /
+    ``banded_all`` must come from ``_minhash_banded`` over the same
+    shingle sets as ``sh_b`` / ``sh_c ∪ sh_b`` with this call's
+    ``num_hashes`` and ``bands``. A mismatched index silently degrades
+    recall (verification still exact) — see ``minhash_lsh_pairs``; the
+    registry's 64×16 wiring is equivalence-asserted in tests."""
     # both shingle relations feed banding AND exact verification —
     # persist so each side is tokenized once (in production the corpus
     # side is a precomputed table and never recomputed at all)

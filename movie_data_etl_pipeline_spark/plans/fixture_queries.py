@@ -8709,33 +8709,50 @@ ORACLES.update(_wave59.ORACLES)
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the
 # mechanism by which the official record converges on the registry.
-# Names below have a green driver row in CORRECTNESS_r01–r06; they park
-# at the tail. The round-7 window (VERDICT-r6 ask #1) FRONT-LOADS the
-# eight already-checked queries whose plans were rewritten AFTER their
-# green driver row (gr_khop_reach bitmap MS-BFS, gr_kcore int64
-# peel + shiftright labels, the gr_label_prop/gr_modularity/
-# gr_conductance shared fixed point, the rc_item_item_cf /
-# rc_assoc_rules shared co-purchase base, and dd_containment's
-# round-7 PPJoin-prefix rewrite) so no driver-green row attests a
-# superseded plan; then the three never-checked queries changed in
-# r6/r7 (gr_link_prediction array-form + hub anti-join,
-# ts_esd_outliers decimal sums, sim_matryoshka_recall fixed query
-# panel); then the next never-checked entries in build order.
-# ROUND-8 ROTATION: fold CORRECTNESS_r07's green names into this set
-# (rename _R1_R7), replace `_R7_WINDOW` with the next 50 never-checked
-# names (print them: python -c "from
+# Names below have a green driver row in CORRECTNESS_r01–r07; they park
+# at the tail. The round-8 window (VERDICT-r7 ask #1) takes the next
+# 50 never-checked entries in build order — no plan rewritten after
+# its green row was outstanding at rotation time, so there are no
+# re-checks to front-load (if r8 rewrites a checked plan mid-round,
+# add an _R8_RECHECKS list and front-load it exactly as r7 did).
+# ROUND-9 ROTATION: fold CORRECTNESS_r08's green names into this set
+# (rename _R1_R8), replace `_R8_WINDOW` with the FINAL 15 never-checked
+# names — ts_periodogram, ix_bitmap_and, su_set_ops_all,
+# emb_silhouette, ag_quantile_irls, pt_hierarchy_rollup,
+# ev_journey_editdist, fe_oof_target_encode, sa_group_kfold_audit,
+# ml_auc_mw, ir_ndcg_mrr, fn_string_surface, fn_bitwise_surface,
+# fn_bitagg_surface, fn_array_surface — which closes the union at
+# 343/343; the 35 spare slots absorb re-checks of anything rewritten
+# in r8/r9 (print the live list: python -c "from
 # movie_data_etl_pipeline_spark.plans import fixture_queries as f;
-# print([n for n in list(f.QUERIES)[50:] if n not in
-# f._DRIVER_CHECKED_R1_R6][:50])"). 65 never-checked entries remain
-# after r7 (five were displaced by the in-round re-checks of
-# ev_rfm_segments / ag_levene_bf / dd_minhash_lsh /
-# dd_minhash_incremental / ag_cramers_v), so r8 windows 50 of them
-# and r9 the final 15 — r9's spare 35 slots absorb re-checks of
-# anything rewritten in r8. Every entry
-# is verified locally at sf0.001 AND sf0.01 via tools/crosscheck.py
-# AND under a VANILLA SparkSession (tests/test_vanilla_session.py)
-# regardless of window position.
-_DRIVER_CHECKED_R1_R6 = frozenset({
+# print([n for n in f.QUERIES if n not in
+# f._DRIVER_CHECKED_R1_R7])"). Pool accounting: 65 never-checked
+# remained after r7 — the r7 in-round re-checks of ev_rfm_segments /
+# ag_levene_bf / dd_minhash_lsh / dd_minhash_incremental /
+# ag_cramers_v displaced FIVE never-checked entries (ag_cohort_ltv,
+# ly_zonemap, o14_upsert_evolve, fe_target_encode,
+# fe_hashed_features), all of which lead the r8 window below. Every
+# entry is verified locally at sf0.001 AND sf0.01 via
+# tools/crosscheck.py AND under a VANILLA SparkSession
+# (tests/test_vanilla_session.py) regardless of window position.
+_DRIVER_CHECKED_R1_R7 = frozenset({
+    # --- green driver rows first recorded in CORRECTNESS_r07 ---
+    # (the 13 re-checks of that window — gr_khop_reach, gr_kcore,
+    # gr_label_prop, gr_modularity, gr_conductance, rc_item_item_cf,
+    # rc_assoc_rules, dd_containment, ev_rfm_segments, ag_levene_bf,
+    # dd_minhash_lsh, dd_minhash_incremental, ag_cramers_v — already
+    # appear in the r1–r6 sections below)
+    "gr_link_prediction", "ts_esd_outliers", "sim_matryoshka_recall",
+    "ts_rolling_corr", "ag_abc_analysis", "tx_threshold_sweep",
+    "tx_sentence_stats", "sa_systematic", "qa_balance_check",
+    "ev_survival_km", "dd_survivorship", "ag_theil_sen",
+    "ag_trimmed_mean", "qa_psi_drift", "ev_rfm", "ts_cusum", "qa_chi2",
+    "tx_zipf_fit", "ev_markov_reach", "ag_simpsons", "qa_l_diversity",
+    "emb_pq_codebook", "sim_kmeans_assign", "st_late_audit",
+    "qa_ks_test", "ts_weekday_index", "gr_bipartite_project",
+    "sa_bootstrap_ci", "ev_session_entropy", "ts_mk_trend", "ag_hhi",
+    "sa_kfold_assign", "emb_cov_audit", "w7_record_days",
+    "ts_decompose", "ts_m4_downsample", "ev_audience_overlap",
     # --- green driver rows first recorded in CORRECTNESS_r06 ---
     "sim_tfidf_cosine", "dd_containment", "tx_winnowing",
     "dd_minhash_incremental", "sa_mixture_sample", "dd_bloom_incremental",
@@ -8816,55 +8833,40 @@ _DRIVER_CHECKED_R1_R6 = frozenset({
     "w1_running_total", "w4_trailing_7d",
 })
 
-# Already-checked queries whose plans were rewritten after their green
-# driver row — deliberately re-windowed (VERDICT-r6 ask #1) so the
-# record attests the code at HEAD. tests/test_registry_contract.py
-# allows exactly this set to overlap the checked tail.
-_R7_RECHECKS = [
-    "gr_khop_reach", "gr_kcore", "gr_label_prop", "gr_modularity",
-    "gr_conductance", "rc_item_item_cf", "rc_assoc_rules",
-    "dd_containment",
-    # round-7 in-round rewrites — re-windowed immediately so no green
-    # row attests a superseded plan; the four displaced never-checked
-    # entries (fe_target_encode, fe_hashed_features, ly_zonemap,
-    # o14_upsert_evolve) move to the r8/r9 pool.
-    # ev_rfm_segments/ag_levene_bf: tools/ab_r7.py checkpoint wins;
-    # dd_minhash_lsh/dd_minhash_incremental: shared-base swap onto the
-    # checkpointed xxh 64x16 banded index (the rc_* r6 precedent)
-    "ev_rfm_segments", "ag_levene_bf",
-    "dd_minhash_lsh", "dd_minhash_incremental",
-    # ag_cramers_v: DECIMAL(38,0) overflow fix (the 30x error sweep
-    # faulted its int64 chi-square products; same class as qa_chi2,
-    # which sits in the never-checked window already)
-    "ag_cramers_v",
-]
-
-_R7_WINDOW = [
-    *_R7_RECHECKS,
-    # never-checked queries changed in r6/r7, prioritized
-    "gr_link_prediction", "ts_esd_outliers", "sim_matryoshka_recall",
-    # next never-checked entries in build order
-    "ts_rolling_corr", "ag_abc_analysis", "tx_threshold_sweep",
-    "tx_sentence_stats", "sa_systematic", "qa_balance_check",
-    "ev_survival_km", "dd_survivorship", "ag_theil_sen",
-    "ag_trimmed_mean", "qa_psi_drift", "ev_rfm", "ts_cusum", "qa_chi2",
-    "tx_zipf_fit", "ev_markov_reach", "ag_simpsons", "qa_l_diversity",
-    "emb_pq_codebook", "sim_kmeans_assign", "st_late_audit",
-    "qa_ks_test", "ts_weekday_index", "gr_bipartite_project",
-    "sa_bootstrap_ci", "ev_session_entropy", "ts_mk_trend", "ag_hhi",
-    "sa_kfold_assign", "emb_cov_audit", "w7_record_days",
-    "ts_decompose", "ts_m4_downsample", "ev_audience_overlap",
+# Round-8 driver window: the next 50 never-checked entries in build
+# order (no re-checks were outstanding at rotation). The five entries
+# displaced from the r7 window by its in-round re-checks lead. The 15
+# names NOT here (enumerated in the rotation comment above) are the r9
+# closing window.
+_R8_WINDOW = [
+    "ag_cohort_ltv", "ly_zonemap", "o14_upsert_evolve",
+    "fe_target_encode", "fe_hashed_features", "ev_step_latency",
+    "w8_pareto_front", "sa_neyman_alloc", "ts_seasonal_outliers",
+    "ag_did", "ag_raking", "ix_trigram_search", "ts_forecast_backtest",
+    "ev_growth_accounting", "qa_freshness", "mm_content_dedup",
+    "g4_time_rollup", "w9_yoy_change", "ev_streaks", "sa_split_leakage",
+    "emb_centroid_drift", "qa_key_gaps", "tx_langid_confusion",
+    "ag_price_volume_mix", "px_interleave_order",
+    "tx_pack_fragmentation", "ev_funnel_timebound", "ag_median_polish",
+    "sim_cluster_purity", "qa_table_profiles", "ag_grouped_quantiles",
+    "qa_srm_check", "ev_user_outliers", "gr_assortativity",
+    "fn_generator_surface", "fn_datetime_surface",
+    "ts_intervention_impact", "qa_round_number_bias", "ts_fano_factor",
+    "ev_hourly_profile", "dd_cross_source_dups", "ev_pattern_match",
+    "qa_dp_counts", "ly_hilbert", "ag_huber_irls", "tx_perplexity",
+    "ev_incident_overlap", "fn_map_surface", "emb_kmeans_iterate",
+    "qa_fd_mining",
 ]
 
 
 def _rotated(registry: dict[str, QueryFn]) -> dict[str, QueryFn]:
-    front = [n for n in _R7_WINDOW if n in registry]
+    front = [n for n in _R8_WINDOW if n in registry]
     placed = set(front)
     mid = [
         n for n in registry
-        if n not in _DRIVER_CHECKED_R1_R6 and n not in placed
+        if n not in _DRIVER_CHECKED_R1_R7 and n not in placed
     ]
-    tail = [n for n in registry if n in _DRIVER_CHECKED_R1_R6 and n not in placed]
+    tail = [n for n in registry if n in _DRIVER_CHECKED_R1_R7 and n not in placed]
     return {n: registry[n] for n in [*front, *mid, *tail]}
 
 

@@ -44,7 +44,10 @@ def main() -> None:
         )
         from tools.scalebench import amplify
 
-        amplify(get_spark("error-sweep"), "/root/testdata/sf0.1", sf_dir, factor)
+        # honor the same base-dir override scalebench uses, so the two
+        # tools' records always describe the same amplified data
+        base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        amplify(get_spark("error-sweep"), base_dir, sf_dir, factor)
     spark = get_spark("error-sweep")
     results: dict[str, object] = {}
     for name, fn in FQ.QUERIES.items():

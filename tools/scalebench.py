@@ -201,8 +201,15 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_json = sys.argv[2] if len(sys.argv) > 2 else ""
     # optional trailing query names restrict the sweep (for spot-checks
-    # at extreme factors where the full 89-query set would take hours)
-    names = [a for a in sys.argv[3:] if a in SCALE_QUERIES] or None
+    # at extreme factors where the full 89-query set would take hours).
+    # Unknown names are a hard error: silently dropping a typo would
+    # fall back to the FULL sweep — the opposite of a spot-check.
+    requested = sys.argv[3:]
+    unknown = [a for a in requested if a not in SCALE_QUERIES]
+    if unknown:
+        sys.exit(f"scalebench: unknown query name(s) {unknown}; "
+                 f"valid names are keys of SCALE_QUERIES")
+    names = requested or None
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     amp_dir = f"/tmp/scalebench_x{factor}"
     spark = get_spark("scalebench")
