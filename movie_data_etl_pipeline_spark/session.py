@@ -42,6 +42,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # close the AQE flip-to-broadcast fault class engine-wide
+        # (round-7 root cause, VERDICT-r7 ask #3): the runtime flip
+        # sizes its broadcast decision on COMPRESSED shuffle bytes, and
+        # a narrow all-int64 fact relation dictionary/RLE-compresses
+        # 20-100x — so a build side that "fits" the threshold can be
+        # gigabytes deserialized (the gr_bipartite_project 30x OOM).
+        # Static planning is unaffected: it sizes on parquet file
+        # bytes (trustworthy), so every dimension broadcast keeps its
+        # plan; only the untrustworthy runtime SMJ/SHJ->BHJ conversion
+        # is off. Per-site shuffle_hash pins on known fact⋈fact joins
+        # remain as belt-and-braces (and are faster at 1x anyway).
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

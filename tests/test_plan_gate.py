@@ -159,6 +159,179 @@ def plans(spark, sf_dir):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Fact⋈fact broadcast audit (VERDICT-r7 ask #3)
+#
+# The round-7 30x sweep OOM class: AQE's runtime flip-to-broadcast
+# sizes the build side on COMPRESSED shuffle bytes, and a narrow
+# all-int64 fact relation compresses 20-100x — so a "small" build side
+# can be gigabytes deserialized. The class is closed in two layers:
+#
+#  1. ENGINE-WIDE: session.py sets
+#     spark.sql.adaptive.autoBroadcastJoinThreshold=-1, so AQE can
+#     never convert a statically-planned shuffle join into a broadcast
+#     at runtime (static planning still broadcasts dimensions off
+#     trustworthy parquet file sizes). test_session_disables_runtime_
+#     broadcast_flip pins the config.
+#  2. PER-SITE: the fact⋈fact self-joins whose pair relation is
+#     unbounded carry an explicit shuffle_hash hint (also faster than
+#     sort-merge at 1x — no sort). SHUFFLE_HASH_PINNED asserts each
+#     pin survives in the static plan, so a refactor that drops a hint
+#     fails CI here.
+#
+# Site audit (every fact⋈fact join site in the operator library):
+#  * dedup.containment_pairs posting join        — PINNED (r7)
+#  * plans/wave6 gr_bipartite_project fact joins — PINNED (r7)
+#  * dedup.ngram_jaccard_pairs prefix self-join  — narrow int64
+#    posting relation, unbounded; closed by layer 1; static plan is
+#    SMJ/SHJ (sides have no file stats -> never statically broadcast).
+#  * dedup.minhash_lsh_pairs (+portable) banded self-join — same shape
+#    as above: (id, band, bucket) all-int64, closed by layer 1.
+#  * dedup.simhash_near_dup_pairs chunk join     — same class, layer 1.
+#  * dedup.incremental_minhash_pairs (+portable) — batch ⋈ (corpus ∪
+#    batch): the SMALLER side is always the arriving batch (subset
+#    relation), so a broadcast build is bounded by batch size — the
+#    RIGHT production plan; flip intentionally allowed statically,
+#    runtime flip closed by layer 1.
+#  * plans/wave36 _cf_pair_counts basket self-join (rc_item_item_cf /
+#    rc_assoc_rules) — narrow int64 (c, p), unbounded pairs; layer 1.
+#  * similarity.knn_lsh / knn_hyperplane_portable bucket self-joins,
+#    knn_ivf posting join — the join relations CARRY the embedding
+#    vectors: float arrays are near-incompressible, so compressed ≈
+#    deserialized and the heuristic is not lying; additionally closed
+#    by layer 1.
+#  * similarity.tfidf_cosine_pairs token posting join — mixed
+#    int64+float postings from the capped inverted index; layer 1.
+#  * operators/skew.salted_join — fact ⋈ DIMENSION by contract (the
+#    dim side is replicated per salt); a broadcast of the replicated
+#    dim is bounded by n_salts × |dim| and safe.
+#  * dd_lsh_recall ground-truth co-shingle join — runs on the
+#    deterministic doc_id % 4 sample by design (the modulus is the
+#    documented production knob bounding BOTH sides); layer 1.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_HASH_PINNED = {
+    # query -> why the pin exists (all narrow-int fact⋈fact pair joins)
+    "dd_containment": "PPJoin prefix⋈postings pin (r7 30x OOM fix class)",
+    "gr_bipartite_project": "fact⋈fact self-join pin (r7 30x OOM root cause)",
+}
+
+
+def test_fact_pair_joins_keep_shuffle_hash_pin(plans):
+    missing = [
+        n for n in SHUFFLE_HASH_PINNED if "ShuffledHashJoin" not in plans[n]
+    ]
+    assert not missing, (
+        f"shuffle_hash pin lost from fact-pair join plans: {missing} — "
+        "these joins OOM'd (or share the exact plan class that OOM'd) "
+        "when AQE flipped them to broadcast at 30x; restore the hint"
+    )
+
+
+def test_session_disables_runtime_broadcast_flip(spark):
+    """Layer-1 closure of the compressed-bytes broadcast fault class:
+    the factory session must keep AQE's runtime flip-to-broadcast off
+    (static broadcast planning is governed separately by
+    spark.sql.autoBroadcastJoinThreshold and stays on)."""
+    assert spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold") == "-1"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+# A size-chosen broadcast of a small fact scan at sf0.1 is
+# scale-ADAPTIVE (at 100 TB the file size exceeds the threshold and
+# Spark re-plans to a shuffle join on its own) — not a bug. The
+# genuinely scale-broken shape is a HINT-FORCED broadcast of an
+# unreduced fact relation: hints override the size threshold at any
+# scale, so that build side grows with the data forever. Planning with
+# the static threshold at -1 strips every size-chosen broadcast; any
+# BroadcastExchange that survives comes from an explicit hint and must
+# either reduce (aggregate/limit) before the fact scan or be
+# allowlisted here with its boundedness argument.
+HINTED_FACT_BROADCAST_OK = {
+    # query -> why the hinted build side is bounded at any scale.
+    # All four broadcast an embeddings subset selected by an equality/
+    # range predicate on the UNIQUE key vec_id with a CONSTANT bound —
+    # the build side is <= K rows at any corpus size (a seed codebook /
+    # fixed query panel), which a static walker cannot see because the
+    # bound lives in the filter predicate, not in a reducing operator.
+    "sim_kmeans_assign": "8-row seed codebook (vec_id < 8)",
+    "emb_pq_codebook": "8-row PQ seed table (vec_id < 8)",
+    "sim_cluster_purity": "8-row seed table (vec_id < 8)",
+    "ir_ndcg_mrr": "50-row fixed query panel (vec_id bound)",
+}
+
+_FACT_SCAN_RE = re.compile(
+    r"/(lineitem|orders|events|documents|embeddings)\.parquet"
+)
+_REDUCE_RE = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate|"
+    r"GlobalLimit|CollectLimit|TakeOrderedAndProject|Limit"
+)
+
+
+def _hint_depth(line: str) -> int:
+    m = re.search(r"[+:]- ", line)
+    return m.start() if m else -1
+
+
+def _broadcasts_unreduced_fact(plan: str) -> str | None:
+    """Return the fact table name if some BroadcastExchange subtree
+    scans it with no reducing operator in between, else None."""
+    tree = plan.splitlines()
+    for i, line in enumerate(tree):
+        if "BroadcastExchange" not in line:
+            continue
+        d = _hint_depth(line)
+        seen_reduce = False
+        for sub in tree[i + 1:]:
+            sd = _hint_depth(sub)
+            if 0 <= sd <= d:
+                break
+            if _REDUCE_RE.search(sub):
+                seen_reduce = True
+            m = _FACT_SCAN_RE.search(sub)
+            if m and not seen_reduce:
+                return m.group(1)
+    return None
+
+
+@pytest.fixture(scope="module")
+def hint_only_plans(spark, sf_dir):
+    """Plan every registry query with the STATIC broadcast threshold
+    off, so the only broadcasts left are hint-forced ones."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # drop persisted InMemoryRelations: the cache manager substitutes
+    # cached subtrees COMPILED UNDER THE OLD THRESHOLD (a size-chosen
+    # broadcast frozen inside a cached plan would read as hint-forced
+    # here); localCheckpointed shared builds are RDD-backed and
+    # unaffected
+    spark.catalog.clearCache()
+    try:
+        return {
+            name: fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            for name, fn in QUERIES.items()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_no_hint_forced_broadcast_of_unreduced_fact_relation(hint_only_plans):
+    offenders = {}
+    for name, plan in hint_only_plans.items():
+        if name in HINTED_FACT_BROADCAST_OK:
+            continue
+        t = _broadcasts_unreduced_fact(plan)
+        if t:
+            offenders[name] = t
+    assert not offenders, (
+        f"hint-forced broadcast of an unreduced fact relation: {offenders} — "
+        "a hinted broadcast ignores the size threshold at every scale, so "
+        "this build side grows with the data; aggregate/limit it first, "
+        "drop the hint, or allowlist with a boundedness argument"
+    )
+
+
 def test_no_unsanctioned_nested_loops(plans):
     bad = [
         n

@@ -8,9 +8,15 @@ ARITHMETIC_OVERFLOW / broadcast-OOM loudly instead of wrapping, so one
 pass certifies "every query EXECUTES at Nx data", the class of latent
 scale bug the round-6 30x sweep caught in ts_esd_outliers.
 
-    python tools/error_sweep.py [factor] [out_json]
+    python tools/error_sweep.py [factor] [out_json] [query ...]
+    python tools/error_sweep.py [factor] [out_json] --shard K/N
 
 Writes one JSON line {"factor": N, "results": {name: sec | "ERROR: ..."}}.
+Trailing query names restrict the sweep; `--shard K/N` (K in 1..N)
+takes every N-th registry entry starting at K-1, so N concurrent
+sessions (or N sequential runs) cover the registry exactly once —
+merge the shard JSONs by unioning their `results`. Unknown names are
+a hard error (a typo must not silently widen the sweep).
 """
 
 from __future__ import annotations
@@ -29,6 +35,18 @@ from movie_data_etl_pipeline_spark.session import get_spark
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_json = sys.argv[2] if len(sys.argv) > 2 else ""
+    names = list(FQ.QUERIES)
+    rest = sys.argv[3:]
+    if rest and rest[0] == "--shard":
+        k, n = (int(x) for x in rest[1].split("/"))
+        if not 1 <= k <= n:
+            sys.exit(f"error_sweep: bad shard {rest[1]} (want K/N, 1<=K<=N)")
+        names = names[k - 1 :: n]
+    elif rest:
+        unknown = [a for a in rest if a not in FQ.QUERIES]
+        if unknown:
+            sys.exit(f"error_sweep: unknown query name(s) {unknown}")
+        names = rest
     sf_dir = f"/tmp/scalebench_x{factor}"
     # fail fast on missing fixtures — every query would otherwise
     # "fail" with PATH_NOT_FOUND and the sweep would burn 20 minutes
@@ -50,7 +68,8 @@ def main() -> None:
         amplify(get_spark("error-sweep"), base_dir, sf_dir, factor)
     spark = get_spark("error-sweep")
     results: dict[str, object] = {}
-    for name, fn in FQ.QUERIES.items():
+    for name in names:
+        fn = FQ.QUERIES[name]
         print(f"error_sweep: {name}", file=sys.stderr, flush=True)
         t0 = time.time()
         try:
