@@ -59,6 +59,27 @@ def test_simhash_agreement_floor(spark, sf_dir):
     assert len(sim & hi) >= 0.7 * len(hi)
 
 
+def test_simhash_registry_vs_portable_floor(spark, sf_dir):
+    """Registry-surface floor tying the rows-only ``dd_simhash``
+    production entry to its hash-green portable twin (VERDICT-r7 ask
+    #5, the ``sim_knn_ivf`` pattern): on the unambiguous near-dups
+    (exact Jaccard ≥ 0.8) that the value-checked ``dd_simhash_portable``
+    entry recovers, the production entry must agree on at least 80%
+    (measured 0.92 at sf0.001; both hash families are fixed-seed, so
+    the measurement is deterministic per fixture). The two entries use
+    different bit widths and hamming radii (64-bit/≤6 vs 28-bit/≤3),
+    so neither output is a subset of the other — agreement on the
+    exact-anchored pairs is the comparable surface. Complements
+    ``test_simhash_agreement_floor`` (production vs exact anchors
+    directly)."""
+    hi = _pairs(spark, sf_dir, "dd_ngram_jaccard", F.col("jaccard") >= 0.8)
+    prod = _pairs(spark, sf_dir, "dd_simhash")
+    port = _pairs(spark, sf_dir, "dd_simhash_portable")
+    anchored_port = port & hi
+    assert anchored_port, "portable twin must recover some exact anchors"
+    assert len(prod & anchored_port) >= 0.8 * len(anchored_port)
+
+
 def test_embedding_near_dup_recall_floor(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     rows = emb.collect()
