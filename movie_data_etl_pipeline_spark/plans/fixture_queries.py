@@ -8716,17 +8716,18 @@ ORACLES.update(_wave59.ORACLES)
 # re-checks to front-load (if r8 rewrites a checked plan mid-round,
 # add an _R8_RECHECKS list and front-load it exactly as r7 did).
 # ROUND-9 ROTATION: fold CORRECTNESS_r08's green names into this set
-# (rename _R1_R8), replace `_R8_WINDOW` with the FINAL 15 never-checked
-# names — ts_periodogram, ix_bitmap_and, su_set_ops_all,
-# emb_silhouette, ag_quantile_irls, pt_hierarchy_rollup,
-# ev_journey_editdist, fe_oof_target_encode, sa_group_kfold_audit,
-# ml_auc_mw, ir_ndcg_mrr, fn_string_surface, fn_bitwise_surface,
-# fn_bitagg_surface, fn_array_surface — which closes the union at
-# 343/343; the 35 spare slots absorb re-checks of anything rewritten
-# in r8/r9 (print the live list: python -c "from
+# (rename _R1_R8), replace `_R8_WINDOW` with the FINAL 18 never-checked
+# names — fn_map_surface, emb_kmeans_iterate, qa_fd_mining (displaced
+# from the r8 window by its three in-round re-checks), ts_periodogram,
+# ix_bitmap_and, su_set_ops_all, emb_silhouette, ag_quantile_irls,
+# pt_hierarchy_rollup, ev_journey_editdist, fe_oof_target_encode,
+# sa_group_kfold_audit, ml_auc_mw, ir_ndcg_mrr, fn_string_surface,
+# fn_bitwise_surface, fn_bitagg_surface, fn_array_surface — which
+# closes the union at 343/343; the 32 spare slots absorb re-checks of
+# anything rewritten in r8/r9 (print the live list: python -c "from
 # movie_data_etl_pipeline_spark.plans import fixture_queries as f;
 # print([n for n in f.QUERIES if n not in
-# f._DRIVER_CHECKED_R1_R7])"). Pool accounting: 65 never-checked
+# f._DRIVER_CHECKED_R1_R8])"). Pool accounting: 65 never-checked
 # remained after r7 — the r7 in-round re-checks of ev_rfm_segments /
 # ag_levene_bf / dd_minhash_lsh / dd_minhash_incremental /
 # ag_cramers_v displaced FIVE never-checked entries (ag_cohort_ltv,
@@ -8833,12 +8834,31 @@ _DRIVER_CHECKED_R1_R7 = frozenset({
     "w1_running_total", "w4_trailing_7d",
 })
 
-# Round-8 driver window: the next 50 never-checked entries in build
-# order (no re-checks were outstanding at rotation). The five entries
-# displaced from the r7 window by its in-round re-checks lead. The 15
-# names NOT here (enumerated in the rotation comment above) are the r9
-# closing window.
+# Already-checked queries whose plans were rewritten after their green
+# driver row — re-windowed so the record attests HEAD (the r7
+# discipline). All three were faulted by the round-8 100x error sweep
+# (tools/error_sweep_r8_x100.json preserves the faulting run;
+# _fixed.json the 100x re-verification):
+#   ag_ols2_cramer / ag_granger_lite — int64 overflow in the deviation
+#   products (the qa_chi2 class) → exact DECIMAL(38,0) products,
+#   moments surfaced as doubles;
+#   ev_stickiness — static build-side misestimate broadcast the
+#   user-day×28 fact side (10.7 GiB > the 8 GiB hard cap) →
+#   F.broadcast(full) pins the calendar-bounded side.
+# The three displaced never-checked entries (fn_map_surface,
+# emb_kmeans_iterate, qa_fd_mining) move to the r9 pool (r9 closes 18).
+_R8_RECHECKS = [
+    "ag_ols2_cramer", "ag_granger_lite", "ev_stickiness",
+]
+
+# Round-8 driver window: the three re-checks, then the next
+# never-checked entries in build order. The five entries displaced
+# from the r7 window by its in-round re-checks lead the never-checked
+# block. The names NOT here (15 enumerated in the rotation comment
+# above + the three displaced by the re-checks) are the r9 closing
+# window.
 _R8_WINDOW = [
+    *_R8_RECHECKS,
     "ag_cohort_ltv", "ly_zonemap", "o14_upsert_evolve",
     "fe_target_encode", "fe_hashed_features", "ev_step_latency",
     "w8_pareto_front", "sa_neyman_alloc", "ts_seasonal_outliers",
@@ -8854,8 +8874,7 @@ _R8_WINDOW = [
     "ts_intervention_impact", "qa_round_number_bias", "ts_fano_factor",
     "ev_hourly_profile", "dd_cross_source_dups", "ev_pattern_match",
     "qa_dp_counts", "ly_hilbert", "ag_huber_irls", "tx_perplexity",
-    "ev_incident_overlap", "fn_map_surface", "emb_kmeans_iterate",
-    "qa_fd_mining",
+    "ev_incident_overlap",
 ]
 
 

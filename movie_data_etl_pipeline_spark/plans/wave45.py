@@ -2,10 +2,12 @@
 rule) over anchored integer moments.
 
 Determinism contract: day-grain sums are exact int64; moments are
-accumulated as deviations from integer floor-mean anchors (the
-`ts_esd_outliers` overflow discipline — squares stay deviation-bounded
-with ~100× amplification headroom); coefficients, intercept, and R²
-are fixed double expressions over those exact integers.
+accumulated as deviations from integer floor-mean anchors, with the
+deviation PRODUCTS in exact DECIMAL(38,0) (the qa_chi2 /
+ag_cramers_v discipline — the round-8 100x error sweep proved the
+int64 squares overflow there; anchoring bounds the deviations, not
+their squares); coefficients, intercept, and R² are fixed double
+expressions over those exact accumulations.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ def ag_ols2_cramer(spark: SparkSession, sf: str) -> DataFrame:
     deviation products; then Cramer's rule ``b = S⁻¹ s`` and R² as
     fixed double expressions. The multivariate extension of
     `ag_ols_brand`; at 100 TB the day relation is metadata-sized and
-    the anchors keep every square inside int64."""
+    the DECIMAL(38,0) products are exact to deviations of ~1e19."""
     li = load_table(spark, sf, "lineitem")
     days = li.groupBy(F.col("l_shipdate").alias("d")).agg(
         F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("x1"),
@@ -48,17 +50,24 @@ def ag_ols2_cramer(spark: SparkSession, sf: str) -> DataFrame:
         "a2",
         "ay",
     )
+    # deviation PRODUCTS are the n²·value²-class terms: at 100x sf0.1
+    # the daily-revenue deviations square past int64 (the round-8 100x
+    # error sweep faulted exactly here) — compute them in exact
+    # DECIMAL(38,0), the qa_chi2 / ag_cramers_v discipline; the linear
+    # sums stay int64 (day-count × deviation, orders of magnitude of
+    # headroom)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = dv.groupBy("a1", "a2", "ay").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("d1").cast("bigint").alias("s1"),
         F.sum("d2").cast("bigint").alias("s2"),
         F.sum("dy").cast("bigint").alias("sy"),
-        F.sum(F.col("d1") * F.col("d1")).cast("bigint").alias("s11"),
-        F.sum(F.col("d2") * F.col("d2")).cast("bigint").alias("s22"),
-        F.sum(F.col("d1") * F.col("d2")).cast("bigint").alias("s12"),
-        F.sum(F.col("d1") * F.col("dy")).cast("bigint").alias("s1y"),
-        F.sum(F.col("d2") * F.col("dy")).cast("bigint").alias("s2y"),
-        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(dec("d1") * dec("d1")).alias("s11"),
+        F.sum(dec("d2") * dec("d2")).alias("s22"),
+        F.sum(dec("d1") * dec("d2")).alias("s12"),
+        F.sum(dec("d1") * dec("dy")).alias("s1y"),
+        F.sum(dec("d2") * dec("dy")).alias("s2y"),
+        F.sum(dec("dy") * dec("dy")).alias("syy"),
     )
     # centered second moments from anchored sums: C11 = s11 - s1²/n etc.
     n = F.col("n").cast("double")
@@ -76,14 +85,18 @@ def ag_ols2_cramer(spark: SparkSession, sf: str) -> DataFrame:
     mean1 = F.col("a1").cast("double") + F.col("s1").cast("double") / n
     mean2 = F.col("a2").cast("double") + F.col("s2").cast("double") / n
     meany = F.col("ay").cast("double") + F.col("sy").cast("double") / n
+    # moments surface as doubles: exact integers below 2^53 (all of
+    # sf0.01, where the oracle checks values bit-for-bit), one
+    # deterministic rounding above — the decimal ACCUMULATION is what
+    # must stay exact, and it does
     return m.select(
         "n",
-        "s11",
-        "s22",
-        "s12",
-        "s1y",
-        "s2y",
-        "syy",
+        F.col("s11").cast("double").alias("s11"),
+        F.col("s22").cast("double").alias("s22"),
+        F.col("s12").cast("double").alias("s12"),
+        F.col("s1y").cast("double").alias("s1y"),
+        F.col("s2y").cast("double").alias("s2y"),
+        F.col("syy").cast("double").alias("syy"),
         b1.alias("b_qty"),
         b2.alias("b_disc"),
         (meany - b1 * mean1 - b2 * mean2).alias("intercept"),
@@ -115,12 +128,12 @@ m AS (
          CAST(SUM(d1) AS BIGINT) AS s1,
          CAST(SUM(d2) AS BIGINT) AS s2,
          CAST(SUM(dy) AS BIGINT) AS sy,
-         CAST(SUM(d1 * d1) AS BIGINT) AS s11,
-         CAST(SUM(d2 * d2) AS BIGINT) AS s22,
-         CAST(SUM(d1 * d2) AS BIGINT) AS s12,
-         CAST(SUM(d1 * dy) AS BIGINT) AS s1y,
-         CAST(SUM(d2 * dy) AS BIGINT) AS s2y,
-         CAST(SUM(dy * dy) AS BIGINT) AS syy
+         SUM(CAST(d1 AS HUGEINT) * d1) AS s11,
+         SUM(CAST(d2 AS HUGEINT) * d2) AS s22,
+         SUM(CAST(d1 AS HUGEINT) * d2) AS s12,
+         SUM(CAST(d1 AS HUGEINT) * dy) AS s1y,
+         SUM(CAST(d2 AS HUGEINT) * dy) AS s2y,
+         SUM(CAST(dy AS HUGEINT) * dy) AS syy
   FROM dv GROUP BY 1, 2, 3
 ),
 e AS (
@@ -140,7 +153,10 @@ b AS (
          (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
   FROM e
 )
-SELECT n, s11, s22, s12, s1y, s2y, syy,
+SELECT n,
+       CAST(s11 AS DOUBLE) AS s11, CAST(s22 AS DOUBLE) AS s22,
+       CAST(s12 AS DOUBLE) AS s12, CAST(s1y AS DOUBLE) AS s1y,
+       CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy,
        b1 AS b_qty,
        b2 AS b_disc,
        (CAST(ay AS DOUBLE) + CAST(sy AS DOUBLE) / nn)

@@ -21,9 +21,10 @@ def ag_granger_lite(spark: SparkSession, sf: str) -> DataFrame:
     y_t ~ y_{t−1} (simple OLS) vs full y_t ~ y_{t−1} + x_{t−1}
     (Cramer's rule, the `ag_ols2_cramer` machinery) on the day-grain
     series in whole dollars; F = (RSS_r − RSS_f) / (RSS_f/(n−3)).
-    Every moment is an anchored int64 sum; RSS_r, RSS_f, and F are
-    fixed double expressions — the causal-screening gate a metrics
-    team runs before trusting a leading indicator."""
+    Every moment is an anchored exact sum (linear terms int64,
+    products DECIMAL(38,0)); RSS_r, RSS_f, and F are fixed double
+    expressions — the causal-screening gate a metrics team runs
+    before trusting a leading indicator."""
     li = load_table(spark, sf, "lineitem")
     days = li.groupBy(F.col("l_shipdate").alias("d")).agg(
         F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("vol"),
@@ -51,17 +52,21 @@ def ag_granger_lite(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("x1") - F.col("a1")).alias("d1"),
         (F.col("x2") - F.col("a2")).alias("d2"),
     )
+    # deviation products in exact DECIMAL(38,0) — int64 squares of the
+    # daily-revenue deviations overflow at 100x sf0.1 (caught by the
+    # round-8 100x error sweep; the ag_ols2_cramer / qa_chi2 class)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = dv.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("dy").cast("bigint").alias("sy"),
         F.sum("d1").cast("bigint").alias("s1"),
         F.sum("d2").cast("bigint").alias("s2"),
-        F.sum(F.col("d1") * F.col("d1")).cast("bigint").alias("s11"),
-        F.sum(F.col("d2") * F.col("d2")).cast("bigint").alias("s22"),
-        F.sum(F.col("d1") * F.col("d2")).cast("bigint").alias("s12"),
-        F.sum(F.col("d1") * F.col("dy")).cast("bigint").alias("s1y"),
-        F.sum(F.col("d2") * F.col("dy")).cast("bigint").alias("s2y"),
-        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(dec("d1") * dec("d1")).alias("s11"),
+        F.sum(dec("d2") * dec("d2")).alias("s22"),
+        F.sum(dec("d1") * dec("d2")).alias("s12"),
+        F.sum(dec("d1") * dec("dy")).alias("s1y"),
+        F.sum(dec("d2") * dec("dy")).alias("s2y"),
+        F.sum(dec("dy") * dec("dy")).alias("syy"),
     )
     n = F.col("n").cast("double")
 
@@ -80,14 +85,17 @@ def ag_granger_lite(spark: SparkSession, sf: str) -> DataFrame:
     b2 = (c11 * c2y - c12 * c1y) / det
     rss_f = cyy - b1 * c1y - b2 * c2y
     f_stat = (rss_r - rss_f) / (rss_f / (n - F.lit(3.0)))
+    # moments surface as doubles (exact below 2^53 — all of sf0.01;
+    # one deterministic rounding above; the decimal accumulation stays
+    # exact) — see ag_ols2_cramer
     return m.select(
         "n",
-        "s11",
-        "s22",
-        "s12",
-        "s1y",
-        "s2y",
-        "syy",
+        F.col("s11").cast("double").alias("s11"),
+        F.col("s22").cast("double").alias("s22"),
+        F.col("s12").cast("double").alias("s12"),
+        F.col("s1y").cast("double").alias("s1y"),
+        F.col("s2y").cast("double").alias("s2y"),
+        F.col("syy").cast("double").alias("syy"),
         rss_r.alias("rss_restricted"),
         rss_f.alias("rss_full"),
         b2.alias("b_lagged_volume"),
@@ -124,12 +132,12 @@ m AS (
          CAST(SUM(dy) AS BIGINT) AS sy,
          CAST(SUM(d1) AS BIGINT) AS s1,
          CAST(SUM(d2) AS BIGINT) AS s2,
-         CAST(SUM(d1 * d1) AS BIGINT) AS s11,
-         CAST(SUM(d2 * d2) AS BIGINT) AS s22,
-         CAST(SUM(d1 * d2) AS BIGINT) AS s12,
-         CAST(SUM(d1 * dy) AS BIGINT) AS s1y,
-         CAST(SUM(d2 * dy) AS BIGINT) AS s2y,
-         CAST(SUM(dy * dy) AS BIGINT) AS syy
+         SUM(CAST(d1 AS HUGEINT) * d1) AS s11,
+         SUM(CAST(d2 AS HUGEINT) * d2) AS s22,
+         SUM(CAST(d1 AS HUGEINT) * d2) AS s12,
+         SUM(CAST(d1 AS HUGEINT) * dy) AS s1y,
+         SUM(CAST(d2 AS HUGEINT) * dy) AS s2y,
+         SUM(CAST(dy AS HUGEINT) * dy) AS syy
   FROM dv
 ),
 e AS (
@@ -150,7 +158,10 @@ b AS (
          (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
   FROM e
 )
-SELECT n, s11, s22, s12, s1y, s2y, syy,
+SELECT n,
+       CAST(s11 AS DOUBLE) AS s11, CAST(s22 AS DOUBLE) AS s22,
+       CAST(s12 AS DOUBLE) AS s12, CAST(s1y AS DOUBLE) AS s1y,
+       CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy,
        rss_r AS rss_restricted,
        cyy - b1 * c1y - b2 * c2y AS rss_full,
        b2 AS b_lagged_volume,

@@ -44,8 +44,17 @@ def ev_stickiness(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.expr(f"datediff(d, d0) >= {_MAU_DAYS - 1}"))
         .select(F.col("d").alias("wd"))
     )
+    # PIN the build side: `full` is calendar-bounded (one row per day
+    # past the warm-up window) at ANY corpus size, while `contrib` is
+    # user-days × 28 — a fact relation. Without the hint, Spark's
+    # static size propagation through the distinct-aggregate +
+    # explode chain UNDER-estimated contrib and chose BuildLeft on it;
+    # at 100x that build side materialized 10.7 GiB and died on the
+    # 8 GiB broadcast hard cap (round-8 100x error sweep). Post-agg /
+    # post-generate estimates are unreliable in both directions — a
+    # bounded⋈fact join must state its bounded side explicitly.
     agg = (
-        contrib.join(full, "wd")
+        contrib.join(F.broadcast(full), "wd")
         .groupBy("wd")
         .agg(
             F.count_distinct(F.when(F.col("off") == 0, F.col("user_id")))

@@ -2,9 +2,12 @@
 
 Local mode is a single JVM (``local[N]``); the configs below are chosen so
 the *same* logical plans scale to a multi-executor cluster: AQE enabled
-(runtime partition coalescing, skew-join splitting, dynamic join
-selection), UTC session timezone (parity with the DuckDB oracle, which is
-UTC-naive), Arrow transfer for the pandas-UDF slow path.
+(runtime partition coalescing, skew-join splitting) with its
+flip-to-broadcast conversion OFF (it sizes on compressed shuffle bytes,
+which lies about narrow int64 fact relations — the round-7 OOM class;
+static broadcast planning on parquet file sizes stays on), UTC session
+timezone (parity with the DuckDB oracle, which is UTC-naive), Arrow
+transfer for the pandas-UDF slow path.
 """
 
 from __future__ import annotations
