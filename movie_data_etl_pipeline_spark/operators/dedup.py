@@ -395,6 +395,37 @@ def _minhash_banded(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def _assert_banded_consistent(banded: DataFrame, bands: int, what: str) -> None:
+    """Debug-path guard for the supplied-index INVARIANT documented on
+    :func:`minhash_lsh_pairs` (VERDICT-r8 stretch ask): a mismatched
+    pre-built index silently degrades recall, so fail LOUDLY instead
+    when the check is affordable.
+
+    Always: shape check (columns id/band/bucket) — free. Under
+    ``SPARK_GRAFT_DEBUG_INVARIANTS=1`` (tests, pre-flight runs — NOT
+    the production hot path, this triggers a job over the index): band
+    ids must be exactly ``0..bands-1`` with all ``bands`` present."""
+    import os
+
+    missing = {"id", "band", "bucket"} - set(banded.columns)
+    if missing:
+        raise ValueError(
+            f"supplied {what} index lacks column(s) {sorted(missing)} — "
+            "build it with _minhash_banded over the same shingle sets"
+        )
+    if os.environ.get("SPARK_GRAFT_DEBUG_INVARIANTS") == "1":
+        row = banded.agg(
+            F.max("band").alias("mx"), F.count_distinct("band").alias("nb")
+        ).collect()[0]
+        if row["mx"] is not None and (row["mx"] != bands - 1 or row["nb"] != bands):
+            raise ValueError(
+                f"supplied {what} index has {row['nb']} distinct bands "
+                f"(max band id {row['mx']}) but this call expects exactly "
+                f"{bands} bands 0..{bands - 1} — it was built with different "
+                "banding parameters and would silently lose recall"
+            )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -432,6 +463,8 @@ def minhash_lsh_pairs(
     # one persisted shingle-set relation feeds BOTH the signatures and
     # the exact verification — the corpus is tokenized exactly once
     sh = sh if sh is not None else _shingle_sets(docs, id_col, text_col, n).persist()
+    if banded is not None:
+        _assert_banded_consistent(banded, bands, "banded")
     banded = banded if banded is not None else _minhash_banded(sh, num_hashes, bands).persist()
     # both sides of the self-join read this — hash the corpus once
     a = banded.alias("a")
@@ -499,6 +532,10 @@ def incremental_minhash_pairs(
     # bucket) index relations (banding is per-document row-local, so
     # slicing a full-corpus index by id is value-identical to banding
     # the slice — the portable twin's documented equivalence)
+    if banded_b is not None:
+        _assert_banded_consistent(banded_b, bands, "banded_b")
+    if banded_all is not None:
+        _assert_banded_consistent(banded_all, bands, "banded_all")
     banded_b = (
         banded_b
         if banded_b is not None

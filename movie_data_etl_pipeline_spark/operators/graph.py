@@ -329,7 +329,12 @@ def local_clustering(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     )
 
 
-def hits_fixed_point(edges: DataFrame, iters: int = 2, scale: int = 1 << 20) -> DataFrame:
+def hits_fixed_point(
+    edges: DataFrame,
+    iters: int = 2,
+    scale: int = 1 << 20,
+    state_hint=None,
+) -> DataFrame:
     """HITS hubs-and-authorities over a bipartite customer→supplier
     edge list (columns ``c``, ``s``; distinct pairs), engine-exact by
     the same integer fixed-point discipline as
@@ -345,15 +350,23 @@ def hits_fixed_point(edges: DataFrame, iters: int = 2, scale: int = 1 << 20) -> 
     until |V| approaches 2^23, at which point ``scale`` shrinks.
 
     Returns the union of both role rankings: ``(role, node, score)``
-    with role ∈ {'authority', 'hub'}."""
+    with role ∈ {'authority', 'hub'}.
+
+    ``state_hint`` (optional): a join-hint wrapper applied to the
+    per-round node-state build sides (hubs / auths) of the edge⋈state
+    joins — callers whose node set is provably dimension-grain pass
+    ``plans._hints.bounded_broadcast`` to restore the broadcast the
+    engine-wide AQE flip-off (session.py) no longer provides. The
+    operator itself stays hint-free by default."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    hint = state_hint if state_hint is not None else (lambda df: df)
     edges = edges.select("c", "s").localCheckpoint(eager=True)
     hubs = edges.select("c").distinct().select("c", F.lit(scale).cast("bigint").alias("h"))
     auths = None
     for _ in range(iters):
         a_raw = (
-            edges.join(hubs, "c")
+            edges.join(hint(hubs), "c")
             .groupBy("s")
             .agg(F.sum("h").cast("bigint").alias("a_raw"))
         )
@@ -363,7 +376,7 @@ def hits_fixed_point(edges: DataFrame, iters: int = 2, scale: int = 1 << 20) -> 
             .selectExpr("s", f"(a_raw * {scale}) div a_max AS a")
         )
         h_raw = (
-            edges.join(auths, "s")
+            edges.join(hint(auths), "s")
             .groupBy("c")
             .agg(F.sum("a").cast("bigint").alias("h_raw"))
         )

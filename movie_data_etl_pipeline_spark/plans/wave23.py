@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from movie_data_etl_pipeline_spark.functions import portable_hash as ph
 from movie_data_etl_pipeline_spark.operators import graph
+from movie_data_etl_pipeline_spark.plans import _hints
 from movie_data_etl_pipeline_spark.sources import load_table
 
 
@@ -209,13 +210,21 @@ def gr_modularity(spark: SparkSession, sf: str) -> DataFrame:
     # family-shared cached label-propagation fixed point (also feeds
     # gr_label_prop and gr_conductance)
     lab = cotx_labels(spark, sf).filter(F.col("label").isNotNull())
+    # node/dimension-grain bound: `lab` is one row per labeled graph
+    # node (customers+suppliers — dimension keys, not fact rows), the
+    # same size class as the engine's static dimension broadcasts.
+    # Pins the broadcast the r8 AQE flip-off removed (VERDICT-r8 #5).
     e = (
         edges_cs.join(
-            lab.select(F.col("node").alias("c_node"), F.col("label").alias("la")),
+            _hints.bounded_broadcast(
+                lab.select(F.col("node").alias("c_node"), F.col("label").alias("la"))
+            ),
             "c_node",
         )
         .join(
-            lab.select(F.col("node").alias("s_node"), F.col("label").alias("lb")),
+            _hints.bounded_broadcast(
+                lab.select(F.col("node").alias("s_node"), F.col("label").alias("lb"))
+            ),
             "s_node",
         )
         .select("la", "lb")

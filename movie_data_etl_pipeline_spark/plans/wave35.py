@@ -86,10 +86,18 @@ def gr_hits(spark: SparkSession, sf: str) -> DataFrame:
     """HITS over the customer→supplier order graph
     (``graph.hits_fixed_point``): 2 unrolled rounds of int64 key-sums
     with max-normalization by integer floor division — top-20 of each
-    role, engine-exact."""
+    role, engine-exact.
+
+    Node state here is dimension-grain (one row per customer /
+    supplier key), so the per-round edge⋈state build sides get the
+    explicit bounded-side broadcast the r8 AQE flip-off removed
+    (VERDICT-r8 #5) via ``_hints.bounded_broadcast``."""
+    from movie_data_etl_pipeline_spark.plans import _hints
     from movie_data_etl_pipeline_spark.plans.graph_edges import cotx_pairs
 
-    return graph.hits_fixed_point(cotx_pairs(spark, sf), iters=2)
+    return graph.hits_fixed_point(
+        cotx_pairs(spark, sf), iters=2, state_hint=_hints.bounded_broadcast
+    )
 
 
 def _hits_round_sql(h_prev: str, a_out: str, h_out: str) -> str:

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from movie_data_etl_pipeline_spark.functions import scalar as SC
 from movie_data_etl_pipeline_spark.operators import multimodal
+from movie_data_etl_pipeline_spark.plans import _hints
 from movie_data_etl_pipeline_spark.sources import load_table
 
 _MM_BANDS = 4
@@ -186,7 +187,9 @@ def ag_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
     )
     a = days.select(F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = days.select(F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
-    pairs = a.join(b, F.col("da") < F.col("db"))
+    # calendar-grain bound: one row per l_shipdate (~2.5k days) at ANY
+    # fact scale — pin the broadcast the r8 flip-off removed (VERDICT-r8 #5).
+    pairs = a.join(_hints.bounded_broadcast(b), F.col("da") < F.col("db"))
     sx = F.signum((F.col("xb") - F.col("xa")).cast("double")).cast("bigint")
     sy = F.signum((F.col("yb") - F.col("ya")).cast("double")).cast("bigint")
     counts = pairs.agg(

@@ -8,6 +8,15 @@ ag_cramers_v discipline — the round-8 100x error sweep proved the
 int64 squares overflow there; anchoring bounds the deviations, not
 their squares); coefficients, intercept, and R² are fixed double
 expressions over those exact accumulations.
+
+Hard bound of the DECIMAL(38,0) guarantee (ADVICE-r8 #4): each
+deviation product is exact while |deviation| < ~1e19 and each running
+SUM of products while |Σ| < 1e38 — past that, ANSI mode raises
+ARITHMETIC_OVERFLOW rather than silently corrupting. The 100x-sf0.1
+sweep verifies headroom to that level only; the NEXT scale jump
+(day-grain deviations approaching 1e19, i.e. ~1e6× today's) must
+re-check this bound deliberately — widen the anchor precision or
+rescale units before raising the sweep factor past it.
 """
 
 from __future__ import annotations

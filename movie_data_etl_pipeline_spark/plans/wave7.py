@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from movie_data_etl_pipeline_spark.functions import portable_hash as ph
 from movie_data_etl_pipeline_spark.functions import scalar as SC
+from movie_data_etl_pipeline_spark.plans import _hints
 from movie_data_etl_pipeline_spark.sources import load_table
 
 
@@ -94,8 +95,11 @@ def ts_mk_trend(spark: SparkSession, sf: str) -> DataFrame:
     days = o.groupBy("d").agg(F.sum("price_c").alias("x"))
     a = days.select(F.col("d").alias("d1"), F.col("x").alias("x1"))
     b = days.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    # calendar-grain bound: `days` has one row per o_orderdate (~2.4k
+    # for the TPC-H 7-year range) at ANY fact-table scale — pin the
+    # broadcast the r8 AQE flip-off stopped providing (VERDICT-r8 #5).
     s = (
-        a.join(b, F.col("d1") < F.col("d2"))
+        a.join(_hints.bounded_broadcast(b), F.col("d1") < F.col("d2"))
         .agg(
             F.sum(F.signum(F.col("x2") - F.col("x1")).cast("bigint")).alias("s"),
         )

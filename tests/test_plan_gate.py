@@ -16,6 +16,7 @@ import re
 
 import pytest
 
+from movie_data_etl_pipeline_spark import plancheck
 from movie_data_etl_pipeline_spark.plans.fixture_queries import QUERIES
 
 # Queries whose plans legitimately contain a nested-loop/cartesian
@@ -260,39 +261,39 @@ HINTED_FACT_BROADCAST_OK = {
     "ir_ndcg_mrr": "50-row fixed query panel (vec_id bound)",
 }
 
-_FACT_SCAN_RE = re.compile(
-    r"/(lineitem|orders|events|documents|embeddings)\.parquet"
-)
-_REDUCE_RE = re.compile(
-    r"HashAggregate|SortAggregate|ObjectHashAggregate|"
-    r"GlobalLimit|CollectLimit|TakeOrderedAndProject|Limit"
-)
+# The walker lives in the package so this gate and tools/plan_audit.py
+# run the SAME per-path analysis (ADVICE-r8 #1: the old whole-subtree
+# walk let a reduced sibling branch excuse an unreduced fact scan).
+_broadcasts_unreduced_fact = plancheck.broadcasts_unreduced_fact
 
 
-def _hint_depth(line: str) -> int:
-    m = re.search(r"[+:]- ", line)
-    return m.start() if m else -1
+def test_walker_flags_unreduced_branch_behind_reduced_sibling():
+    """Regression for the ADVICE-r8 #1 false negative: a hinted
+    broadcast build side joining a REDUCED branch (printed first) with
+    an UNREDUCED fact-scan branch must be flagged — the sibling's
+    aggregate covers nothing on the scan's own path."""
+    plan = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- BroadcastHashJoin [k], [k], Inner, BuildRight",
+        "   :- Scan parquet [k] /tmp/sf/part.parquet",
+        "   +- BroadcastExchange HashedRelationBroadcastMode",
+        "      +- SortMergeJoin [k], [k], Inner",
+        "         :- HashAggregate(keys=[k], functions=[count(1)])",
+        "         :  +- Scan parquet [k] /tmp/sf/orders.parquet",
+        "         +- Filter isnotnull(k#2)",
+        "            +- Scan parquet [k] /tmp/sf/lineitem.parquet",
+    ])
+    assert plancheck.broadcasts_unreduced_fact(plan) == "lineitem"
 
 
-def _broadcasts_unreduced_fact(plan: str) -> str | None:
-    """Return the fact table name if some BroadcastExchange subtree
-    scans it with no reducing operator in between, else None."""
-    tree = plan.splitlines()
-    for i, line in enumerate(tree):
-        if "BroadcastExchange" not in line:
-            continue
-        d = _hint_depth(line)
-        seen_reduce = False
-        for sub in tree[i + 1:]:
-            sd = _hint_depth(sub)
-            if 0 <= sd <= d:
-                break
-            if _REDUCE_RE.search(sub):
-                seen_reduce = True
-            m = _FACT_SCAN_RE.search(sub)
-            if m and not seen_reduce:
-                return m.group(1)
-    return None
+def test_walker_accepts_reduce_on_the_scans_own_path():
+    plan = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- BroadcastExchange HashedRelationBroadcastMode",
+        "   +- HashAggregate(keys=[k], functions=[count(1)])",
+        "      +- Scan parquet [k] /tmp/sf/lineitem.parquet",
+    ])
+    assert plancheck.broadcasts_unreduced_fact(plan) is None
 
 
 @pytest.fixture(scope="module")

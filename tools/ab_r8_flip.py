@@ -37,10 +37,32 @@ ARMS = {"flip_on": str(64 * 1024 * 1024), "flip_off": "-1"}
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.1"
-    rest = [a for a in sys.argv[1:] if "/" not in a]
-    reps = int(rest[0]) if rest and rest[0].isdigit() else 2
-    names = [a for a in rest if not a.isdigit()] or list(FQ.QUERIES)
+    # ADVICE-r8 #2: parse positionally and hard-error on anything
+    # unconsumed (the old '/'-sniffing silently dropped a second path
+    # or a second digit arg and benchmarked the default sf0.1).
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("queries", nargs="*")
+    # legacy positional forms ("SF_DIR REPS q ..") keep working: lift a
+    # leading path into --sf and a leading integer into --reps, error on
+    # any later path/integer that would previously have been dropped.
+    argv = sys.argv[1:]
+    if argv and "/" in argv[0]:
+        argv = ["--sf", argv[0], *argv[1:]]
+    ns = ap.parse_args(argv)
+    if ns.queries and ns.queries[0].isdigit():
+        ns.reps = int(ns.queries[0])
+        ns.queries = ns.queries[1:]
+    stray = [a for a in ns.queries if "/" in a or a.isdigit()]
+    if stray:
+        sys.exit(f"ab_r8_flip: unconsumed path/number args {stray} — "
+                 "use --sf/--reps; query names cannot contain '/'")
+    sf_dir = ns.sf
+    reps = ns.reps
+    names = ns.queries or list(FQ.QUERIES)
     unknown = [n for n in names if n not in FQ.QUERIES]
     if unknown:
         sys.exit(f"ab_r8_flip: unknown queries {unknown}")

@@ -55,6 +55,23 @@ def main() -> None:
     import os
 
     if not os.path.exists(os.path.join(sf_dir, "_done")):
+        # ADVICE-r8 #3: concurrent --shard K/N sessions racing into
+        # amplify() would corrupt the shared fixtures. Exactly one
+        # process wins the O_EXCL lock and amplifies; any loser exits
+        # with instructions instead of writing into a half-built dir
+        # (pre-amplify once via tools/scalebench.py when sharding).
+        lock = f"{sf_dir}.amplify.lock"
+        os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+        except FileExistsError:
+            sys.exit(
+                f"error_sweep: {sf_dir} incomplete and another process holds "
+                f"{lock} — amplify once via tools/scalebench.py before "
+                "launching concurrent shards (or remove the stale lock)"
+            )
         print(
             f"error_sweep: {sf_dir} missing/incomplete — amplifying first",
             file=sys.stderr,
@@ -65,7 +82,10 @@ def main() -> None:
         # honor the same base-dir override scalebench uses, so the two
         # tools' records always describe the same amplified data
         base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        amplify(get_spark("error-sweep"), base_dir, sf_dir, factor)
+        try:
+            amplify(get_spark("error-sweep"), base_dir, sf_dir, factor)
+        finally:
+            os.unlink(lock)
     spark = get_spark("error-sweep")
     results: dict[str, object] = {}
     for name in names:
