@@ -8709,31 +8709,23 @@ ORACLES.update(_wave59.ORACLES)
 # The round driver's correctness check covers only the FIRST 50
 # insertion-ordered entries of QUERIES, so window placement is the
 # mechanism by which the official record converges on the registry.
-# Names below have a green driver row in CORRECTNESS_r01–r07; they park
-# at the tail. The round-8 window (VERDICT-r7 ask #1) takes the next
-# 50 never-checked entries in build order — no plan rewritten after
-# its green row was outstanding at rotation time, so there are no
-# re-checks to front-load (if r8 rewrites a checked plan mid-round,
-# add an _R8_RECHECKS list and front-load it exactly as r7 did).
-# ROUND-9 ROTATION: fold CORRECTNESS_r08's green names into this set
-# (rename _R1_R8), replace `_R8_WINDOW` with the FINAL 18 never-checked
-# names — fn_map_surface, emb_kmeans_iterate, qa_fd_mining (displaced
-# from the r8 window by its three in-round re-checks), ts_periodogram,
-# ix_bitmap_and, su_set_ops_all, emb_silhouette, ag_quantile_irls,
-# pt_hierarchy_rollup, ev_journey_editdist, fe_oof_target_encode,
-# sa_group_kfold_audit, ml_auc_mw, ir_ndcg_mrr, fn_string_surface,
-# fn_bitwise_surface, fn_bitagg_surface, fn_array_surface — which
-# closes the union at 343/343; the 32 spare slots absorb re-checks of
-# anything rewritten in r8/r9 (print the live list: python -c "from
-# movie_data_etl_pipeline_spark.plans import fixture_queries as f;
-# print([n for n in f.QUERIES if n not in
-# f._DRIVER_CHECKED_R1_R8])"). Pool accounting: 65 never-checked
-# remained after r7 — the r7 in-round re-checks of ev_rfm_segments /
-# ag_levene_bf / dd_minhash_lsh / dd_minhash_incremental /
-# ag_cramers_v displaced FIVE never-checked entries (ag_cohort_ltv,
-# ly_zonemap, o14_upsert_evolve, fe_target_encode,
-# fe_hashed_features), all of which lead the r8 window below. Every
-# entry is verified locally at sf0.001 AND sf0.01 via
+# ROUND-9 ROTATION (this round): CORRECTNESS_r08 came back 50/50 green,
+# closing the union at 325/343 — the r9 window below takes (a) the four
+# in-round re-checks (plans rewritten in r9 itself: the explicit
+# bounded-side broadcast restores of the r8 flip-off losses —
+# gr_modularity, gr_hits, ts_mk_trend, ag_kendall_tau, see
+# plans/_hints.py and tools/ab_r9_hints_sf01.json), then (b) the FINAL
+# 18 never-checked names, which closes the union at 343/343, then
+# (c) 28 re-attests of the SURVEY §2 reference-parity core whose green
+# rows date from r1–r4 (VERDICT-r8 ask #2: eight rounds of session-conf
+# and shared-build evolution sit between those rows and HEAD).
+# ROUND-10 ROTATION: fold CORRECTNESS_r09's green names into the set
+# below (rename _R1_R9); with the union closed, every future window is
+# pure re-attestation — front-load any plans rewritten in r10, then
+# fill with the 50 OLDEST-attested names (oldest round first, build
+# order within a round; the "round last checked" map is recoverable by
+# scanning CORRECTNESS_r0*.json newest-to-oldest for first occurrence).
+# Every entry is verified locally at sf0.001 AND sf0.01 via
 # tools/crosscheck.py AND under a VANILLA SparkSession
 # (tests/test_vanilla_session.py) regardless of window position.
 _DRIVER_CHECKED_R1_R7 = frozenset({
@@ -8834,31 +8826,10 @@ _DRIVER_CHECKED_R1_R7 = frozenset({
     "w1_running_total", "w4_trailing_7d",
 })
 
-# Already-checked queries whose plans were rewritten after their green
-# driver row — re-windowed so the record attests HEAD (the r7
-# discipline). All three were faulted by the round-8 100x error sweep
-# (tools/error_sweep_r8_x100.json preserves the faulting run;
-# _fixed.json the 100x re-verification):
-#   ag_ols2_cramer / ag_granger_lite — int64 overflow in the deviation
-#   products (the qa_chi2 class) → exact DECIMAL(38,0) products,
-#   moments surfaced as doubles;
-#   ev_stickiness — static build-side misestimate broadcast the
-#   user-day×28 fact side (10.7 GiB > the 8 GiB hard cap) →
-#   F.broadcast(full) pins the calendar-bounded side.
-# The three displaced never-checked entries (fn_map_surface,
-# emb_kmeans_iterate, qa_fd_mining) move to the r9 pool (r9 closes 18).
-_R8_RECHECKS = [
-    "ag_ols2_cramer", "ag_granger_lite", "ev_stickiness",
-]
-
-# Round-8 driver window: the three re-checks, then the next
-# never-checked entries in build order. The five entries displaced
-# from the r7 window by its in-round re-checks lead the never-checked
-# block. The names NOT here (15 enumerated in the rotation comment
-# above + the three displaced by the re-checks) are the r9 closing
-# window.
-_R8_WINDOW = [
-    *_R8_RECHECKS,
+# Green driver rows first recorded in CORRECTNESS_r08 (the full r8
+# window, 50/50 green — the three r8 re-checks already appear in the
+# r1–r7 sections above).
+_DRIVER_CHECKED_R1_R8 = _DRIVER_CHECKED_R1_R7 | frozenset({
     "ag_cohort_ltv", "ly_zonemap", "o14_upsert_evolve",
     "fe_target_encode", "fe_hashed_features", "ev_step_latency",
     "w8_pareto_front", "sa_neyman_alloc", "ts_seasonal_outliers",
@@ -8875,17 +8846,58 @@ _R8_WINDOW = [
     "ev_hourly_profile", "dd_cross_source_dups", "ev_pattern_match",
     "qa_dp_counts", "ly_hilbert", "ag_huber_irls", "tx_perplexity",
     "ev_incident_overlap",
+})
+
+# Already-checked queries whose plans were rewritten after their green
+# driver row — re-windowed so the record attests HEAD (the r7/r8
+# discipline). All four are the r9 explicit bounded-side broadcast
+# restores of the r8 flip-off losses (VERDICT-r8 ask #5): the build
+# sides are calendar-grain (ts_mk_trend, ag_kendall_tau day
+# aggregates) or node/dimension-grain (gr_modularity label fixed
+# point, gr_hits per-round node state) — see plans/_hints.py; recovery
+# proven by interleaved same-session A/B with value equality asserted
+# (tools/ab_r9_hints_sf01.json: net −1.46 s over the four at sf0.1).
+_R9_RECHECKS = [
+    "gr_modularity", "gr_hits", "ts_mk_trend", "ag_kendall_tau",
+]
+
+# Round-9 driver window: the four re-checks, then the FINAL 18
+# never-checked entries (closing the driver union at 343/343), then 28
+# re-attests of the SURVEY §2 reference-parity core at HEAD (green rows
+# from r1–r4; VERDICT-r8 ask #2 — v1–v4, o6–o11, f1/f2, a6, t5, p3,
+# the join surface j5–j8, and the flagship TPC-H queries).
+_R9_WINDOW = [
+    *_R9_RECHECKS,
+    # --- final never-checked 18 (union closes at 343/343) ---
+    "fn_map_surface", "emb_kmeans_iterate", "qa_fd_mining",
+    "ts_periodogram", "ix_bitmap_and", "su_set_ops_all",
+    "emb_silhouette", "ag_quantile_irls", "pt_hierarchy_rollup",
+    "ev_journey_editdist", "fe_oof_target_encode",
+    "sa_group_kfold_audit", "ml_auc_mw", "ir_ndcg_mrr",
+    "fn_string_surface", "fn_bitwise_surface", "fn_bitagg_surface",
+    "fn_array_surface",
+    # --- §2 reference-parity core re-attested at HEAD ---
+    "v1_top_actors", "v2_top_genres", "v3_genre_ratings",
+    "v4_top_actors_by_rating", "o6_dedup_last_wins",
+    "o7_top_n_per_group", "o8_upsert", "o8_upsert_preserve",
+    "o9_insert_if_absent", "f1_explode", "f2_json_flatten",
+    "a6_duplicate_report", "t5_top20", "p3_scalar_coercions",
+    "q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
+    "j5_left_join_agg", "j6_anti_join", "j7_semi_join",
+    "j8_full_outer_nation", "o10_scd2_history", "o11_snapshot_diff",
+    "q2_min_cost_supplier", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_revenue_delta", "q7_nation_volume",
 ]
 
 
 def _rotated(registry: dict[str, QueryFn]) -> dict[str, QueryFn]:
-    front = [n for n in _R8_WINDOW if n in registry]
+    front = [n for n in _R9_WINDOW if n in registry]
     placed = set(front)
     mid = [
         n for n in registry
-        if n not in _DRIVER_CHECKED_R1_R7 and n not in placed
+        if n not in _DRIVER_CHECKED_R1_R8 and n not in placed
     ]
-    tail = [n for n in registry if n in _DRIVER_CHECKED_R1_R7 and n not in placed]
+    tail = [n for n in registry if n in _DRIVER_CHECKED_R1_R8 and n not in placed]
     return {n: registry[n] for n in [*front, *mid, *tail]}
 
 
