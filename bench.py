@@ -22,8 +22,10 @@ whichever query touches each build first.
 The calibration keys make box drift checkable without driver reruns:
 the frozen r2 core is code-untouched since round 2, so
 ``drift_factor = core_r2_total / calib_core_r2_ref`` measures this
-box/run vs the pinned round-5 driver record, and
-``drift_normalized_total`` is the headline in reference-box seconds.
+box/run vs the pinned reference (round-5 driver record, rescaled in
+round 9 to the r8 flip-off session conf via the interleaved conf A/B —
+see CALIB_CORE_R2_REF), and ``drift_normalized_total`` is the headline
+in reference-box seconds.
 
 Each query is forced end-to-end with the noop sink (full materialization
 of every output row — no pruning shortcut a ``count()`` might allow).
@@ -735,7 +737,18 @@ CORE_R2 = [
 # drift_factor first; a query is only a real regression if it exceeds
 # ~1.5x its drift-normalized prior. (Box swings of 20-40% on identical
 # code are the measured norm — see SCALE.md r6 A/B.)
-CALIB_CORE_R2_REF = 48.081  # core_r2_total in the round-5 DRIVER record (BENCH_r05)
+# Round-9 re-pin (VERDICT-r8 ask #4): the r5 driver-record ref (48.081,
+# kept below for cross-round quoting) was measured under pre-r8 session
+# conf; the r8 engine-wide AQE flip-off makes the code-frozen core
+# ~2.5% faster, so drift_factor against the old ref carried a permanent
+# fast-bias. The re-pin scales the old ref by the conf effect measured
+# INTERLEAVED IN ONE SESSION (tools/ab_r8_flip.py over CORE_R2:
+# flip_on 34.17 s -> flip_off 33.30 s, COVERAGE.md r8 record) —
+# box-state-free, unlike re-measuring on whatever box mood today has:
+#   48.081 * (33.30 / 34.17) = 46.857
+# Comparisons across the r8/r9 boundary should quote both refs.
+CALIB_CORE_R2_REF_R5CONF = 48.081  # core_r2_total in the round-5 DRIVER record (BENCH_r05)
+CALIB_CORE_R2_REF = 46.857  # r5 ref rescaled to the r8 flip-off conf (see above)
 # calib_ref is only meaningful for the EXACT CORE_R2 membership it was
 # recorded against (ADVICE-r6): pin it so any change to the set forces
 # an explicit re-calibration instead of silently skewing every

@@ -286,6 +286,44 @@ def test_walker_flags_unreduced_branch_behind_reduced_sibling():
     assert plancheck.broadcasts_unreduced_fact(plan) == "lineitem"
 
 
+# Reviewed inventory of plans/_hints.bounded_broadcast CALL sites
+# (docstring mentions excluded): module -> expected number of calls.
+# A bounded-side pin overrides Spark's size planning at EVERY scale, so
+# adding one is a reviewed decision — update this map WITH the bound
+# argument in the new call site's comment, or the gate fails.
+BOUNDED_BROADCAST_SITES = {
+    "plans/wave7.py": 1,    # ts_mk_trend: calendar-grain day aggregate
+    "plans/wave41.py": 1,   # ag_kendall_tau: calendar-grain day aggregate
+    "plans/wave23.py": 2,   # gr_modularity: node-grain label fixed point (2 sides)
+    "plans/wave35.py": 1,   # gr_hits: node-grain state via hits_fixed_point(state_hint=)
+}
+
+
+def test_bounded_broadcast_call_sites_are_the_reviewed_inventory():
+    import pathlib
+    import re as _re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "movie_data_etl_pipeline_spark"
+    found: dict[str, int] = {}
+    for path in pkg.rglob("*.py"):
+        if path.name == "_hints.py":
+            continue
+        # call sites and function-reference passes (state_hint=...);
+        # ``-quoted docstring mentions are not uses
+        n = sum(
+            1
+            for line in path.read_text().splitlines()
+            if _re.search(r"_hints\.bounded_broadcast", line) and "``" not in line
+        )
+        if n:
+            found[str(path.relative_to(pkg))] = n
+    assert found == BOUNDED_BROADCAST_SITES, (
+        f"bounded_broadcast call sites changed: {found} != "
+        f"{BOUNDED_BROADCAST_SITES} — every pin must be reviewed here "
+        "with its boundedness argument (see plans/_hints.py)"
+    )
+
+
 def test_walker_accepts_reduce_on_the_scans_own_path():
     plan = "\n".join([
         "AdaptiveSparkPlan",

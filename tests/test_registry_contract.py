@@ -102,11 +102,21 @@ def test_rotation_front50_is_never_checked_or_declared_recheck():
     assert len(recheck_names) <= 1, f"expected at most one *_RECHECKS list: {recheck_names}"
     rechecks = set(getattr(FQ, recheck_names[0])) if recheck_names else set()
     assert rechecks <= checked, "a declared re-check has no prior green row"
+    # voluntary re-attests (plans unchanged, old green rows refreshed at
+    # HEAD — the post-union rotation mode, VERDICT-r8 ask #2) are also
+    # declared explicitly; anything checked in the window must be in
+    # exactly one of the two declared lists
+    reattest_names = [n for n in dir(FQ) if n.endswith("_REATTESTS")]
+    assert len(reattest_names) <= 1, f"expected at most one *_REATTESTS list: {reattest_names}"
+    reattests = set(getattr(FQ, reattest_names[0])) if reattest_names else set()
+    assert reattests <= checked, "a declared re-attest has no prior green row"
+    assert not (rechecks & reattests), "a name cannot be both re-check and re-attest"
 
     front = list(QUERIES)[:50]
-    overlap = sorted(set(front) & checked - rechecks)
+    overlap = sorted(set(front) & checked - rechecks - reattests)
     assert not overlap, f"undeclared already-checked names in the driver window: {overlap}"
     assert rechecks <= set(front), "declared re-checks must be IN the window"
+    assert reattests <= set(front), "declared re-attests must be IN the window"
     # and every checked name outside the window must be in the tail
     # AFTER every never-checked name (never-checked drain first)
     order = list(QUERIES)

@@ -65,10 +65,21 @@ def main() -> None:
     for n in window:
         print(f"  {'OK ' if n in checked else '-- '}{n}")
     print(f"\nnever-checked remaining: {len(never)}")
-    print("next 50 window candidates (build order):")
-    nxt = [n for n in never if n not in window][:50]
-    for n in nxt:
-        print(f"  {n}")
+    if never:
+        print("next 50 window candidates (build order):")
+        nxt = [n for n in never if n not in window][:50]
+        for n in nxt:
+            print(f"  {n}")
+    else:
+        # post-union era (r10+): every window is pure re-attestation —
+        # front-load any in-round plan rewrites, then fill with the 50
+        # OLDEST-attested names (round last checked asc, build order
+        # within a round)
+        order = {n: i for i, n in enumerate(names)}
+        stale = sorted(checked, key=lambda n: (int(checked[n]), order.get(n, 1 << 30)))
+        print("union closed — next 50 re-attest candidates (oldest driver row first):")
+        for n in stale[:50]:
+            print(f"  r{checked[n]:>2} {n}")
     print("\nfold-into-checked frozenset (sorted):")
     print(sorted(checked))
 
