@@ -17,10 +17,34 @@ from __future__ import annotations
 import re
 
 FACT_SCAN_RE = re.compile(r"/(lineitem|orders|events|documents|embeddings)\.parquet")
+# Reducing operators that bound a build side's TOTAL row count at any
+# scale. Deliberately NOT a bare "Limit": LocalLimit bounds rows per
+# partition only (total = k x numPartitions, which grows with the
+# data) — counting it as a reduce was a silent loosening the r9
+# self-review caught.
 REDUCE_RE = re.compile(
     r"HashAggregate|SortAggregate|ObjectHashAggregate|"
-    r"GlobalLimit|CollectLimit|TakeOrderedAndProject|Limit"
+    r"GlobalLimit|CollectLimit|TakeOrderedAndProject"
 )
+
+
+# Hint-forced broadcasts of a fact-table SCAN whose row bound lives in
+# a filter predicate on a unique key (invisible to the static walker) —
+# the reviewed allowlist shared by the CI gate and tools/plan_audit.py.
+# Every entry carries its boundedness argument; anything else that
+# broadcasts an unreduced fact scan fails the gate and flags in
+# PLANS.md.
+HINTED_FACT_BROADCAST_OK = {
+    # query -> why the hinted build side is bounded at any scale.
+    # All four broadcast an embeddings subset selected by an equality/
+    # range predicate on the UNIQUE key vec_id with a CONSTANT bound —
+    # the build side is <= K rows at any corpus size (a seed codebook /
+    # fixed query panel).
+    "sim_kmeans_assign": "8-row seed codebook (vec_id < 8)",
+    "emb_pq_codebook": "8-row PQ seed table (vec_id < 8)",
+    "sim_cluster_purity": "8-row seed table (vec_id < 8)",
+    "ir_ndcg_mrr": "50-row fixed query panel (vec_id bound)",
+}
 
 
 def plan_depth(line: str) -> int:
@@ -62,8 +86,25 @@ def broadcasts_unreduced_fact(
             if not m:
                 continue
             cur = plan_depth(tree[j])
+            start = j
+            if cur < 0:
+                # marker-less continuation line (e.g. a Location: detail
+                # printed under its operator): attribute the path to the
+                # nearest preceding MARKED line — that operator's own
+                # ancestry decides coverage (otherwise cur=-1 makes every
+                # ancestor look non-shallower and the scan can never be
+                # covered: a false-flag class the r9 self-review caught)
+                for k in range(j - 1, i, -1):
+                    kd = plan_depth(tree[k])
+                    if kd >= 0:
+                        cur, start = kd, k
+                        break
+                else:
+                    continue  # no owning operator inside the subtree
+                if reduce_re.search(tree[start]):
+                    continue  # the owning operator itself reduces
             covered = False
-            for k in range(j - 1, i, -1):
+            for k in range(start - 1, i, -1):
                 kd = plan_depth(tree[k])
                 if kd < 0 or kd >= cur:
                     continue  # detail line, or a sibling branch

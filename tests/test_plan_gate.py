@@ -248,18 +248,10 @@ def test_session_disables_runtime_broadcast_flip(spark):
 # BroadcastExchange that survives comes from an explicit hint and must
 # either reduce (aggregate/limit) before the fact scan or be
 # allowlisted here with its boundedness argument.
-HINTED_FACT_BROADCAST_OK = {
-    # query -> why the hinted build side is bounded at any scale.
-    # All four broadcast an embeddings subset selected by an equality/
-    # range predicate on the UNIQUE key vec_id with a CONSTANT bound —
-    # the build side is <= K rows at any corpus size (a seed codebook /
-    # fixed query panel), which a static walker cannot see because the
-    # bound lives in the filter predicate, not in a reducing operator.
-    "sim_kmeans_assign": "8-row seed codebook (vec_id < 8)",
-    "emb_pq_codebook": "8-row PQ seed table (vec_id < 8)",
-    "sim_cluster_purity": "8-row seed table (vec_id < 8)",
-    "ir_ndcg_mrr": "50-row fixed query panel (vec_id bound)",
-}
+# The allowlist is shared with tools/plan_audit.py (which annotates
+# these as "allowlisted" in PLANS.md instead of flagging) — one
+# reviewed inventory, boundedness arguments at the definition site.
+HINTED_FACT_BROADCAST_OK = plancheck.HINTED_FACT_BROADCAST_OK
 
 # The walker lives in the package so this gate and tools/plan_audit.py
 # run the SAME per-path analysis (ADVICE-r8 #1: the old whole-subtree
@@ -308,12 +300,14 @@ def test_bounded_broadcast_call_sites_are_the_reviewed_inventory():
     for path in pkg.rglob("*.py"):
         if path.name == "_hints.py":
             continue
-        # call sites and function-reference passes (state_hint=...);
-        # ``-quoted docstring mentions are not uses
+        # ANY mention counts — call sites, function-reference passes
+        # (state_hint=...), and direct-import lines — so a `from
+        # ._hints import bounded_broadcast` bypass still trips the
+        # inventory; only ``-quoted docstring mentions are excluded
         n = sum(
             1
             for line in path.read_text().splitlines()
-            if _re.search(r"_hints\.bounded_broadcast", line) and "``" not in line
+            if _re.search(r"bounded_broadcast", line) and "``" not in line
         )
         if n:
             found[str(path.relative_to(pkg))] = n
@@ -332,6 +326,44 @@ def test_walker_accepts_reduce_on_the_scans_own_path():
         "      +- Scan parquet [k] /tmp/sf/lineitem.parquet",
     ])
     assert plancheck.broadcasts_unreduced_fact(plan) is None
+
+
+def test_walker_attributes_markerless_detail_lines_to_their_operator():
+    """A fact path on a marker-less continuation line (Location: detail
+    printed under its operator) must inherit the OWNING operator's
+    ancestry — not become uncoverable (cur=-1 false flag) — and an
+    unreduced scan printed the same way must still be flagged."""
+    covered = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- BroadcastExchange HashedRelationBroadcastMode",
+        "   +- HashAggregate(keys=[k], functions=[count(1)])",
+        "      +- Scan parquet [k]",
+        "            Location: InMemoryFileIndex [file:/tmp/sf/lineitem.parquet]",
+    ])
+    assert plancheck.broadcasts_unreduced_fact(covered) is None
+    uncovered = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- BroadcastExchange HashedRelationBroadcastMode",
+        "   +- Filter isnotnull(k#2)",
+        "      +- Scan parquet [k]",
+        "            Location: InMemoryFileIndex [file:/tmp/sf/lineitem.parquet]",
+    ])
+    assert plancheck.broadcasts_unreduced_fact(uncovered) == "lineitem"
+
+
+def test_walker_rejects_locallimit_as_a_reduce():
+    """LocalLimit bounds rows per partition, not in total — a build
+    side whose only intervening operator is LocalLimit grows with the
+    data and must be flagged."""
+    plan = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- BroadcastExchange HashedRelationBroadcastMode",
+        "   +- LocalLimit 1000",
+        "      +- Scan parquet [k] /tmp/sf/lineitem.parquet",
+    ])
+    assert plancheck.broadcasts_unreduced_fact(plan) == "lineitem"
+    ok = plan.replace("LocalLimit", "GlobalLimit")
+    assert plancheck.broadcasts_unreduced_fact(ok) is None
 
 
 @pytest.fixture(scope="module")

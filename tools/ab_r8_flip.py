@@ -44,7 +44,7 @@ def main() -> None:
 
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=None)
     ap.add_argument("queries", nargs="*")
     # legacy positional forms ("SF_DIR REPS q ..") keep working: lift a
     # leading path into --sf and a leading integer into --reps, error on
@@ -54,8 +54,17 @@ def main() -> None:
         argv = ["--sf", argv[0], *argv[1:]]
     ns = ap.parse_args(argv)
     if ns.queries and ns.queries[0].isdigit():
+        if ns.reps is not None:
+            sys.exit(
+                f"ab_r8_flip: both --reps {ns.reps} and a positional rep "
+                f"count {ns.queries[0]} given — use one"
+            )
         ns.reps = int(ns.queries[0])
         ns.queries = ns.queries[1:]
+    if ns.reps is None:
+        ns.reps = 2
+    if ns.reps < 1:
+        sys.exit("ab_r8_flip: --reps must be >= 1")
     stray = [a for a in ns.queries if "/" in a or a.isdigit()]
     if stray:
         sys.exit(f"ab_r8_flip: unconsumed path/number args {stray} — "

@@ -72,17 +72,17 @@ def main() -> None:
                 f"{lock} — amplify once via tools/scalebench.py before "
                 "launching concurrent shards (or remove the stale lock)"
             )
-        print(
-            f"error_sweep: {sf_dir} missing/incomplete — amplifying first",
-            file=sys.stderr,
-            flush=True,
-        )
-        from tools.scalebench import amplify
+        try:  # EVERYTHING between acquire and here must release the lock
+            print(
+                f"error_sweep: {sf_dir} missing/incomplete — amplifying first",
+                file=sys.stderr,
+                flush=True,
+            )
+            from tools.scalebench import amplify
 
-        # honor the same base-dir override scalebench uses, so the two
-        # tools' records always describe the same amplified data
-        base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        try:
+            # honor the same base-dir override scalebench uses, so the two
+            # tools' records always describe the same amplified data
+            base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
             amplify(get_spark("error-sweep"), base_dir, sf_dir, factor)
         finally:
             os.unlink(lock)
