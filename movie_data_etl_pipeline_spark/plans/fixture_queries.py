@@ -8856,7 +8856,8 @@ _DRIVER_CHECKED_R1_R8 = _CHECKED_THROUGH_R7 | frozenset({
 # aggregates) or node/dimension-grain (gr_modularity label fixed
 # point, gr_hits per-round node state) — see plans/_hints.py; recovery
 # proven by interleaved same-session A/B with value equality asserted
-# (tools/ab_r9_hints_sf01.json: net −1.46 s over the four at sf0.1).
+# (tools/ab_r9_hints_sf01.json: hint_on 3.97 s vs hint_off 5.47 s —
+# net −1.50 s over the four at sf0.1, all four individually faster).
 _R9_RECHECKS = [
     "gr_modularity", "gr_hits", "ts_mk_trend", "ag_kendall_tau",
 ]
