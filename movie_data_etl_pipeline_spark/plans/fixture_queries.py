@@ -8710,13 +8710,13 @@ ORACLES.update(_wave59.ORACLES)
 # insertion-ordered entries of QUERIES, so window placement is the
 # mechanism by which the official record converges on the registry.
 # ROUND-9 ROTATION (this round): CORRECTNESS_r08 came back 50/50 green,
-# closing the union at 325/343 — the r9 window below takes (a) the four
-# in-round re-checks (plans rewritten in r9 itself: the explicit
-# bounded-side broadcast restores of the r8 flip-off losses —
-# gr_modularity, gr_hits, ts_mk_trend, ag_kendall_tau, see
+# closing the union at 325/343 — the r9 window below takes (a) the SIX
+# in-round re-checks (plans rewritten in r9 itself: explicit
+# bounded-side broadcast pins — the four r8 flip-off restores plus the
+# two same-shape wins gr_conductance / gr_khop_reach, see
 # plans/_hints.py and tools/ab_r9_hints_sf01.json), then (b) the FINAL
 # 18 never-checked names, which closes the union at 343/343, then
-# (c) 28 re-attests of the SURVEY §2 reference-parity core whose green
+# (c) 26 re-attests of the SURVEY §2 reference-parity core whose green
 # rows date from r1–r4 (VERDICT-r8 ask #2: eight rounds of session-conf
 # and shared-build evolution sit between those rows and HEAD).
 # ROUND-10 ROTATION: fold CORRECTNESS_r09's green names into the set
@@ -8850,16 +8850,21 @@ _DRIVER_CHECKED_R1_R8 = _CHECKED_THROUGH_R7 | frozenset({
 
 # Already-checked queries whose plans were rewritten after their green
 # driver row — re-windowed so the record attests HEAD (the r7/r8
-# discipline). All four are the r9 explicit bounded-side broadcast
-# restores of the r8 flip-off losses (VERDICT-r8 ask #5): the build
-# sides are calendar-grain (ts_mk_trend, ag_kendall_tau day
-# aggregates) or node/dimension-grain (gr_modularity label fixed
-# point, gr_hits per-round node state) — see plans/_hints.py; recovery
-# proven by interleaved same-session A/B with value equality asserted
-# (tools/ab_r9_hints_sf01.json: hint_on 3.97 s vs hint_off 5.47 s —
-# net −1.50 s over the four at sf0.1, all four individually faster).
+# discipline). All six are r9 explicit bounded-side broadcast pins
+# (plans/_hints.py): the four VERDICT-r8 ask-#5 restores of the r8
+# flip-off losses, plus two same-shape wins the r9 candidate scan
+# found (gr_conductance = gr_modularity's exact edge⋈label shape;
+# gr_khop_reach = per-round node-grain bitset state). Build sides are
+# calendar-grain (ts_mk_trend, ag_kendall_tau day aggregates) or
+# node/dimension-grain (label fixed point, HITS state, BFS
+# frontier/visited). Recovery proven by interleaved same-session A/B
+# with value equality asserted (tools/ab_r9_hints_sf01.json: the four
+# restores net −1.50 s; the two additions −0.55/−0.33 s confirmed
+# twice). Candidates tested and NOT pinned (static planner already
+# broadcasts them): gr_assortativity, gr_kcore.
 _R9_RECHECKS = [
     "gr_modularity", "gr_hits", "ts_mk_trend", "ag_kendall_tau",
+    "gr_conductance", "gr_khop_reach",
 ]
 
 # Voluntary RE-ATTESTS (distinct from _R9_RECHECKS): plans UNCHANGED,
@@ -8879,10 +8884,14 @@ _R9_REATTESTS = [
     "j5_left_join_agg", "j6_anti_join", "j7_semi_join",
     "j8_full_outer_nation", "o10_scd2_history", "o11_snapshot_diff",
     "q2_min_cost_supplier", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_revenue_delta", "q7_nation_volume",
+    "q5_local_supplier_volume",
+    # q6_revenue_delta / q7_nation_volume were re-attest candidates but
+    # ceded their slots to the two added re-checks (gr_conductance,
+    # gr_khop_reach) — re-checks of rewritten plans outrank voluntary
+    # re-attests; both remain crosscheck/vanilla-certified at HEAD.
 ]
 
-# Round-9 driver window: the four re-checks, then the FINAL 18
+# Round-9 driver window: the six re-checks, then the FINAL 18
 # never-checked entries (closing the driver union at 343/343), then
 # the 28 parity-core re-attests above.
 _R9_WINDOW = [

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from movie_data_etl_pipeline_spark.plans import _hints
 from movie_data_etl_pipeline_spark.sources import load_table
 
 
@@ -97,13 +98,20 @@ def gr_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
     frontier = visited
     delta_counts = []
     for k in range(1, _KHOP + 1):
+        # node/dimension-grain bounds: frontier and visited carry ONE
+        # row per graph node (7 int64 bitset words) — pin the per-round
+        # broadcasts the r8 flip-off removed so the |E| edge relation
+        # is never shuffled (A/B'd interleaved: tools/ab_r9_hints).
+        # The visited|=frontier merge below stays a shuffle join: it is
+        # FULL OUTER, which BroadcastHashJoin cannot build.
         expanded = (
-            frontier.join(edges, F.col("node") == F.col("src"))
+            _hints.bounded_broadcast(frontier)
+            .join(edges, F.col("node") == F.col("src"))
             .groupBy(F.col("dst").alias("nxt"))
             .agg(*[F.bit_or(f"m{w}").alias(f"e{w}") for w in range(NW)])
         )
         merged = expanded.join(
-            visited, F.col("nxt") == F.col("node"), "left"
+            _hints.bounded_broadcast(visited), F.col("nxt") == F.col("node"), "left"
         ).select(
             "nxt",
             # new bits = expanded & ~visited; Column's & / ~ are

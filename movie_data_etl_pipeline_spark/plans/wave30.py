@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movie_data_etl_pipeline_spark.operators import graph
+from movie_data_etl_pipeline_spark.plans import _hints
 from movie_data_etl_pipeline_spark.plans.wave23 import _lp_round_sql
 from movie_data_etl_pipeline_spark.sources import load_table
 
@@ -32,13 +33,21 @@ def gr_conductance(spark: SparkSession, sf: str) -> DataFrame:
     # family-shared cached label-propagation fixed point (also feeds
     # gr_label_prop and gr_modularity)
     lab = cotx_labels(spark, sf).filter(F.col("label").isNotNull())
+    # node/dimension-grain bound, gr_modularity's exact shape: `lab` is
+    # one row per labeled graph node (customer/supplier dimension
+    # keys); pin the broadcast the r8 AQE flip-off removed — A/B'd
+    # interleaved with value equality (tools/ab_r9_hints_sf01.json).
     e = (
         edges_cs.join(
-            lab.select(F.col("node").alias("c_node"), F.col("label").alias("la")),
+            _hints.bounded_broadcast(
+                lab.select(F.col("node").alias("c_node"), F.col("label").alias("la"))
+            ),
             "c_node",
         )
         .join(
-            lab.select(F.col("node").alias("s_node"), F.col("label").alias("lb")),
+            _hints.bounded_broadcast(
+                lab.select(F.col("node").alias("s_node"), F.col("label").alias("lb"))
+            ),
             "s_node",
         )
         .select("la", "lb")

@@ -288,6 +288,8 @@ BOUNDED_BROADCAST_SITES = {
     "plans/wave41.py": 1,   # ag_kendall_tau: calendar-grain day aggregate
     "plans/wave23.py": 2,   # gr_modularity: node-grain label fixed point (2 sides)
     "plans/wave35.py": 1,   # gr_hits: node-grain state via hits_fixed_point(state_hint=)
+    "plans/wave30.py": 2,   # gr_conductance: node-grain label fixed point (2 sides)
+    "plans/wave26.py": 2,   # gr_khop_reach: node-grain frontier + visited bitset state
 }
 
 

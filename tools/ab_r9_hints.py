@@ -40,7 +40,16 @@ from movie_data_etl_pipeline_spark.plans import _hints
 from movie_data_etl_pipeline_spark.plans import fixture_queries as FQ
 from movie_data_etl_pipeline_spark.session import get_spark
 
-RESTORED = ["gr_modularity", "gr_hits", "ts_mk_trend", "ag_kendall_tau"]
+# the four VERDICT-r8 ask-#5 restores, plus the two same-shape wins the
+# r9 candidate scan found (gr_conductance: gr_modularity's exact
+# edge⋈label shape; gr_khop_reach: per-round node-grain bitset state).
+# Two tested candidates did NOT win and stay unpinned (the static
+# planner already broadcasts their build sides): gr_assortativity
+# (0.912 vs 0.924) and gr_kcore (1.818 vs 1.840).
+RESTORED = [
+    "gr_modularity", "gr_hits", "ts_mk_trend", "ag_kendall_tau",
+    "gr_conductance", "gr_khop_reach",
+]
 
 
 def _value_hash(df) -> tuple:
