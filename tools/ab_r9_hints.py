@@ -43,9 +43,18 @@ from movie_data_etl_pipeline_spark.session import get_spark
 # the four VERDICT-r8 ask-#5 restores, plus the two same-shape wins the
 # r9 candidate scan found (gr_conductance: gr_modularity's exact
 # edge⋈label shape; gr_khop_reach: per-round node-grain bitset state).
-# Two tested candidates did NOT win and stay unpinned (the static
-# planner already broadcasts their build sides): gr_assortativity
-# (0.912 vs 0.924) and gr_kcore (1.818 vs 1.840).
+# All six re-confirmed INTERLEAVED AT 100x (tools/ab_r9_hints_x100.json,
+# best-of-2: wins of 2.4-4.3x on the graph family). Candidates tested
+# and NOT pinned: gr_assortativity (0.912 vs 0.924) and gr_kcore
+# (1.818 vs 1.840) — static planner already broadcasts them — and the
+# shared label_propagation fixed point, which WINS at sf0.1 (2.49 vs
+# 2.99) but LOSES at 100x (85.6 vs 64.2: the labels relation is
+# node-grain but label-valued, and 3 rounds of 1.6M-row hash-relation
+# build+broadcast cost more than the co-partitioned shuffle) — the
+# 100 TB posture rules, so it stays hint-free. Beware single-rep 100x
+# readings: the first timed rep of a query in a session can carry a
+# 2-4x cold artifact (observed on gr_khop_reach: 18.1 s single-rep vs
+# 4.6 s best-of-2); use --reps >= 2 at amplified scale.
 RESTORED = [
     "gr_modularity", "gr_hits", "ts_mk_trend", "ag_kendall_tau",
     "gr_conductance", "gr_khop_reach",
