@@ -8893,7 +8893,7 @@ _R9_REATTESTS = [
 
 # Round-9 driver window: the six re-checks, then the FINAL 18
 # never-checked entries (closing the driver union at 343/343), then
-# the 28 parity-core re-attests above.
+# the 26 parity-core re-attests above.
 _R9_WINDOW = [
     *_R9_RECHECKS,
     # --- final never-checked 18 (union closes at 343/343) ---
