@@ -8719,12 +8719,24 @@ ORACLES.update(_wave59.ORACLES)
 # (c) 26 re-attests of the SURVEY §2 reference-parity core whose green
 # rows date from r1–r4 (VERDICT-r8 ask #2: eight rounds of session-conf
 # and shared-build evolution sit between those rows and HEAD).
-# ROUND-10 ROTATION: fold CORRECTNESS_r09's green names into the set
-# below (rename _R1_R9); with the union closed, every future window is
-# pure re-attestation — front-load any plans rewritten in r10, then
-# fill with the 50 OLDEST-attested names (oldest round first, build
-# order within a round; the "round last checked" map is recoverable by
-# scanning CORRECTNESS_r0*.json newest-to-oldest for first occurrence).
+# ROUND-10 ROTATION (this round): CORRECTNESS_r09 came back 50/50
+# green, closing the driver union at 343/343 — every registry entry
+# now has an official driver row. From here every window is PURE
+# RE-ATTESTATION (VERDICT-r9 ask #1): front-load any plans rewritten
+# in-round (_R10_RECHECKS), then fill with the 50 entries whose LATEST
+# driver row is oldest (round asc, registry order within a round —
+# tools/rotation_next.py computes this, counting rows-only records
+# with `err == 'no_oracle'` and a sane row count as checked). The r10
+# fill is 27 r2-latest rows + the 23 oldest r3-latest rows; one full
+# lap over the registry takes ~7 rounds at 50/round.
+# ROUND-11 ROTATION: fold CORRECTNESS_r10's names (all already in the
+# union — the fold only refreshes the staleness map), rename the
+# window lists to _R11_*, and repeat: rechecks first, then the next-50
+# stalest from `python tools/rotation_next.py`. The rotation-comment
+# counts below are MACHINE-DERIVED — `tools/rotation_next.py --counts`
+# emits the line and tests/test_registry_contract.py asserts the
+# comment contains it verbatim (VERDICT-r9 ask #5).
+# window r10: 50 = 0 re-checks + 50 re-attests + 0 never-checked
 # Every entry is verified locally at sf0.001 AND sf0.01 via
 # tools/crosscheck.py AND under a VANILLA SparkSession
 # (tests/test_vanilla_session.py) regardless of window position.
@@ -8829,7 +8841,7 @@ _CHECKED_THROUGH_R7 = frozenset({
 # Green driver rows first recorded in CORRECTNESS_r08 (the full r8
 # window, 50/50 green — the three r8 re-checks already appear in the
 # r1–r7 sections above).
-_DRIVER_CHECKED_R1_R8 = _CHECKED_THROUGH_R7 | frozenset({
+_CHECKED_THROUGH_R8 = _CHECKED_THROUGH_R7 | frozenset({
     "ag_cohort_ltv", "ly_zonemap", "o14_upsert_evolve",
     "fe_target_encode", "fe_hashed_features", "ev_step_latency",
     "w8_pareto_front", "sa_neyman_alloc", "ts_seasonal_outliers",
@@ -8848,55 +8860,10 @@ _DRIVER_CHECKED_R1_R8 = _CHECKED_THROUGH_R7 | frozenset({
     "ev_incident_overlap",
 })
 
-# Already-checked queries whose plans were rewritten after their green
-# driver row — re-windowed so the record attests HEAD (the r7/r8
-# discipline). All six are r9 explicit bounded-side broadcast pins
-# (plans/_hints.py): the four VERDICT-r8 ask-#5 restores of the r8
-# flip-off losses, plus two same-shape wins the r9 candidate scan
-# found (gr_conductance = gr_modularity's exact edge⋈label shape;
-# gr_khop_reach = per-round node-grain bitset state). Build sides are
-# calendar-grain (ts_mk_trend, ag_kendall_tau day aggregates) or
-# node/dimension-grain (label fixed point, HITS state, BFS
-# frontier/visited). Recovery proven by interleaved same-session A/B
-# with value equality asserted (tools/ab_r9_hints_sf01.json: the four
-# restores net −1.50 s; the two additions −0.55/−0.33 s confirmed
-# twice). Candidates tested and NOT pinned (static planner already
-# broadcasts them): gr_assortativity, gr_kcore.
-_R9_RECHECKS = [
-    "gr_modularity", "gr_hits", "ts_mk_trend", "ag_kendall_tau",
-    "gr_conductance", "gr_khop_reach",
-]
-
-# Voluntary RE-ATTESTS (distinct from _R9_RECHECKS): plans UNCHANGED,
-# but their green rows date from r1–r4 and eight rounds of session-conf
-# and shared-build evolution sit between those rows and HEAD — the
-# SURVEY §2 reference-parity core re-attested per VERDICT-r8 ask #2
-# (v1–v4, o6–o11, f1/f2, a6, t5, p3, the join surface j5–j8, and the
-# flagship TPC-H queries). The registry contract allows checked names
-# in the window only when declared in exactly one of these two lists.
-_R9_REATTESTS = [
-    "v1_top_actors", "v2_top_genres", "v3_genre_ratings",
-    "v4_top_actors_by_rating", "o6_dedup_last_wins",
-    "o7_top_n_per_group", "o8_upsert", "o8_upsert_preserve",
-    "o9_insert_if_absent", "f1_explode", "f2_json_flatten",
-    "a6_duplicate_report", "t5_top20", "p3_scalar_coercions",
-    "q1_pricing_summary", "q3_shipping_priority", "q18_large_orders",
-    "j5_left_join_agg", "j6_anti_join", "j7_semi_join",
-    "j8_full_outer_nation", "o10_scd2_history", "o11_snapshot_diff",
-    "q2_min_cost_supplier", "q4_order_priority",
-    "q5_local_supplier_volume",
-    # q6_revenue_delta / q7_nation_volume were re-attest candidates but
-    # ceded their slots to the two added re-checks (gr_conductance,
-    # gr_khop_reach) — re-checks of rewritten plans outrank voluntary
-    # re-attests; both remain crosscheck/vanilla-certified at HEAD.
-]
-
-# Round-9 driver window: the six re-checks, then the FINAL 18
-# never-checked entries (closing the driver union at 343/343), then
-# the 26 parity-core re-attests above.
-_R9_WINDOW = [
-    *_R9_RECHECKS,
-    # --- final never-checked 18 (union closes at 343/343) ---
+# Green driver rows first recorded in CORRECTNESS_r09: the final 18
+# never-checked entries (the union closes at 343/343 here; the six r9
+# re-checks and 26 parity-core re-attests already appear above).
+_DRIVER_CHECKED_R1_R9 = _CHECKED_THROUGH_R8 | frozenset({
     "fn_map_surface", "emb_kmeans_iterate", "qa_fd_mining",
     "ts_periodogram", "ix_bitmap_and", "su_set_ops_all",
     "emb_silhouette", "ag_quantile_irls", "pt_hierarchy_rollup",
@@ -8904,18 +8871,68 @@ _R9_WINDOW = [
     "sa_group_kfold_audit", "ml_auc_mw", "ir_ndcg_mrr",
     "fn_string_surface", "fn_bitwise_surface", "fn_bitagg_surface",
     "fn_array_surface",
-    *_R9_REATTESTS,
+})
+
+# Already-checked queries whose plans were rewritten in-round after
+# their green driver row — re-windowed so the record attests HEAD (the
+# r7/r8/r9 discipline). Round 10 rewrote no plans: the perf budget went
+# to the drift re-measure of the four r9 regressions (all confirmed
+# box drift — tools/ab_r10_drift.py) and to promoting the broadcast-
+# candidate scan to a tool mode (tools/plan_audit.py --broadcast-scan),
+# whose A/B gate rejected every new candidate at 100×.
+_R10_RECHECKS: list[str] = []
+
+# Voluntary RE-ATTESTS (plans UNCHANGED, old green rows refreshed at
+# HEAD): the first post-union staleness lap (VERDICT-r9 ask #1) — the
+# 50 registry entries whose LATEST driver row is oldest, computed by
+# tools/rotation_next.py from CORRECTNESS_r01..r09 (27 entries last
+# checked in r2, then the 23 oldest r3 rows, registry order within a
+# round). Eight rounds of session-conf and shared-build evolution sit
+# between an r2 row and HEAD. The registry contract allows checked
+# names in the window only when declared in exactly one of
+# _R10_RECHECKS / _R10_REATTESTS.
+_R10_REATTESTS = [
+    # --- latest driver row: r2 (27) ---
+    "tx_token_stats", "tx_token_frequency", "tx_lang_distribution",
+    "tx_quality_scores", "tx_language_id", "tx_fingerprints",
+    "dd_exact_dup_groups", "tx_token_counts", "pv_unpivot_lineitem",
+    "q6_revenue_delta", "sq_min_price_supplier", "fn_scalar_surface",
+    "px_clean_corpus", "q14_promo_revenue", "tx_repetition",
+    "ag_stats_moments", "dd_incremental", "sa_stratified_sample",
+    "dd_ngram_jaccard", "dd_simhash", "sim_knn_bruteforce",
+    "sim_knn_lsh", "sim_knn_ivf", "sim_embedding_near_dup",
+    "rj_range_join", "ap_exact_quantiles", "ap_approx_stats",
+    # --- latest driver row: r3 (oldest 23) ---
+    "st_tumbling", "st_sliding", "st_sessionize", "st_interval_join",
+    "w4_trailing_7d", "aj_asof_join", "q7_nation_volume",
+    "q8_market_share", "q9_nation_profit", "q10_returned_items",
+    "q11_value_concentration", "q12_priority_shipping",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_diversity", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q20_concentrated_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customers", "w1_running_total",
+    "g1_rollup", "g3_grouping_sets",
+]
+
+# Round-10 driver window: pure re-attestation (the union closed in r9).
+# Exactly 5 rows-only entries ride along (dd_simhash, sim_knn_lsh,
+# sim_knn_ivf, sim_embedding_near_dup, ap_approx_stats — the registry
+# contract's window cap), each floored at the registry surface by
+# tests/test_recall_floors.py.
+_R10_WINDOW = [
+    *_R10_RECHECKS,
+    *_R10_REATTESTS,
 ]
 
 
 def _rotated(registry: dict[str, QueryFn]) -> dict[str, QueryFn]:
-    front = [n for n in _R9_WINDOW if n in registry]
+    front = [n for n in _R10_WINDOW if n in registry]
     placed = set(front)
     mid = [
         n for n in registry
-        if n not in _DRIVER_CHECKED_R1_R8 and n not in placed
+        if n not in _DRIVER_CHECKED_R1_R9 and n not in placed
     ]
-    tail = [n for n in registry if n in _DRIVER_CHECKED_R1_R8 and n not in placed]
+    tail = [n for n in registry if n in _DRIVER_CHECKED_R1_R9 and n not in placed]
     return {n: registry[n] for n in [*front, *mid, *tail]}
 
 

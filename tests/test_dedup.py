@@ -102,6 +102,14 @@ def test_supplied_banded_index_mismatch_fails_loudly(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_DEBUG_INVARIANTS", "1")
     with _pytest.raises(ValueError, match="different banding parameters"):
         dedup.minhash_lsh_pairs(docs, n=3, num_hashes=64, bands=16, sh=sh, banded=wrong)
+    # ADVICE-r9: SAME band count but different num_hashes produces
+    # different per-band bucket hashes — the band-count check alone
+    # cannot see it; the recomputed-sample check must
+    wrong_nh = dedup._minhash_banded(sh, 32, 16)  # built at 32 hashes
+    with _pytest.raises(ValueError, match="different banding parameters"):
+        dedup.minhash_lsh_pairs(
+            docs, n=3, num_hashes=64, bands=16, sh=sh, banded=wrong_nh
+        )
     # shape violations fail even without the debug flag
     monkeypatch.delenv("SPARK_GRAFT_DEBUG_INVARIANTS")
     with _pytest.raises(ValueError, match="lacks column"):

@@ -256,7 +256,26 @@ HINTED_FACT_BROADCAST_OK = plancheck.HINTED_FACT_BROADCAST_OK
 # The walker lives in the package so this gate and tools/plan_audit.py
 # run the SAME per-path analysis (ADVICE-r8 #1: the old whole-subtree
 # walk let a reduced sibling branch excuse an unreduced fact scan).
-_broadcasts_unreduced_fact = plancheck.broadcasts_unreduced_fact
+
+
+def test_walker_enumerates_every_offense_in_one_pass():
+    """ADVICE-r9 #3: two INDEPENDENT offending BroadcastExchanges must
+    both be reported — the first-offense-only return surfaced the
+    second only after the first was fixed."""
+    plan = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- BroadcastHashJoin [k], [k], Inner, BuildRight",
+        "   :- BroadcastHashJoin [k], [k], Inner, BuildLeft",
+        "   :  :- BroadcastExchange HashedRelationBroadcastMode",
+        "   :  :  +- Scan parquet [k] /tmp/sf/orders.parquet",
+        "   :  +- Scan parquet [k] /tmp/sf/part.parquet",
+        "   +- BroadcastExchange HashedRelationBroadcastMode",
+        "      +- Filter isnotnull(k#2)",
+        "         +- Scan parquet [k] /tmp/sf/lineitem.parquet",
+    ])
+    assert plancheck.unreduced_fact_broadcasts(plan) == ["orders", "lineitem"]
+    # the first-or-None wrapper keeps the historical single-offense API
+    assert plancheck.broadcasts_unreduced_fact(plan) == "orders"
 
 
 def test_walker_flags_unreduced_branch_behind_reduced_sibling():
@@ -302,14 +321,23 @@ def test_bounded_broadcast_call_sites_are_the_reviewed_inventory():
     for path in pkg.rglob("*.py"):
         if path.name == "_hints.py":
             continue
-        # ANY mention counts — call sites, function-reference passes
-        # (state_hint=...), and direct-import lines — so a `from
-        # ._hints import bounded_broadcast` bypass still trips the
-        # inventory; only ``-quoted docstring mentions are excluded
+        # USAGE mentions count — call sites, function-reference passes
+        # (state_hint=..., positional args, assignments), and
+        # direct-import lines — so a `from ._hints import
+        # bounded_broadcast` bypass still trips the inventory.
+        # Excluded (ADVICE-r9): `#`-comment prose and ``-quoted
+        # docstring mentions — an innocent plain-text comment naming
+        # the hint is not a call site.
+        usage = _re.compile(
+            r"bounded_broadcast\s*\("                      # direct call
+            r"|=\s*(?:_hints\.)?bounded_broadcast\b"       # kwarg / assignment reference
+            r"|[(,]\s*(?:_hints\.)?bounded_broadcast\b"    # positional reference
+            r"|import\s.*\bbounded_broadcast\b"            # direct-import bypass
+        )
         n = sum(
             1
             for line in path.read_text().splitlines()
-            if _re.search(r"bounded_broadcast", line) and "``" not in line
+            if usage.search(line.split("#", 1)[0]) and "``" not in line
         )
         if n:
             found[str(path.relative_to(pkg))] = n
@@ -394,9 +422,11 @@ def test_no_hint_forced_broadcast_of_unreduced_fact_relation(hint_only_plans):
     for name, plan in hint_only_plans.items():
         if name in HINTED_FACT_BROADCAST_OK:
             continue
-        t = _broadcasts_unreduced_fact(plan)
-        if t:
-            offenders[name] = t
+        # list form (ADVICE-r9 #3): a plan with several independent
+        # offending exchanges enumerates them all in one failure
+        ts = plancheck.unreduced_fact_broadcasts(plan)
+        if ts:
+            offenders[name] = ts
     assert not offenders, (
         f"hint-forced broadcast of an unreduced fact relation: {offenders} — "
         "a hinted broadcast ignores the size threshold at every scale, so "

@@ -126,3 +126,31 @@ def test_rotation_front50_is_never_checked_or_declared_recheck():
         assert order.index(parked[0]) > order.index(never[-1]), (
             "checked tail entries must come after all never-checked entries"
         )
+
+
+def test_rotation_comment_counts_are_machine_derived():
+    """VERDICT-r9 ask #5: two rounds in a row a hand-maintained count in
+    the rotation comment went stale. The counts line is now emitted by
+    `tools/rotation_next.py --counts` from the LIVE window lists, and
+    this test asserts the rotation comment in fixture_queries.py
+    contains that exact line — a count can no longer drift silently."""
+    import pathlib
+    import sys
+
+    tools = pathlib.Path(__file__).resolve().parents[1] / "tools"
+    sys.path.insert(0, str(tools))
+    try:
+        from rotation_next import window_counts_line
+    finally:
+        sys.path.remove(str(tools))
+
+    src = pathlib.Path(
+        pathlib.Path(__file__).resolve().parents[1]
+        / "movie_data_etl_pipeline_spark/plans/fixture_queries.py"
+    ).read_text()
+    line = window_counts_line()
+    assert f"# {line}" in src, (
+        f"rotation comment lacks the machine-derived counts line "
+        f"'{line}' — regenerate it with `python tools/rotation_next.py "
+        "--counts` and paste verbatim"
+    )
