@@ -145,8 +145,112 @@ def unreduced_fact_scans(
                 break
             cur = kd
         if not covered:
-            offenses.append(m.group(1))
+            # first non-empty capture group names the relation (the
+            # scan-mode probe regex has alternations whose groups may
+            # be None); fall back to the matched text
+            offenses.append(
+                next((g for g in m.groups() if g), m.group(0).strip())
+            )
     return offenses
+
+
+SHUFFLE_JOIN_RE = re.compile(r"\b(SortMergeJoin|ShuffledHashJoin)\b")
+# Probe-side relation notion for the PIN-CANDIDATE scan (wider than the
+# gate's FACT_SCAN_RE): parquet fact scans PLUS checkpointed/session-
+# shared relations (Scan ExistingRDD — the materialized pair/edge/
+# fixed-point builds), which are fact-sized by construction. The gate
+# keeps the narrower notion: it flags forced broadcasts, where only
+# genuine fact tables are the 100 TB hazard.
+PROBE_SCAN_RE = re.compile(
+    r"/(lineitem|orders|events|documents|embeddings)\.parquet"
+    r"|Scan (ExistingRDD|ExternalRDD)"
+)
+_KEYS_RE = re.compile(r"keys=\[([^\]]*)\]")
+_CALENDAR_KEY_RE = re.compile(
+    r"date|day|week|month|year|hour|_ts|ts_|time", re.IGNORECASE
+)
+_ENTITY_KEY_RE = re.compile(
+    r"node|src|dst|vec|doc|actor|user|cust|supp|part|item|label|key|id",
+    re.IGNORECASE,
+)
+
+
+def _grain(keys: str) -> str:
+    """Classify an aggregate's grouping keys for the candidate report:
+    scalar (no keys — 1 row at any scale), calendar (bounded by the
+    date domain), entity (node/dimension-grain — bounded by |V| or the
+    dimension, the r9 pin family), other."""
+    if not keys.strip():
+        return "scalar"
+    if _CALENDAR_KEY_RE.search(keys):
+        return "calendar"
+    if _ENTITY_KEY_RE.search(keys):
+        return "entity"
+    return "other"
+
+
+def broadcast_pin_candidates(
+    plan: str,
+    fact_re: re.Pattern = PROBE_SCAN_RE,
+    reduce_re: re.Pattern = REDUCE_RE,
+) -> list[dict]:
+    """Pin-candidate shape scan (VERDICT-r9 ask #2): shuffle joins
+    (SortMergeJoin / ShuffledHashJoin) where ONE side is fully reduced
+    (contains a total-bounding aggregate/limit and NO unreduced fact
+    scan — a node/dimension/calendar-grain build side) and the OTHER
+    side probes a fact relation unreduced. This is the exact shape
+    behind every accepted r8/r9 bounded-side broadcast pin
+    (gr_modularity's label fixed point, ts_mk_trend's day aggregate,
+    gr_khop_reach's frontier state): the static planner sees no size
+    estimate for the aggregated side and shuffles BOTH sides, while a
+    bounded-side pin removes the fact-side exchange at every scale.
+
+    Returns one dict per candidate join: the join line, the build
+    side's topmost reduce keys, and a grain classification. A candidate
+    is a LEAD, not a decision — the r9 label_propagation rejection
+    (sf0.1 win, 100× loss) is the template: A/B interleaved at sf0.1
+    AND 100× before pinning.
+    """
+    tree = plan.splitlines()
+    out: list[dict] = []
+    for i, line in enumerate(tree):
+        jm = SHUFFLE_JOIN_RE.search(line)
+        if not jm:
+            continue
+        d = plan_depth(tree[i])
+        child_d = 0 if d < 0 else d + 3
+        end = subtree_end(tree, i) if d >= 0 else len(tree)
+        kids = [j for j in range(i + 1, end) if plan_depth(tree[j]) == child_d]
+        if len(kids) != 2:
+            continue
+        sides = []
+        for idx, j in enumerate(kids):
+            j_end = min(subtree_end(tree, j), kids[1] if idx == 0 else end)
+            unred = unreduced_fact_scans(
+                tree, j, j_end, fact_re=fact_re, reduce_re=reduce_re
+            )
+            if reduce_re.search(tree[j]):
+                unred = []  # the side's own root reduces everything below
+            reduce_lines = [
+                tree[k].strip() for k in range(j, j_end) if reduce_re.search(tree[k])
+            ]
+            sides.append({"unreduced_facts": unred, "reduces": reduce_lines})
+        for b, p in ((0, 1), (1, 0)):
+            build, probe = sides[b], sides[p]
+            if build["reduces"] and not build["unreduced_facts"] and probe["unreduced_facts"]:
+                keys_m = _KEYS_RE.search(build["reduces"][0])
+                keys = keys_m.group(1) if keys_m else ""
+                out.append(
+                    {
+                        "join": line.strip()[:160],
+                        "build_side": "left" if b == 0 else "right",
+                        "build_reduce": build["reduces"][0][:160],
+                        "build_keys": keys[:120],
+                        "grain": _grain(keys),
+                        "probe_facts": sorted(set(probe["unreduced_facts"])),
+                    }
+                )
+    return out
 
 
 def broadcasts_unreduced_fact(

@@ -127,6 +127,12 @@ def emb_kmeans_iterate(spark: SparkSession, sf: str) -> DataFrame:
     four centroid coordinates (the verification fingerprint)."""
     assign, cents = kmeans_state(spark, sf)
     counts = assign.groupBy("cluster").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # r10 broadcast-scan lead, A/B'd and REJECTED: counts is k-row but
+    # so is the other side (cents) — a pin removes no fact-side
+    # exchange at any scale, and the broadcast build round-trip
+    # measured slightly SLOWER than the 8-row sort-merge tail
+    # (0.300 vs 0.266 s interleaved at sf0.1, values equal; see
+    # tools/plan_audit.BROADCAST_SCAN_TESTED)
     return (
         cents.join(counts, "cluster", "left")
         .select(

@@ -278,6 +278,48 @@ def test_walker_enumerates_every_offense_in_one_pass():
     assert plancheck.broadcasts_unreduced_fact(plan) == "orders"
 
 
+def test_pin_candidate_scan_finds_the_r9_shape():
+    """VERDICT-r9 ask #2: the bounded-side pin candidate shape — a
+    shuffle join of a fully-reduced (aggregated) side against an
+    unreduced fact probe — is detected with grain classification; a
+    both-sides-fact shuffle join and an already-broadcast join are
+    not candidates."""
+    candidate = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- SortMergeJoin [node#1], [src#2], Inner",
+        "   :- Sort [node#1 ASC]",
+        "   :  +- HashAggregate(keys=[node#1], functions=[max(lbl#9)])",
+        "   :     +- Scan parquet [node] /tmp/sf/events.parquet",
+        "   +- Sort [src#2 ASC]",
+        "      +- Scan parquet [src] /tmp/sf/events.parquet",
+    ])
+    got = plancheck.broadcast_pin_candidates(candidate)
+    assert len(got) == 1
+    assert got[0]["build_side"] == "left"
+    assert got[0]["grain"] == "entity"
+    assert got[0]["probe_facts"] == ["events"]
+
+    both_fact = candidate.replace(
+        "HashAggregate(keys=[node#1], functions=[max(lbl#9)])",
+        "Filter isnotnull(node#1)",
+    )
+    assert plancheck.broadcast_pin_candidates(both_fact) == []
+    pinned = candidate.replace("SortMergeJoin", "BroadcastHashJoin")
+    assert plancheck.broadcast_pin_candidates(pinned) == []
+    # calendar-grain build side classifies as calendar
+    cal = candidate.replace("keys=[node#1]", "keys=[o_orderdate#4]")
+    assert plancheck.broadcast_pin_candidates(cal)[0]["grain"] == "calendar"
+    # a checkpointed pair relation (Scan ExistingRDD) is a valid probe
+    # side for the pin-candidate scan (wider PROBE_SCAN_RE), though not
+    # for the gate's fact-broadcast check (narrow FACT_SCAN_RE)
+    rdd_probe = candidate.replace(
+        "Scan parquet [src] /tmp/sf/events.parquet",
+        "Scan ExistingRDD[src#2L,dst#3L]",
+    )
+    got_rdd = plancheck.broadcast_pin_candidates(rdd_probe)
+    assert len(got_rdd) == 1 and got_rdd[0]["probe_facts"] == ["ExistingRDD"]
+
+
 def test_walker_flags_unreduced_branch_behind_reduced_sibling():
     """Regression for the ADVICE-r8 #1 false negative: a hinted
     broadcast build side joining a REDUCED branch (printed first) with
