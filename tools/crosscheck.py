@@ -43,6 +43,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_ok = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -54,6 +55,7 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(sdf)} rows, cols={list(sdf.columns)})")
+            n_rows_only += 1
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
@@ -76,7 +78,15 @@ def main() -> int:
             print(f"FAIL {name}: value mismatch; first diffs: {diff}")
             continue
         print(f"OK   {name} ({len(sdf)} rows)")
-    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+        n_ok += 1
+    # machine-countable summary: Spark progress bars interleave \r
+    # fragments with stdout, so per-line OK counts under-read in raw
+    # captures (r10 saw 330 of 335 until CR-normalizing) — this line
+    # is the count of record
+    print(
+        f"\nsummary: ok={n_ok} rows_only={n_rows_only} fail={len(failures)}"
+    )
+    print(f"{len(failures)} failures: {failures}" if failures else "all green")
     return 1 if failures else 0
 
 

@@ -103,13 +103,15 @@ def digest(plan: str, hint_only_plan: str | None = None, name: str | None = None
 # asserted; records in tools/ab_r9_hints_sf01.json / _x100.json and
 # tools/ab_r10_*.json.
 BROADCAST_SCAN_TESTED = {
-    # name -> (verdict, evidence)
-    "gr_modularity": ("PINNED r9", "2.58x at 100x; -0.45 s sf0.1"),
-    "gr_hits": ("PINNED r9", "2.36x at 100x; -0.29 s sf0.1"),
-    "ts_mk_trend": ("PINNED r9", "calendar-grain day agg; -0.43 s sf0.1"),
+    # name -> (verdict, evidence) — sf0.1 deltas from
+    # ab_r9_hints_sf01.json (best-of-3, on vs off), 100x ratios from
+    # ab_r9_hints_x100.json (best-of-2, off/on)
+    "gr_modularity": ("PINNED r9", "2.58x at 100x; -0.57 s sf0.1"),
+    "gr_hits": ("PINNED r9", "2.36x at 100x; -0.66 s sf0.1"),
+    "ts_mk_trend": ("PINNED r9", "calendar-grain day agg; -0.36 s sf0.1"),
     "ag_kendall_tau": ("PINNED r9", "calendar-grain day agg; -0.33 s sf0.1"),
-    "gr_conductance": ("PINNED r9", "4.31x at 100x; -0.55 s sf0.1"),
-    "gr_khop_reach": ("PINNED r9", "2.70x at 100x; -0.33 s sf0.1"),
+    "gr_conductance": ("PINNED r9", "4.30x at 100x; -0.35 s sf0.1"),
+    "gr_khop_reach": ("PINNED r9", "2.70x at 100x; -0.50 s sf0.1"),
     "gr_assortativity": (
         "REJECTED r9",
         "static planner already broadcasts the degree build — pin is a no-op",
