@@ -19,6 +19,13 @@ whichever query touches each build first.
      "calib_core_r2_ref": <sec>, "drift_factor": <x>,
      "drift_normalized_total": <sec>, "n_queries": <int>, "sf": "<dir>"}
 
+Both lines also embed the newest ``tools/bench_r*_local.json``
+multi-run record when present (VERDICT-r9 ask #6): ``local_record``,
+``local_merged_bests_total``, ``local_n_runs``, ``local_per_run_drift``,
+``local_per_run_value`` — so the driver-visible BENCH_r{N}.json carries
+the merged-bests total and the per-run drift story, not just this
+single run.
+
 The calibration keys make box drift checkable without driver reruns:
 the frozen r2 core is code-untouched since round 2, so
 ``drift_factor = core_r2_total / calib_core_r2_ref`` measures this

@@ -8732,7 +8732,9 @@ ORACLES.update(_wave59.ORACLES)
 # ROUND-11 ROTATION: fold CORRECTNESS_r10's names (all already in the
 # union — the fold only refreshes the staleness map), rename the
 # window lists to _R11_*, and repeat: rechecks first, then the next-50
-# stalest from `python tools/rotation_next.py`. The rotation-comment
+# stalest from `python tools/rotation_next.py` (post-r10 staleness
+# math: the remaining 17 r3-latest rows + the oldest 33 r4 rows; the
+# full lap completes around r16 at 50/round). The rotation-comment
 # counts below are MACHINE-DERIVED — `tools/rotation_next.py --counts`
 # emits the line and tests/test_registry_contract.py asserts the
 # comment contains it verbatim (VERDICT-r9 ask #5).
