@@ -26,6 +26,16 @@ multi-run record when present (VERDICT-r9 ask #6): ``local_record``,
 the merged-bests total and the per-run drift story, not just this
 single run.
 
+``core_py_total`` (new in round 10) sums the seven frozen
+Arrow/Python-boundary queries (``CORE_PY``) — a second drift axis.
+When ``drift_factor`` and a run's raw total disagree, compare the two
+gauges: both slowing together (r10 backfill: core_r2 +44%, core_py
++45% across six runs while the raw total moved +3%) means a
+CPU-contention mode hitting throughput-bound queries while the
+fixed-overhead-dominated majority is untouched — so drift-normalizing
+the TOTAL by the gauge over-corrects; core_py diverging from core_r2
+would instead point at scan/IO vs Python-worker modes.
+
 The calibration keys make box drift checkable without driver reruns:
 the frozen r2 core is code-untouched since round 2, so
 ``drift_factor = core_r2_total / calib_core_r2_ref`` measures this
@@ -663,6 +673,29 @@ CORE_R3 = [
 # (git 19827b2): the ONLY set on which cross-round speed claims are
 # honest. HEADLINE[:N] prefixes drift (entries were inserted mid-list
 # during round 3), so the core is pinned by name, not position.
+# Python-boundary gauge (frozen from round 10 on): the seven registry
+# queries whose executedPlan crosses an Arrow/Python boundary
+# (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas / UDTF, per
+# the PLANS.md digests). A second drift axis for diagnosing the r10
+# anomaly class where drift_factor and a run's raw total disagree:
+# core_py tracking core_r2 (r10 backfill: +45% vs +44% across six
+# runs, raw total +3%) = CPU contention on throughput-bound queries
+# with the fixed-overhead-dominated majority untouched (gauge-based
+# normalization of the TOTAL over-corrects); core_py DIVERGING from
+# core_r2 = scan/IO vs Python-worker mode. No pinned reference yet:
+# meaningful within/across runs of one box session; pin a reference
+# once a driver BENCH record carries it (the CALIB_CORE_R2_REF
+# procedure).
+CORE_PY = [
+    "sim_knn_ivf",
+    "tx_chunking",
+    "mm_features",
+    "tx_sentence_stats",
+    "ag_trimmed_mean",
+    "hh_heavy_hitters",
+    "sim_embedding_near_dup",
+]
+
 CORE_R2 = [
     "v1_top_actors",
     "v2_top_genres",
@@ -895,6 +928,7 @@ def main() -> None:
     # headline queries.
     core = round(sum(times[n] for n in CORE_R2), 3)
     core3 = round(sum(times[n] for n in CORE_R3), 3)
+    core_py = round(sum(times[n] for n in CORE_PY), 3)
     # machine-calibration line — see the calibration() docstring above
     calib = calibration(core, total)
     calib.pop("core_r2_total")  # printed as its own key below
@@ -908,6 +942,7 @@ def main() -> None:
                 "cold_total": cold_total,
                 "core_r2_total": core,
                 "core_r3_total": core3,
+                "core_py_total": core_py,
                 **calib,
                 **local,
                 "queries": times,
@@ -928,6 +963,7 @@ def main() -> None:
                 "cold_total": cold_total,
                 "core_r2_total": core,
                 "core_r3_total": core3,
+                "core_py_total": core_py,
                 **calib,
                 **local,
                 "n_queries": len(times),

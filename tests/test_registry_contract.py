@@ -33,6 +33,15 @@ def test_core_r2_is_a_frozen_subset():
     assert not missing, f"core entries missing from headline: {missing}"
 
 
+def test_core_py_is_a_frozen_subset():
+    # the python-boundary drift gauge (frozen from round 10): the seven
+    # Arrow/Python-boundary queries per the PLANS.md digests
+    assert len(bench.CORE_PY) == 7
+    assert len(set(bench.CORE_PY)) == 7
+    missing = [k for k in bench.CORE_PY if k not in bench.HEADLINE]
+    assert not missing, f"core_py entries missing from headline: {missing}"
+
+
 def test_core_r3_is_a_frozen_subset():
     assert len(bench.CORE_R3) == 211
     assert len(set(bench.CORE_R3)) == 211
