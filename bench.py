@@ -803,8 +803,16 @@ def _core_r2_guard() -> None:
     ), "CORE_R2 membership changed — re-pin CALIB_CORE_R2_REF against a fresh driver record"
 
 
-def calibration(core_r2_total: float, total: float | None = None) -> dict:
-    """The calibration keys every perf-record JSON should carry."""
+def calibration(
+    core_r2_total: float, total: float | None = None, sf_dir: str | None = None
+) -> dict:
+    """The calibration keys every perf-record JSON should carry.
+
+    ``CALIB_CORE_R2_REF`` is pinned at **sf0.1** — at any other scale
+    factor the ratio is meaningless (a round-10 sf0.001 smoke read
+    drift 0.542), so when ``sf_dir`` is supplied and is not the
+    reference scale the record carries ``drift_valid: false`` and the
+    drift keys must not be compared across rounds."""
     _core_r2_guard()
     drift = round(core_r2_total / CALIB_CORE_R2_REF, 3)
     out = {
@@ -812,6 +820,8 @@ def calibration(core_r2_total: float, total: float | None = None) -> dict:
         "core_r2_total": core_r2_total,
         "drift_factor": drift,
     }
+    if sf_dir is not None:
+        out["drift_valid"] = sf_dir.rstrip("/").endswith("sf0.1")
     if total is not None:
         out["drift_normalized_total"] = round(total / drift, 1) if drift > 0 else None
     return out
@@ -834,7 +844,7 @@ def measure_drift(spark, sf_dir: str | None = None) -> dict:
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
         core += best
-    return calibration(round(core, 3))
+    return calibration(round(core, 3), sf_dir=sf_dir)
 
 
 def _warm_python_workers(spark) -> None:
@@ -930,7 +940,7 @@ def main() -> None:
     core3 = round(sum(times[n] for n in CORE_R3), 3)
     core_py = round(sum(times[n] for n in CORE_PY), 3)
     # machine-calibration line — see the calibration() docstring above
-    calib = calibration(core, total)
+    calib = calibration(core, total, sf_dir)
     calib.pop("core_r2_total")  # printed as its own key below
     local = _local_record_summary()
     print(
