@@ -369,6 +369,17 @@ def hits_fixed_point(
             edges.join(hint(hubs), "c")
             .groupBy("s")
             .agg(F.sum("h").cast("bigint").alias("a_raw"))
+            # r10: per-round lineage truncation — the discipline
+            # pagerank_fixed_point/label_propagation already apply (and
+            # gr_kcore measured as ~3^rounds blowup without). Each raw
+            # relation is consumed TWICE (its max aggregate + the
+            # normalization branch) and feeds the next round's join, so
+            # without truncation the plan re-derives every prior round
+            # multiple times per consumer (the gr_hits formatted plan
+            # was 312 Exchange mentions; checkpointed it is 8). Values
+            # unchanged — a checkpoint is only a materialization
+            # barrier (A/B'd with value equality, tools/ab_r10_opt.json).
+            .localCheckpoint(eager=True)
         )
         a_max = a_raw.agg(F.max("a_raw").alias("a_max"))
         auths = (
@@ -379,6 +390,7 @@ def hits_fixed_point(
             edges.join(hint(auths), "s")
             .groupBy("c")
             .agg(F.sum("a").cast("bigint").alias("h_raw"))
+            .localCheckpoint(eager=True)
         )
         h_max = h_raw.agg(F.max("h_raw").alias("h_max"))
         hubs = (

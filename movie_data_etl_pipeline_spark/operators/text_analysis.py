@@ -965,19 +965,65 @@ def learn_bpe_merges(
             break
         x, y, c = top[0]["x"], top[0]["y"], int(top[0]["c"])
         out.append((r, x, y, c))
+        if r == rounds:
+            # r10 (guide §1.2 — don't compute things you throw away):
+            # the LAST round's merge application feeds nothing (only
+            # the per-round pair counts are returned), but the eager
+            # checkpoint used to materialize it anyway — a full
+            # corpus-wide merge pass of pure dead work.
+            break
         joined = f"{x} {y}"
-        merged = F.aggregate(
-            F.col("t"),
-            F.array().cast("array<string>"),
-            lambda acc, tok: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(x))
-                & (tok == F.lit(y)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+        if x == y:
+            # greedy leftmost with self-overlap ("a a a" merges once):
+            # genuinely sequential — keep the O(len²) fold (rare: a
+            # top pair with lhs == rhs)
+            merged = F.aggregate(
+                F.col("t"),
+                F.array().cast("array<string>"),
+                lambda acc, tok: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(x))
+                    & (tok == F.lit(y)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+                    ),
+                ).otherwise(F.concat(acc, F.array(tok))),
+            )
+        else:
+            # r10 (guide §1.2 per-task work): with x ≠ y matches can
+            # never overlap (a match ending at i+1 needs t[i+1] = x,
+            # but t[i+1] = y ≠ x), so leftmost-greedy == "merge every
+            # match site" and the O(len²) accumulator-copying fold
+            # becomes one O(len) positional transform: emit the joined
+            # token at match starts, drop the swallowed right token,
+            # pass everything else through. Values identical (the
+            # fold's own no-false-chain property: a merged survivor
+            # "x y" never re-equals x this round).
+            t = F.col("t")
+
+            def tok(i):
+                return F.element_at(t, i)
+
+            def match_at(i):
+                # try_element_at: NULL past the end (falsy in when());
+                # plain element_at would THROW there under ANSI
+                return (tok(i) == F.lit(x)) & (
+                    F.try_element_at(t, i + 1) == F.lit(y)
+                )
+
+            cells = F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                # the (i > 1) guard must come first: And short-circuits,
+                # and element_at(t, 0) would throw (array indices start
+                # at 1)
+                lambda i: F.when(match_at(i), F.lit(joined)).otherwise(
+                    F.when(
+                        (i > F.lit(1)) & match_at(i - 1),
+                        F.lit(None).cast("string"),
+                    ).otherwise(tok(i))
                 ),
-            ).otherwise(F.concat(acc, F.array(tok))),
-        )
+            )
+            merged = F.filter(cells, lambda v: v.isNotNull())
         cur = cur.select(merged.alias("t")).localCheckpoint()
     spark = docs.sparkSession
     return spark.createDataFrame(

@@ -4880,8 +4880,24 @@ def px_training_mix(spark: SparkSession, sf: str) -> DataFrame:
     key."""
     docs = load_table(spark, sf, "documents")
     kept = text_analysis.adaptive_quality_keep(docs, carry=("lang",))
-    w = Window.partitionBy(TX.fingerprint("text")).orderBy("doc_id")
-    uniq = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    # r10 optimization (guide §2.3 aggregate before you shuffle +
+    # project before the exchange): first-doc-per-fingerprint was a
+    # row_number window — full sort-shuffle of every kept row
+    # (including the dead `quality` column) keyed by fingerprint.
+    # min_by(struct, doc_id) computes the identical survivor (doc_id
+    # is unique, so "rn=1 by doc_id asc" ≡ "argmin doc_id") as a HASH
+    # aggregate: map-side partial aggregation collapses duplicate
+    # groups before the exchange, no sort, and only the four consumed
+    # columns travel. Oracle unchanged and re-proven.
+    uniq = (
+        kept.groupBy(TX.fingerprint("text").alias("fp"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "source", "lang", "text"), F.col("doc_id")
+            ).alias("r")
+        )
+        .select("r.doc_id", "r.source", "r.lang", "r.text")
+    )
     train = uniq.where(sampling.uniform_hash(F.col("doc_id"), "split:") < 0.75)
     mixed = train.where(
         (F.col("lang") == "en")
@@ -6049,38 +6065,60 @@ def qa_replica_diff(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("qty"),
         SC.cents("l_extendedprice").alias("price_c"),
     )
-    replica_b = li.filter(F.col("l_orderkey") % 4999 != 7).withColumn(
-        "price_c",
-        F.when(F.col("l_orderkey") % 4999 == 11, F.col("price_c") + 1).otherwise(
-            F.col("price_c")
-        ),
-    )
+    # r10 optimization (guide §2.4 remove shuffles / §1.2 fewer passes):
+    # replica B is DERIVED from A by the fault injection, so both bucket
+    # digests are computable in ONE scan — per row, A's digest always,
+    # B's digest as a CASE over the fault classes (NULL when dropped,
+    # re-hash only for the rare bumped rows, else A's hash verbatim) —
+    # then one groupBy carries all four aggregates. Plan: 2 scans +
+    # 2 Exchanges + SortMergeJoin FullOuter → 1 scan + 1 Exchange, and
+    # the O(len) row hash runs ~1× per row instead of 2×. Output is
+    # bit-identical (oracle re-proven): n_b = count of surviving rows,
+    # sum_b = sum of surviving digests, and the disagreement filter
+    # sees the same (NULL-when-empty) sum_b the full-outer join
+    # produced. At a real 100 TB reconciliation the replicas are
+    # independent tables and two scans are the floor; HERE the declared
+    # query defines B as a transform of A, so one pass is the floor.
+    # The O(len) per-char row hash is the dominant per-row cost and the
+    # sf fixture scans as ONE task (single row group) — fan out the
+    # 4-column projection first so the hash runs at machine width
+    # (ensure_min_partitions is a no-op on a real cluster's splits).
+    from movie_data_etl_pipeline_spark.sources.parquet import ensure_min_partitions
 
-    def digest(df: DataFrame) -> DataFrame:
-        row = F.concat_ws(
-            "|", "l_orderkey", "l_linenumber", "qty", "price_c"
-        )
-        h = ph.str_hash(row)
-        return (
-            df.select(
-                F.pmod(F.col("l_orderkey"), F.lit(256)).alias("bucket"),
-                h.alias("h"),
-            )
-            .groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n"),
-                F.sum("h").cast("bigint").alias("checksum"),
-            )
-        )
-
-    a = digest(li).select(
-        "bucket", F.col("n").alias("n_a"), F.col("checksum").alias("sum_a")
+    li = ensure_min_partitions(li)
+    k = F.col("l_orderkey")
+    dropped = k % 4999 == 7
+    h_a = ph.str_hash(
+        F.concat_ws("|", "l_orderkey", "l_linenumber", "qty", "price_c")
     )
-    b = digest(replica_b).select(
-        "bucket", F.col("n").alias("n_b"), F.col("checksum").alias("sum_b")
+    h_bumped = ph.str_hash(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("qty"),
+            F.col("price_c") + 1,
+        )
+    )
+    h_b = (
+        F.when(dropped, F.lit(None).cast("long"))
+        .when(k % 4999 == 11, h_bumped)
+        .otherwise(h_a)
     )
     return (
-        a.join(b, "bucket", "full_outer")
+        li.select(
+            F.pmod(k, F.lit(256)).alias("bucket"),
+            h_a.alias("h"),
+            h_b.alias("h_b"),
+            (~dropped).cast("long").alias("in_b"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_a"),
+            F.sum("h").cast("bigint").alias("sum_a"),
+            F.sum("in_b").cast("bigint").alias("n_b"),
+            F.sum("h_b").cast("bigint").alias("sum_b"),
+        )
         .filter(
             ~(
                 F.col("sum_a").eqNullSafe(F.col("sum_b"))
@@ -7858,7 +7896,16 @@ def ag_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     # two-phase rank path does the same exact selection in ~1 s and
     # keeps every stage parallel). lo + (hi − lo)/2 reproduces the
     # engines' shared even-count interpolation formula bit-for-bit.
-    nrel = slopes.agg(F.count(F.lit(1)).alias("n"))
+    # r10 (guide §1.2 — don't compute things twice): the rank selection
+    # needs the slope COUNT, which the old form got by a full extra
+    # generation pass over the ~d² slope pairs (`slopes` is lazy — the
+    # count action replayed the whole day×day join). The count is
+    # exactly C(nd, 2) over the checkpointed 1-per-day relation (x is
+    # distinct per row and the pair filter is xa < xb), so derive it
+    # from `daily` at day grain instead: same value, one fewer pass.
+    nrel = daily.agg(F.count(F.lit(1)).alias("nd")).select(
+        ((F.col("nd") * (F.col("nd") - 1)) / 2).cast("long").alias("n")
+    )
     ranked = indexing.global_row_number(slopes, ["s"])
     mid = (
         ranked.crossJoin(F.broadcast(nrel))

@@ -223,6 +223,13 @@ def gr_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+    # r10 pin candidate tested and REJECTED (the label_propagation
+    # precedent): a bounded_broadcast on deg (node-grain) for these two
+    # attach joins WINS at sf0.1 (3.97 vs 4.62 s interleaved, values
+    # equal) but LOSES at 100× (155.5 vs 137.0 s, 96 partitions, 20g
+    # driver — OPTIMIZATION_r10.md) — the per-key deg hash-relation
+    # build+broadcast grows with |V| and overtakes the co-partitioned
+    # shuffle of `shared`. The 100 TB posture rules: stays size-planned.
     return (
         shared.join(deg.select(F.col("c").alias("c_a"), F.col("deg").alias("deg_a")), "c_a")
         .join(deg.select(F.col("c").alias("c_b"), F.col("deg").alias("deg_b")), "c_b")

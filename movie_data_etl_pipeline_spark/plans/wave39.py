@@ -90,21 +90,58 @@ ORDER BY 1
 """
 
 
-def _quintile_map(metric: DataFrame, col: str) -> DataFrame:
-    """(value → quintile 0..4) mapping for a customer metric: value
-    histogram → distributed exclusive prefix sum → ``(5·cum) div n``
-    — the ml_eval decile discipline, ties share a bin."""
-    hist = metric.groupBy(F.col(col).alias("s")).agg(
+def _quintile_maps_fused(cust: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """(metric id, value → quintile 0..4) for ALL customer metrics in
+    ONE pipeline — value histogram → distributed exclusive prefix sum
+    → ``(5·cum) div n``, the ml_eval decile discipline, ties share a
+    bin. r10 optimization (guide §2.4 remove shuffles): the per-metric
+    ``_quintile_map`` ran the histogram + range-repartition +
+    checkpoint + partition-totals prefix machinery once PER metric
+    (three of everything); melting the metrics into (m, value) rows
+    runs it once, range-partitioned on (m, value) so each metric's
+    rows stay internally ordered (per-metric prefixes via (pid, m) /
+    (m)-partitioned windows — still no global single-task window).
+    Quintile values are identical: same per-metric histogram, same
+    exclusive prefix, same integer division."""
+    melted = cust.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("m"), F.col(c).alias("s"))
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("x")
+    ).select("x.m", "x.s")
+    hist = melted.groupBy("m", "s").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_s")
     )
-    cum = ml_eval.with_exclusive_prefix(hist, "s", ["n_s"])
-    tot = hist.agg(F.sum("n_s").cast("bigint").alias("n"))
+    h = (
+        hist.repartitionByRange(F.col("m").asc(), F.col("s").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    part_totals = h.groupBy("pid", "m").agg(F.sum("n_s").alias("ptot"))
+    tiny = Window.partitionBy("m").orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = part_totals.select(
+        "pid", "m", F.coalesce(F.sum("ptot").over(tiny), F.lit(0)).alias("ppre")
+    )
+    intra = Window.partitionBy("pid", "m").orderBy(F.col("s").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = hist.groupBy("m").agg(F.sum("n_s").cast("bigint").alias("n"))
     return (
-        cum.join(F.broadcast(tot))
-        .select(
-            F.col("s").alias(col),
-            F.expr("(5 * cum_n_s) div n").cast("bigint").alias(f"{col}_q"),
+        h.join(F.broadcast(prefix), ["pid", "m"])
+        .withColumn(
+            "cum",
+            (F.col("ppre") + F.coalesce(F.sum("n_s").over(intra), F.lit(0))).cast(
+                "bigint"
+            ),
         )
+        .join(F.broadcast(tot), "m")
+        .select("m", "s", F.expr("(5 * cum) div n").cast("bigint").alias("q"))
     )
 
 
@@ -138,11 +175,23 @@ def ev_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    rmap = _quintile_map(cust.select("rec"), "rec")
-    fmap = _quintile_map(cust.select("freq"), "freq")
-    mmap = _quintile_map(cust.select("money"), "money")
+    # ONE fused quintile-map pipeline for all three metrics (see
+    # _quintile_maps_fused), checkpointed once so the three value
+    # joins below read the materialized 64-ish-row map instead of
+    # replaying the melted pipeline three times
+    qmap = _quintile_maps_fused(cust, ("rec", "freq", "money")).localCheckpoint(
+        eager=True
+    )
+
+    def pick(i: int, col: str) -> DataFrame:
+        return qmap.filter(F.col("m") == i).select(
+            F.col("s").alias(col), F.col("q").alias(f"{col}_q")
+        )
+
     tagged = (
-        cust.join(rmap, "rec").join(fmap, "freq").join(mmap, "money")
+        cust.join(pick(0, "rec"), "rec")
+        .join(pick(1, "freq"), "freq")
+        .join(pick(2, "money"), "money")
     )
     return (
         tagged.groupBy("rec_q", "freq_q", "money_q")

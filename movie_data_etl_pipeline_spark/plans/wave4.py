@@ -156,6 +156,11 @@ def ev_rfm(spark: SparkSession, sf: str) -> DataFrame:
             "frequency",
             "monetary_c",
         )
+        # r10 (guide §1.2): the count action below AND the first rank
+        # pipeline both consumed the lazy lineage — the orders scan +
+        # custkey aggregation ran twice. Materialize once; the three
+        # chained rank passes each re-checkpoint anyway.
+        .localCheckpoint(eager=True)
     )
     n = agg.count()  # driver-side scalar of a count aggregate (bounded)
 

@@ -370,6 +370,18 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 1e6).cast("bigint"),
         ).alias("e")
     )
+    # r10 optimization (guide §2.5/§1.2 — idle capacity): the sf
+    # fixture scans as ONE task (single row group), so the 64-cell
+    # explode + hash aggregate — the dominant cost — ran on one core
+    # with 31 idle. Fan the 1-column projection out to machine width
+    # first (ensure_min_partitions is a no-op on a real cluster's
+    # splits). A wide single-row 73-decimal-sum aggregate was also
+    # A/B'd and REJECTED: 4.15 vs 2.88 s interleaved at sf0.1 — the
+    # 73-buffer-field aggregate loses whole-stage codegen while the
+    # grouped form keeps it (tools/ab_r10_opt.json).
+    from movie_data_etl_pipeline_spark.sources.parquet import ensure_min_partitions
+
+    emb = ensure_min_partitions(emb)
     cells = F.array(
         *[
             F.struct(

@@ -30,7 +30,23 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # Scale-dependent knob, env-parameterised (r10): the local
+        # default stays = cores (an interleaved 32-vs-96 A/B over the
+        # frozen CORE_R2 workload measured 3×cores 11% SLOWER at sf0.1
+        # — tools/ab_r10_shuffle.json — so raising the default would
+        # trade real bench seconds for nothing at this volume). At
+        # AMPLIFIED volume the per-task aggregate/sort state grows
+        # linearly with data under a fixed partition count and the
+        # graph-family shared build dies with AGGREGATE_OUT_OF_MEMORY
+        # at 100× under 32 partitions while running clean at 96–128
+        # (OPTIMIZATION_r10.md) — so amplified-scale tooling sets
+        # SPARK_GRAFT_SHUFFLE_PARTITIONS≈3×cores, and a production
+        # cluster sizes this to ~2-3× total executor cores (or sizes
+        # partitions to 100 MB–1 GB of shuffle bytes) and lets AQE
+        # coalescing right-size small exchanges down.
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+        )
     # default is local mode sized to the machine; on a cluster set
     # SPARK_GRAFT_MASTER (yarn / k8s://... / spark://...) — or submit
     # via spark-submit --master, which wins over any builder setting —

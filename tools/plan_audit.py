@@ -126,6 +126,14 @@ BROADCAST_SCAN_TESTED = {
         "LOSES 100x (85.6 vs 64.2 s) — broadcast build cost beats the "
         "co-partitioned shuffle only at small |V|",
     ),
+    "gr_link_prediction": (
+        "REJECTED r10",
+        "deg attach joins (node-grain build): wins sf0.1 (3.97 vs 4.62 s "
+        "interleaved) but LOSES 100x (155.5 vs 137.0 s at 96 partitions / "
+        "20g driver) — the gr_label_prop class: per-key node-grain "
+        "hash-relation build+broadcast grows with |V| and overtakes the "
+        "co-partitioned shuffle of the pair-grain probe",
+    ),
     "emb_kmeans_iterate": (
         "REJECTED r10",
         "counts build IS k-row (k=8 constant) but the probe side (cents) "
