@@ -7871,8 +7871,18 @@ def ag_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     # day-grain relation, reused by BOTH the slope branch and the
     # residual branch — truncate lineage so the orders scan + daily
     # aggregation run once, not once per branch (measured 9.8 -> ~5 s
-    # at sf0.1)
-    daily = o.groupBy("d").agg(F.sum("rev_c").alias("y")).localCheckpoint(eager=True)
+    # at sf0.1). The d-non-null filter pins the C(nd,2) count identity
+    # below (ADVICE-r10): a NULL day would be counted in nd while its
+    # NULL x is excluded from pairs by xa < xb, shifting the median
+    # rank. A NULL d never reaches the median/residual math anyway
+    # (NULL slopes and residuals are ignored by both engines), so the
+    # filter is a no-op on results and makes the invariant explicit.
+    daily = (
+        o.filter(F.col("d").isNotNull())
+        .groupBy("d")
+        .agg(F.sum("rev_c").alias("y"))
+        .localCheckpoint(eager=True)
+    )
     base = daily.select(
         F.datediff(F.col("d"), F.lit("1992-01-01").cast("date")).cast("bigint").alias("x"),
         "y",
@@ -8776,16 +8786,22 @@ ORACLES.update(_wave59.ORACLES)
 # with `err == 'no_oracle'` and a sane row count as checked). The r10
 # fill is 27 r2-latest rows + the 23 oldest r3-latest rows; one full
 # lap over the registry takes ~7 rounds at 50/round.
-# ROUND-11 ROTATION: fold CORRECTNESS_r10's names (all already in the
-# union — the fold only refreshes the staleness map), rename the
-# window lists to _R11_*, and repeat: rechecks first, then the next-50
-# stalest from `python tools/rotation_next.py` (post-r10 staleness
-# math: the remaining 17 r3-latest rows + the oldest 33 r4 rows; the
-# full lap completes around r16 at 50/round). The rotation-comment
-# counts below are MACHINE-DERIVED — `tools/rotation_next.py --counts`
-# emits the line and tests/test_registry_contract.py asserts the
-# comment contains it verbatim (VERDICT-r9 ask #5).
-# window r10: 50 = 0 re-checks + 50 re-attests + 0 never-checked
+# ROUND-11 ROTATION (this round): CORRECTNESS_r10 came back 45 green +
+# 5 rows-only (the five oracle-less approximate entries riding the
+# window cap) — all names were already in the union, so the fold only
+# refreshed the staleness map. VERDICT-r10 ask #1 front-loads the
+# EIGHT plans rewritten in round 10 AFTER the r10 window shipped
+# (commit 3e35bfc — they have no driver row attesting the rewritten
+# code) into _R11_RECHECKS; any plan rewritten in round 11 itself is
+# ALSO added there when it is rewritten (this is the final round — no
+# _R12 window will exist to catch it later). The fill is the next-42
+# stalest per `python tools/rotation_next.py` (the remaining 17
+# r3-latest rows + the oldest 25 r4 rows, registry order within a
+# round). The rotation-comment counts below are MACHINE-DERIVED —
+# `tools/rotation_next.py --counts` emits the line and
+# tests/test_registry_contract.py asserts the comment contains it
+# verbatim (VERDICT-r9 ask #5).
+# window r11: 50 = 8 re-checks + 42 re-attests + 0 never-checked
 # Every entry is verified locally at sf0.001 AND sf0.01 via
 # tools/crosscheck.py AND under a VANILLA SparkSession
 # (tests/test_vanilla_session.py) regardless of window position.
@@ -8924,58 +8940,54 @@ _DRIVER_CHECKED_R1_R9 = _CHECKED_THROUGH_R8 | frozenset({
 
 # Already-checked queries whose plans were rewritten in-round after
 # their green driver row — re-windowed so the record attests HEAD (the
-# r7/r8/r9 discipline). Round 10 rewrote no plans: the perf budget went
-# to the drift re-measure of the four r9 regressions (all confirmed
-# box drift — tools/ab_r10_drift.py) and to promoting the broadcast-
-# candidate scan to a tool mode (tools/plan_audit.py --broadcast-scan),
-# whose A/B gate rejected every new candidate at 100×.
-_R10_RECHECKS: list[str] = []
-
-# Voluntary RE-ATTESTS (plans UNCHANGED, old green rows refreshed at
-# HEAD): the first post-union staleness lap (VERDICT-r9 ask #1) — the
-# 50 registry entries whose LATEST driver row is oldest, computed by
-# tools/rotation_next.py from CORRECTNESS_r01..r09 (27 entries last
-# checked in r2, then the 23 oldest r3 rows, registry order within a
-# round). Eight rounds of session-conf and shared-build evolution sit
-# between an r2 row and HEAD. The registry contract allows checked
-# names in the window only when declared in exactly one of
-# _R10_RECHECKS / _R10_REATTESTS.
-_R10_REATTESTS = [
-    # --- latest driver row: r2 (27) ---
-    "tx_token_stats", "tx_token_frequency", "tx_lang_distribution",
-    "tx_quality_scores", "tx_language_id", "tx_fingerprints",
-    "dd_exact_dup_groups", "tx_token_counts", "pv_unpivot_lineitem",
-    "q6_revenue_delta", "sq_min_price_supplier", "fn_scalar_surface",
-    "px_clean_corpus", "q14_promo_revenue", "tx_repetition",
-    "ag_stats_moments", "dd_incremental", "sa_stratified_sample",
-    "dd_ngram_jaccard", "dd_simhash", "sim_knn_bruteforce",
-    "sim_knn_lsh", "sim_knn_ivf", "sim_embedding_near_dup",
-    "rj_range_join", "ap_exact_quantiles", "ap_approx_stats",
-    # --- latest driver row: r3 (oldest 23) ---
-    "st_tumbling", "st_sliding", "st_sessionize", "st_interval_join",
-    "w4_trailing_7d", "aj_asof_join", "q7_nation_volume",
-    "q8_market_share", "q9_nation_profit", "q10_returned_items",
-    "q11_value_concentration", "q12_priority_shipping",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_diversity", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q20_concentrated_suppliers",
-    "q21_waiting_suppliers", "q22_idle_customers", "w1_running_total",
-    "g1_rollup", "g3_grouping_sets",
+# r7/r8/r9 discipline). The first eight are the round-10 rewrites
+# (commit 3e35bfc) whose driver re-attest the frozen r10 window missed
+# (VERDICT-r10 ask #1 — the r10 window shipped before the optimizer
+# ran); the rest are plans rewritten in round 11 itself, added as they
+# are rewritten so the post-round driver run attests HEAD.
+_R11_RECHECKS: list[str] = [
+    # --- round-10 rewrites (no driver row at the rewritten code yet) ---
+    "qa_replica_diff", "ev_rfm_segments", "gr_hits", "ev_rfm",
+    "tx_bpe_merges", "ag_theil_sen", "px_training_mix", "emb_pca_power",
 ]
 
-# Round-10 driver window: pure re-attestation (the union closed in r9).
-# Exactly 5 rows-only entries ride along (dd_simhash, sim_knn_lsh,
-# sim_knn_ivf, sim_embedding_near_dup, ap_approx_stats — the registry
-# contract's window cap), each floored at the registry surface by
-# tests/test_recall_floors.py.
-_R10_WINDOW = [
-    *_R10_RECHECKS,
-    *_R10_REATTESTS,
+# Voluntary RE-ATTESTS (plans UNCHANGED, old green rows refreshed at
+# HEAD): the second post-union staleness lap — the 42 registry entries
+# whose LATEST driver row is oldest after folding CORRECTNESS_r10,
+# computed by tools/rotation_next.py from CORRECTNESS_r01..r10 (the
+# remaining 17 r3-latest rows, then the oldest 25 r4 rows, registry
+# order within a round). The registry contract allows checked names in
+# the window only when declared in exactly one of _R11_RECHECKS /
+# _R11_REATTESTS.
+_R11_REATTESTS = [
+    # --- latest driver row: r3 (remaining 17) ---
+    "pv_pivot_status", "su_set_ops", "ts_gapfill", "ev_funnel",
+    "ag_histogram", "dd_dup_clusters", "dd_contamination",
+    "tx_span_dedup", "jx_fuzzy_join", "fn_hof_surface",
+    "mm_asset_stats", "mm_frame_sample", "hh_heavy_hitters",
+    "ly_zorder", "tx_pii_scrub", "tx_pack_sequences", "qa_audit",
+    # --- latest driver row: r4 (oldest 25) ---
+    "w2_lag_delta", "w3_ntile_quartiles", "w5_value_windows",
+    "g2_cube", "ev_cohort_retention", "ev_transitions",
+    "tx_rare_tokens", "sim_label_centroids", "inc_rollup",
+    "tx_tfidf_topk", "f3_variant_json", "mm_features", "tx_chunking",
+    "sa_hash_split", "emb_int8_quantize", "ts_ewma", "st_dedup",
+    "ix_global_rownum", "ap_hll_rollup", "ag_weighted_median",
+    "dd_minhash_portable", "dd_simhash_portable", "sim_knn_portable",
+    "gr_pagerank", "dd_minhash_incr_portable",
+]
+
+# Round-11 driver window: the 8 overdue re-checks first, then the
+# staleness fill. Zero rows-only entries this lap (the five oracle-less
+# approximate queries re-attested in r10).
+_R11_WINDOW = [
+    *_R11_RECHECKS,
+    *_R11_REATTESTS,
 ]
 
 
 def _rotated(registry: dict[str, QueryFn]) -> dict[str, QueryFn]:
-    front = [n for n in _R10_WINDOW if n in registry]
+    front = [n for n in _R11_WINDOW if n in registry]
     placed = set(front)
     mid = [
         n for n in registry

@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from movie_data_etl_pipeline_spark.functions import scalar as SC
-from movie_data_etl_pipeline_spark.operators import ml_eval
 from movie_data_etl_pipeline_spark.sources import load_table
 
 _SESSION_GAP_S = 1800
@@ -131,7 +130,10 @@ def _quintile_maps_fused(cust: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     intra = Window.partitionBy("pid", "m").orderBy(F.col("s").asc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    tot = hist.groupBy("m").agg(F.sum("n_s").cast("bigint").alias("n"))
+    # per-metric totals from the CHECKPOINTED relation (ADVICE-r10):
+    # deriving from the lazy `hist` replayed the melt+groupBy pipeline
+    # a second time just to sum it
+    tot = h.groupBy("m").agg(F.sum("n_s").cast("bigint").alias("n"))
     return (
         h.join(F.broadcast(prefix), ["pid", "m"])
         .withColumn(
