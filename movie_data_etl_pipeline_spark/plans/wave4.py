@@ -164,19 +164,45 @@ def ev_rfm(spark: SparkSession, sf: str) -> DataFrame:
     )
     n = agg.count()  # driver-side scalar of a count aggregate (bounded)
 
-    def quart(df: DataFrame, order_cols: list[str], out: str) -> DataFrame:
-        d = indexing.global_row_number(df, order_cols, out_col="__rn")
-        return d.withColumn(
-            out, ((F.col("__rn") - 1) * 4 / F.lit(n)).cast("bigint") + 1
-        ).drop("__rn")
-
-    agg = agg.withColumn("neg_f", -F.col("frequency")).withColumn(
-        "neg_m", -F.col("monetary_c")
+    # r11 (guide §2.4 — remove shuffles): the three per-metric quartile
+    # passes each ran the full two-phase numbering machinery (range
+    # exchange + checkpoint + partition-totals prefix + broadcast
+    # attach), three of everything over the same customer relation.
+    # Melt the metrics into (m, s) rows — m 0/1/2, s the metric value
+    # under its ranking sign (frequency/monetary negated, exactly the
+    # old neg_f/neg_m sort keys) — and rank ONCE under the total order
+    # (m, s, o_custkey). Every metric block holds exactly n rows (one
+    # per customer), so the within-metric rank is rn − m·n and the
+    # quartile formula is unchanged; a hash pivot back to customer
+    # grain replaces two of the three range pipelines. Values are
+    # bit-identical: same per-metric total order, same (rn−1)·4/n
+    # integer cut, and the metric values ride the melt (s / −s), so no
+    # join back to `agg` is needed.
+    melted = agg.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("m"), F.col("recency_days").alias("s")),
+                F.struct(F.lit(1).alias("m"), (-F.col("frequency")).alias("s")),
+                F.struct(F.lit(2).alias("m"), (-F.col("monetary_c")).alias("s")),
+            )
+        ).alias("x"),
+    ).select("o_custkey", "x.m", "x.s")
+    ranked = indexing.global_row_number(melted, ["m", "s", "o_custkey"], out_col="__rn")
+    q = ranked.withColumn(
+        "q",
+        ((F.col("__rn") - 1 - F.col("m") * F.lit(n)) * 4 / F.lit(n)).cast("bigint")
+        + 1,
     )
-    agg = quart(agg, ["recency_days", "o_custkey"], "r_q")
-    agg = quart(agg, ["neg_f", "o_custkey"], "f_q")
-    agg = quart(agg, ["neg_m", "o_custkey"], "m_q")
-    return agg.select(
+    pivoted = q.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("m") == 0, F.col("s"))).alias("recency_days"),
+        F.max(F.when(F.col("m") == 1, -F.col("s"))).alias("frequency"),
+        F.max(F.when(F.col("m") == 2, -F.col("s"))).alias("monetary_c"),
+        F.max(F.when(F.col("m") == 0, F.col("q"))).alias("r_q"),
+        F.max(F.when(F.col("m") == 1, F.col("q"))).alias("f_q"),
+        F.max(F.when(F.col("m") == 2, F.col("q"))).alias("m_q"),
+    )
+    return pivoted.select(
         "o_custkey",
         "recency_days",
         "frequency",

@@ -382,20 +382,23 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     from movie_data_etl_pipeline_spark.sources.parquet import ensure_min_partitions
 
     emb = ensure_min_partitions(emb)
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(j).alias("j"),
-                (F.element_at("e", i + 1) * F.element_at("e", j + 1)).alias("xy"),
-                F.element_at("e", i + 1).alias("x"),
-                F.element_at("e", j + 1).alias("y"),
-            )
-            for i in range(_PCA_DIMS)
-            for j in range(_PCA_DIMS)
-        ]
+    # r11 (guide §1.1 empirical loop / §7.3 driver-side cost): the
+    # 64-struct cell expression used to be built with ~320 chained
+    # Column calls — every one a py4j round-trip — and the phase split
+    # measured 2.6 s of DRIVER-SIDE DataFrame construction against
+    # ~1-2 s of actual execution for this query. Rendering the same
+    # expression as ONE SQL string (one py4j call, parsed JVM-side)
+    # builds in ~0.1 s; the logical plan, schema, and values are
+    # identical (asserted in the interleaved A/B). SQL `e[i]` is
+    # 0-based ≡ element_at(e, i+1).
+    cells_sql = "array(" + ",".join(
+        f"struct({i} as i, {j} as j, (e[{i}] * e[{j}]) as xy, e[{i}] as x, e[{j}] as y)"
+        for i in range(_PCA_DIMS)
+        for j in range(_PCA_DIMS)
+    ) + ")"
+    ex = emb.select(F.explode(F.expr(cells_sql)).alias("c")).select(
+        "c.i", "c.j", "c.xy", "c.x", "c.y"
     )
-    ex = emb.select(F.explode(cells).alias("c")).select("c.i", "c.j", "c.xy", "c.x", "c.y")
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     nn = F.col("n").cast("double")
     cov = (
@@ -415,6 +418,20 @@ def emb_pca_power(spark: SparkSession, sf: str) -> DataFrame:
         # 64 rows; truncate so each round doesn't replay the scan
         .localCheckpoint(eager=True)
     )
+    # r11 NOTE — fused iteration tail tested and REJECTED (guide
+    # §1.1): pivoting the 64-row matrix into one wide row and
+    # unrolling all three rounds as projections over it (zero joins /
+    # shuffles / checkpoint after the moment agg) was implemented three
+    # ways (chained wide selects; trimmed-column selects; one select
+    # per round with the norm inlined) and measured 0.79× / 0.63× /
+    # 0.44× interleaved vs this form, values equal every time: PySpark
+    # runs the ANALYZER eagerly on every Dataset construction, so the
+    # deep wide projections cost 4.8-7 s of driver-side plan building
+    # against the ~1-2 s of execution they save (phase split in
+    # OPTIMIZATION_r11.md; the r10 wide-agg rejection was the same
+    # lesson one stage earlier). The per-round join/agg tail below
+    # stays; the expr-string cell build above is where the real
+    # driver-side win was.
     v = spark.range(_PCA_DIMS).select(
         F.col("id").alias("j"), F.lit(10**9).cast("bigint").alias("vn")
     )
