@@ -6589,12 +6589,118 @@ def qa_release_gate(spark: SparkSession, sf: str) -> DataFrame:
     pipeline ships the snapshot only when every row passes. Each gate
     reduces to a 1-row summary before the union, so the composition
     adds no data movement beyond the gates themselves."""
-    audit = qa_audit(spark, sf).agg(
-        F.sum("n_violations").cast("bigint").alias("metric")
-    ).select(
-        F.lit("audit_violations").alias("gate"),
-        "metric",
-        F.lit(0).cast("bigint").alias("threshold"),
+    # r11 (guide §1.2/§2.4 — shared-scan multi-aggregate): composed
+    # verbatim, the four gates scanned orders FIVE times (audit's
+    # conditional agg, audit's FK anti-join probe, and the three
+    # mad_outlier_report passes). The audit checks, the FK orphan
+    # count, and mad's FINAL flagging pass are all row-conditional
+    # sums over the same orders rows, so they fuse into ONE scan with
+    # the tiny per-status med/mad relations and the distinct customer
+    # key set broadcast-attached (left joins on ≤1-match keys: row
+    # count provably unchanged). The med and dev-median passes stay
+    # (exact medians need their own passes) — 5 orders scans → 3.
+    # Every reduction below reproduces the composed gates' values
+    # exactly: FK orphans = non-null custkeys with no broadcast match
+    # (≡ the left-anti count); mad's Σ n_rows = rows whose status
+    # joins med (the marker sum — every status present in orders is
+    # in med, so a NULL-status row is excluded by both forms); the
+    # outlier predicate is NULL (→ 0) exactly where the old inner
+    # joins dropped the row. The four component gates keep their own
+    # oracle-proven declared queries, unchanged.
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        "o_orderstatus",
+        SC.cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    mo = o.select("o_orderstatus", "price_c")
+    med = mo.groupBy("o_orderstatus").agg(
+        F.median(F.col("price_c")).alias("__med"),
+        F.lit(1).alias("__mm"),
+    )
+    madrel = (
+        mo.join(F.broadcast(med.select("o_orderstatus", "__med")), "o_orderstatus")
+        .withColumn("__dev", F.abs(F.col("price_c") - F.col("__med")))
+        .groupBy("o_orderstatus")
+        .agg(F.median("__dev").alias("__mad"))
+    )
+    ck = (
+        load_table(spark, sf, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .distinct()
+        .withColumn("__fk_hit", F.lit(1))
+    )
+    joined = (
+        o.join(F.broadcast(ck), "o_custkey", "left")
+        .join(F.broadcast(med), "o_orderstatus", "left")
+        .join(F.broadcast(madrel), "o_orderstatus", "left")
+    )
+    one = joined.agg(
+        (
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+            + F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+            + (
+                F.count(F.lit(1))
+                - F.countDistinct(F.col("o_orderkey"))
+                - F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            )
+            + F.sum(
+                F.when(
+                    F.col("o_totalprice").isNotNull()
+                    & (~F.col("o_totalprice").between(F.lit(0.0), F.lit(400000.0))),
+                    1,
+                ).otherwise(0)
+            )
+            + F.sum(
+                F.when(
+                    ~F.coalesce(
+                        F.col("o_orderstatus").isin("O", "F", "P"), F.lit(False)
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            + F.sum(
+                F.when(
+                    F.col("o_custkey").isNotNull() & F.col("__fk_hit").isNull(), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("audit_metric"),
+        F.sum(
+            F.when(
+                F.abs(F.col("price_c") - F.col("__med"))
+                > F.lit(5) * F.col("__mad"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("mad_metric"),
+        F.floor(
+            F.sum(F.when(F.col("__mm").isNotNull(), 1).otherwise(0)) / F.lit(100.0)
+        )
+        .cast("bigint")
+        .alias("mad_threshold"),
+    )
+    two = (
+        one.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("audit_violations").alias("gate"),
+                        F.col("audit_metric").alias("metric"),
+                        F.lit(0).cast("bigint").alias("threshold"),
+                    ),
+                    F.struct(
+                        F.lit("mad_outlier_rows").alias("gate"),
+                        F.col("mad_metric").alias("metric"),
+                        F.col("mad_threshold").alias("threshold"),
+                    ),
+                )
+            ).alias("g")
+        ).select("g.gate", "g.metric", "g.threshold")
     )
     anom = qa_volume_anomaly(spark, sf).agg(
         F.sum(F.col("is_anomaly").cast("int")).cast("bigint").alias("metric")
@@ -6608,14 +6714,9 @@ def qa_release_gate(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rows_at_risk").cast("bigint").alias("metric"),
         F.lit(0).cast("bigint").alias("threshold"),
     )
-    mad = qa_mad_outliers(spark, sf).agg(
-        F.sum("n_outliers").cast("bigint").alias("metric"),
-        F.floor(F.sum("n_rows") / F.lit(100.0)).cast("bigint").alias("threshold"),
-    ).select(F.lit("mad_outlier_rows").alias("gate"), "metric", "threshold")
     return (
-        audit.unionByName(anom)
+        two.unionByName(anom)
         .unionByName(kanon)
-        .unionByName(mad)
         .withColumn("pass", F.col("metric") <= F.col("threshold"))
         .orderBy("gate")
     )
@@ -8796,12 +8897,13 @@ ORACLES.update(_wave59.ORACLES)
 # ALSO added there when it is rewritten (this is the final round — no
 # _R12 window will exist to catch it later). The fill is the next-42
 # stalest per `python tools/rotation_next.py` (the remaining 17
-# r3-latest rows + the oldest 25 r4 rows, registry order within a
-# round). The rotation-comment counts below are MACHINE-DERIVED —
+# r3-latest rows + the oldest 21 r4 rows, registry order within a
+# round; the fill shrinks by one for each r11 rewrite added to the
+# re-checks). The rotation-comment counts below are MACHINE-DERIVED —
 # `tools/rotation_next.py --counts` emits the line and
 # tests/test_registry_contract.py asserts the comment contains it
 # verbatim (VERDICT-r9 ask #5).
-# window r11: 50 = 8 re-checks + 42 re-attests + 0 never-checked
+# window r11: 50 = 12 re-checks + 38 re-attests + 0 never-checked
 # Every entry is verified locally at sf0.001 AND sf0.01 via
 # tools/crosscheck.py AND under a VANILLA SparkSession
 # (tests/test_vanilla_session.py) regardless of window position.
@@ -8949,14 +9051,17 @@ _R11_RECHECKS: list[str] = [
     # --- round-10 rewrites (no driver row at the rewritten code yet) ---
     "qa_replica_diff", "ev_rfm_segments", "gr_hits", "ev_rfm",
     "tx_bpe_merges", "ag_theil_sen", "px_training_mix", "emb_pca_power",
+    # --- round-11 rewrites (ev_rfm / emb_pca_power already above) ---
+    "qa_release_gate", "emb_cov_audit", "ag_corr_matrix", "tx_perplexity",
 ]
 
 # Voluntary RE-ATTESTS (plans UNCHANGED, old green rows refreshed at
 # HEAD): the second post-union staleness lap — the 42 registry entries
 # whose LATEST driver row is oldest after folding CORRECTNESS_r10,
 # computed by tools/rotation_next.py from CORRECTNESS_r01..r10 (the
-# remaining 17 r3-latest rows, then the oldest 25 r4 rows, registry
-# order within a round). The registry contract allows checked names in
+# remaining 17 r3-latest rows, then the oldest r4 rows, registry
+# order within a round; the tail shrinks as r11 rewrites join the
+# re-checks). The registry contract allows checked names in
 # the window only when declared in exactly one of _R11_RECHECKS /
 # _R11_REATTESTS.
 _R11_REATTESTS = [
@@ -8966,15 +9071,14 @@ _R11_REATTESTS = [
     "tx_span_dedup", "jx_fuzzy_join", "fn_hof_surface",
     "mm_asset_stats", "mm_frame_sample", "hh_heavy_hitters",
     "ly_zorder", "tx_pii_scrub", "tx_pack_sequences", "qa_audit",
-    # --- latest driver row: r4 (oldest 25) ---
+    # --- latest driver row: r4 (oldest 21) ---
     "w2_lag_delta", "w3_ntile_quartiles", "w5_value_windows",
     "g2_cube", "ev_cohort_retention", "ev_transitions",
     "tx_rare_tokens", "sim_label_centroids", "inc_rollup",
     "tx_tfidf_topk", "f3_variant_json", "mm_features", "tx_chunking",
     "sa_hash_split", "emb_int8_quantize", "ts_ewma", "st_dedup",
     "ix_global_rownum", "ap_hll_rollup", "ag_weighted_median",
-    "dd_minhash_portable", "dd_simhash_portable", "sim_knn_portable",
-    "gr_pagerank", "dd_minhash_incr_portable",
+    "dd_minhash_portable",
 ]
 
 # Round-11 driver window: the 8 overdue re-checks first, then the

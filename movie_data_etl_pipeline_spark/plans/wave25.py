@@ -59,19 +59,28 @@ def tx_perplexity(spark: SparkSession, sf: str) -> DataFrame:
 
     c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
     c1 = train.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
-    vocab_v = train.select("w1").union(train.select(F.col("w2").alias("w1"))).distinct().count()
-    # V+1 accounts for the UNK type the held-out side can produce
-    v = int(vocab_v) + 1
-
+    # r11 (guide §5 — the driver should do almost no data work): the
+    # vocab size was a driver-side `.count()` — a SYNCHRONOUS extra
+    # action whose two groupBy passes ran before the scoring job could
+    # even be submitted. Carried as a broadcast 1-row relation instead
+    # (V+1 accounts for the UNK type the held-out side can produce);
+    # the smoothing denominator reads the same double, so every
+    # micro-nat is unchanged (oracle re-proven).
+    vrel = (
+        train.select("w1")
+        .union(train.select(F.col("w2").alias("w1")))
+        .agg((F.countDistinct("w1") + F.lit(1)).cast("double").alias("__v"))
+    )
     scored = (
         held.join(c12, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vrel))
         .select(
             "doc_id",
             F.round(
                 F.log(
                     (F.coalesce("c12", F.lit(0)).cast("double") + F.lit(1.0))
-                    / (F.coalesce("c1", F.lit(0)).cast("double") + F.lit(float(v)))
+                    / (F.coalesce("c1", F.lit(0)).cast("double") + F.col("__v"))
                 )
                 * F.lit(1000000.0)
             )

@@ -219,26 +219,28 @@ def ag_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
         aggs.append(F.sum(F.col(a) * F.col(b)).cast("bigint").alias(f"sp_{a}_{b}"))
     m = vals.agg(*aggs)
 
-    def corr_expr(a: str, b: str):
-        n = F.col("n").cast("double")
-        sx, sy = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
-        sxx, syy = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
-        sxy = F.col(f"sp_{a}_{b}").cast("double")
-        cov = sxy / n - (sx / n) * (sy / n)
-        vx = sxx / n - (sx / n) * (sx / n)
-        vy = syy / n - (sy / n) * (sy / n)
-        return cov / (F.sqrt(vx) * F.sqrt(vy))
+    # r11 (the emb_pca_power finding — guide §7.3 driver-side cost):
+    # the six correlation expressions were built with ~400 chained
+    # Column calls, each a py4j round-trip; the same expression tree
+    # rendered as ONE SQL string parses JVM-side with an identical
+    # plan and bit-identical doubles (same association order).
+    def corr_sql(a: str, b: str) -> str:
+        n = "cast(n as double)"
+        sx, sy = f"cast(s_{a} as double)", f"cast(s_{b} as double)"
+        sxx, syy = f"cast(ss_{a} as double)", f"cast(ss_{b} as double)"
+        sxy = f"cast(sp_{a}_{b} as double)"
+        cov = f"({sxy} / {n} - ({sx} / {n}) * ({sy} / {n}))"
+        vx = f"({sxx} / {n} - ({sx} / {n}) * ({sx} / {n}))"
+        vy = f"({syy} / {n} - ({sy} / {n}) * ({sy} / {n}))"
+        return f"{cov} / (sqrt({vx}) * sqrt({vy}))"
 
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(a).alias("var_x"),
-                F.lit(b).alias("var_y"),
-                F.col("n").alias("n"),
-                corr_expr(a, b).alias("corr"),
-            )
+    rows = F.expr(
+        "array("
+        + ",".join(
+            f"struct('{a}' as var_x, '{b}' as var_y, n as n, ({corr_sql(a, b)}) as corr)"
             for a, b in pairs
-        ]
+        )
+        + ")"
     )
     return (
         m.select(F.explode(rows).alias("r"))

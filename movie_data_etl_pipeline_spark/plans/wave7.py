@@ -314,18 +314,21 @@ def emb_cov_audit(spark: SparkSession, sf: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 1e6).cast("bigint"),
         ).alias("e")
     )
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(j).alias("j"),
-                (F.element_at("e", i + 1) * F.element_at("e", j + 1)).alias("xy"),
-                F.element_at("e", i + 1).alias("x"),
-                F.element_at("e", j + 1).alias("y"),
-            )
+    # r11 (guide §7.3 driver-side cost, the emb_pca_power finding): the
+    # 36-struct literal array was built with chained Column calls —
+    # every one a py4j round-trip — making driver-side DataFrame
+    # construction a measurable slice of this sub-second query. One SQL
+    # string parses JVM-side with an identical plan (SQL e[i] is
+    # 0-based ≡ element_at(e, i+1)); values A/B-asserted equal.
+    cells = F.expr(
+        "array("
+        + ",".join(
+            f"struct({i} as i, {j} as j, (e[{i}] * e[{j}]) as xy,"
+            f" e[{i}] as x, e[{j}] as y)"
             for i in range(_COV_DIMS)
             for j in range(i, _COV_DIMS)
-        ]
+        )
+        + ")"
     )
     ex = emb.select(F.explode(cells).alias("c")).select(
         F.col("c.i").alias("i"),

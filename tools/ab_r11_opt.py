@@ -187,9 +187,220 @@ def emb_pca_power_old(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qa_release_gate_old(spark: SparkSession, sf: str) -> DataFrame:
+    """git f28674f form: the four gates composed verbatim (five orders
+    scans); the component gate queries are themselves unchanged in the
+    registry, so they are called directly."""
+    audit = FQ.QUERIES["qa_audit"](spark, sf).agg(
+        F.sum("n_violations").cast("bigint").alias("metric")
+    ).select(
+        F.lit("audit_violations").alias("gate"),
+        "metric",
+        F.lit(0).cast("bigint").alias("threshold"),
+    )
+    anom = FQ.QUERIES["qa_volume_anomaly"](spark, sf).agg(
+        F.sum(F.col("is_anomaly").cast("int")).cast("bigint").alias("metric")
+    ).select(
+        F.lit("anomalous_days").alias("gate"),
+        "metric",
+        F.lit(2).cast("bigint").alias("threshold"),
+    )
+    kanon = FQ.QUERIES["qa_k_anonymity"](spark, sf).select(
+        F.lit("k_anonymity_rows_at_risk").alias("gate"),
+        F.col("rows_at_risk").cast("bigint").alias("metric"),
+        F.lit(0).cast("bigint").alias("threshold"),
+    )
+    mad = FQ.QUERIES["qa_mad_outliers"](spark, sf).agg(
+        F.sum("n_outliers").cast("bigint").alias("metric"),
+        F.floor(F.sum("n_rows") / F.lit(100.0)).cast("bigint").alias("threshold"),
+    ).select(F.lit("mad_outlier_rows").alias("gate"), "metric", "threshold")
+    return (
+        audit.unionByName(anom)
+        .unionByName(kanon)
+        .unionByName(mad)
+        .withColumn("pass", F.col("metric") <= F.col("threshold"))
+        .orderBy("gate")
+    )
+
+
+_COV_DIMS = 8
+
+
+def emb_cov_audit_old(spark: SparkSession, sf: str) -> DataFrame:
+    """git f28674f form: 36-struct cells via chained Column calls."""
+    emb = load_table(spark, sf, "embeddings").select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1e6).cast("bigint"),
+        ).alias("e")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                (F.element_at("e", i + 1) * F.element_at("e", j + 1)).alias("xy"),
+                F.element_at("e", i + 1).alias("x"),
+                F.element_at("e", j + 1).alias("y"),
+            )
+            for i in range(_COV_DIMS)
+            for j in range(i, _COV_DIMS)
+        ]
+    )
+    ex = emb.select(F.explode(cells).alias("c")).select(
+        F.col("c.i").alias("i"),
+        F.col("c.j").alias("j"),
+        F.col("c.xy").alias("xy"),
+        F.col("c.x").alias("x"),
+        F.col("c.y").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = ex.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("xy")).alias("sxy"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+    )
+    nn = F.col("n").cast("double")
+    cov = (
+        (nn * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (nn * nn)
+        / F.lit(1e12)
+    )
+    return m.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        F.round(cov, 9).alias("cov"),
+    ).orderBy("i", "j")
+
+
+_CORR_VARS = [
+    ("qty", "CAST(l_quantity AS BIGINT)"),
+    ("price_usd", "CAST(FLOOR(l_extendedprice) AS BIGINT)"),
+    ("disc_pct", "CAST(ROUND(l_discount * 100) AS BIGINT)"),
+    ("tax_pct", "CAST(ROUND(l_tax * 100) AS BIGINT)"),
+]
+
+
+def ag_corr_matrix_old(spark: SparkSession, sf: str) -> DataFrame:
+    """git f28674f form: correlation structs via chained Column calls."""
+    li = load_table(spark, sf, "lineitem")
+    vals = li.select(*[F.expr(expr).alias(name) for name, expr in _CORR_VARS])
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for name, _ in _CORR_VARS:
+        aggs.append(F.sum(name).cast("bigint").alias(f"s_{name}"))
+        aggs.append(
+            F.sum(F.col(name) * F.col(name)).cast("bigint").alias(f"ss_{name}")
+        )
+    pairs = [
+        (a, b)
+        for i, (a, _) in enumerate(_CORR_VARS)
+        for b, _ in [v for v in _CORR_VARS[i + 1 :]]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).cast("bigint").alias(f"sp_{a}_{b}"))
+    m = vals.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sxx, syy = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sxy = F.col(f"sp_{a}_{b}").cast("double")
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx = sxx / n - (sx / n) * (sx / n)
+        vy = syy / n - (sy / n) * (sy / n)
+        return cov / (F.sqrt(vx) * F.sqrt(vy))
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("var_x"),
+                F.lit(b).alias("var_y"),
+                F.col("n").alias("n"),
+                corr_expr(a, b).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        m.select(F.explode(rows).alias("r"))
+        .select("r.var_x", "r.var_y", "r.n", "r.corr")
+        .orderBy("var_x", "var_y")
+    )
+
+
+def tx_perplexity_old(spark: SparkSession, sf: str) -> DataFrame:
+    """git f28674f form: vocab size via a driver-side count() action."""
+    from movie_data_etl_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.col("t"),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.when(b.isNull(), F.lit(None)).otherwise(
+                    F.struct(a.alias("w1"), b.alias("w2"))
+                ),
+            )
+        ).alias("bg"),
+    ).filter(F.col("bg").isNotNull()).select("doc_id", "bg.w1", "bg.w2")
+    train = big.filter(F.col("doc_id") % 5 != 0)
+    held = big.filter(F.col("doc_id") % 5 == 0)
+    c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    vocab_v = (
+        train.select("w1").union(train.select(F.col("w2").alias("w1"))).distinct().count()
+    )
+    v = int(vocab_v) + 1
+    scored = (
+        held.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce("c12", F.lit(0)).cast("double") + F.lit(1.0))
+                    / (F.coalesce("c1", F.lit(0)).cast("double") + F.lit(float(v)))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("mu"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (-F.sum("mu")).cast("bigint").alias("nll_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_micro",
+            F.round(
+                F.exp(
+                    F.col("nll_micro").cast("double")
+                    / (F.lit(1000000.0) * F.col("n_bigrams").cast("double"))
+                ),
+                3,
+            ).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 OLD = {
     "ev_rfm": ev_rfm_old,
     "emb_pca_power": emb_pca_power_old,
+    "qa_release_gate": qa_release_gate_old,
+    "emb_cov_audit": emb_cov_audit_old,
+    "ag_corr_matrix": ag_corr_matrix_old,
+    "tx_perplexity": tx_perplexity_old,
 }
 
 

@@ -29,7 +29,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from movie_data_etl_pipeline_spark.plans import fixture_queries as FQ
-from movie_data_etl_pipeline_spark.session import get_spark
+from movie_data_etl_pipeline_spark.session import (
+    data_scaled_driver_memory,
+    data_scaled_shuffle_partitions,
+    get_spark,
+)
 
 
 def main() -> None:
@@ -48,6 +52,24 @@ def main() -> None:
             sys.exit(f"error_sweep: unknown query name(s) {unknown}")
         names = rest
     sf_dir = f"/tmp/scalebench_x{factor}"
+    # Self-size the session to the AMPLIFIED volume before it is built
+    # (the conf is fixed at session build; getOrCreate ignores later
+    # confs) — when the fixtures already exist the derivation measures
+    # them, otherwise it anticipates base_bytes x factor. The explicit
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS knob still wins when set.
+    import os as _os
+
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in _os.environ:
+        _cpus = int(_os.environ.get("SPARK_GRAFT_CPUS", _os.cpu_count() or 8))
+        _base = _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        if _os.path.exists(_os.path.join(sf_dir, "_done")):
+            _parts = data_scaled_shuffle_partitions(sf_dir, _cpus)
+            _mem = data_scaled_driver_memory(sf_dir, _cpus)
+        else:
+            _parts = data_scaled_shuffle_partitions(_base, _cpus, scale=factor)
+            _mem = data_scaled_driver_memory(_base, _cpus, scale=factor)
+        _os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(_parts)
+        _os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", _mem)
     # fail fast on missing fixtures — every query would otherwise
     # "fail" with PATH_NOT_FOUND and the sweep would burn 20 minutes
     # producing a garbage record (run tools/scalebench.py first, or

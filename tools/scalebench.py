@@ -34,7 +34,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F
 
 from movie_data_etl_pipeline_spark.plans import fixture_queries as FQ
-from movie_data_etl_pipeline_spark.session import get_spark
+from movie_data_etl_pipeline_spark.session import (
+    data_scaled_driver_memory,
+    data_scaled_shuffle_partitions,
+    get_spark,
+)
 from movie_data_etl_pipeline_spark.sources import load_table
 
 # Key-shift offsets per table: larger than any key at sf0.1 so replica
@@ -212,6 +216,20 @@ def main() -> None:
     names = requested or None
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     amp_dir = f"/tmp/scalebench_x{factor}"
+    # Self-size the session to the AMPLIFIED volume (the bigger of the
+    # two directions this session serves); when the fixtures are not
+    # built yet, anticipate base_bytes x factor — the conf is fixed at
+    # session build. The explicit env knob still wins when set.
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in os.environ:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        if os.path.exists(os.path.join(amp_dir, "_done")):
+            parts = data_scaled_shuffle_partitions(amp_dir, cpus)
+            mem = data_scaled_driver_memory(amp_dir, cpus)
+        else:
+            parts = data_scaled_shuffle_partitions(base_dir, cpus, scale=factor)
+            mem = data_scaled_driver_memory(base_dir, cpus, scale=factor)
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(parts)
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", mem)
     spark = get_spark("scalebench")
     amplify(spark, base_dir, amp_dir, factor)
     # warmup both directions (JVM/codegen/footers)
