@@ -757,6 +757,18 @@ def tfidf_cosine_pairs(
         base = ensure_min_partitions(
             docs.select(F.col(id_col).alias("id"), terms.alias("t"))
         )
+    # r11 NOTE — row-local tf tested and REJECTED (guide §1.1): tf per
+    # (id, tok) is a row-local fact, so a sorted-array run-length
+    # encode (the tx_bpe positional-transform discipline) can build the
+    # (id, tok, tf) relation with ZERO shuffle. Implemented, oracle-
+    # green, and measured 0.88× (0.91× with an ensure_min_partitions
+    # fan-out) interleaved at sf0.1, values equal: the groupBy below
+    # does MAP-SIDE PARTIAL AGGREGATION, so its exchange already
+    # carries only the collapsed (id, tok, tf) rows — "removing the
+    # shuffle" saved almost no bytes, while the interpreted
+    # higher-order lambdas (array_sort + filter + transform are not
+    # whole-stage-codegen'd) cost more than the hash aggregate they
+    # replaced. Recorded in tools/ab_r11_opt.json history.
     dt = (
         base.select("id", F.explode("t").alias("tok"))
         .groupBy("id", "tok")

@@ -178,6 +178,17 @@ def gr_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     # family, and all three consumers here — deg, hub cut, posting —
     # read the flat checkpoint.)
     cs = copurchase_pairs(spark, sf).select("c", F.col("p").alias("s"))
+    # r11 candidate tested and REJECTED on 100× evidence (the r10 pin
+    # precedent): decorating the postings with deg via a window over c
+    # and letting the degrees RIDE the pair generation (collect (c,deg)
+    # structs, max() them in the pair aggregate) removes BOTH deg
+    # attach joins and won 1.12× at sf0.1 (4.03 → 3.59 s interleaved,
+    # values equal) — but at 100× it measured 0.93× cold and 0.80×
+    # warm best-of-3 (tools/ab_r11_linkpred_x100{,b}.json): the window
+    # must SORT the full posting relation per c-partition where the old
+    # groupBy(c) collapses it map-side to tiny deg rows, and the pair
+    # exchange widens by two bigints per row. The 100 TB posture rules;
+    # the separate deg relation + size-planned attach joins stay.
     deg = cs.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     # candidate pairs via ARRAY-FORM generation instead of the posting
     # self-join: group the postings per part, sort the customer list,

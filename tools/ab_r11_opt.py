@@ -394,6 +394,134 @@ def tx_perplexity_old(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sim_tfidf_cosine_old(spark: SparkSession, sf: str) -> DataFrame:
+    """git f28674f form of similarity.tfidf_cosine_pairs: tf per
+    (id, tok) via explode + groupBy (a full posting-relation shuffle),
+    frozen with the fixture query's arguments."""
+    from movie_data_etl_pipeline_spark.plans.doc_pairs import xxh_shingle_arrays
+
+    max_df, threshold, idf_unit = 50, 0.2, 1024.0
+    docs = load_table(spark, sf, "documents")
+    terms_rel = xxh_shingle_arrays(spark, sf)
+    base = terms_rel.select(
+        F.col(terms_rel.columns[0]).alias("id"), F.col(terms_rel.columns[1]).alias("t")
+    )
+    dt = (
+        base.select("id", F.explode("t").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    n_docs = docs.select(F.countDistinct(F.col("doc_id")).cast("double").alias("n_docs"))
+    df_rel = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        df_rel.filter(F.col("df") <= max_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            "df",
+            F.floor(
+                F.log(F.col("n_docs") / F.col("df").cast("double")) * F.lit(idf_unit)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("idf_q"),
+        )
+        .filter(F.col("idf_q") > 0)
+    )
+    w = dt.join(idf, "tok").select(
+        "tok", "id", "df", (F.col("tf") * F.col("idf_q")).alias("w")
+    )
+    w = w.persist()
+    norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    shared = w.filter(F.col("df") >= 2)
+    a = shared.select(F.col("id").alias("id_a"), "tok", F.col("w").alias("wa"))
+    b = shared.select(F.col("id").alias("id_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dp").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def gr_link_prediction_old(spark: SparkSession, sf: str) -> DataFrame:
+    """git f28674f form: deg as a separate relation SMJ-attached to the
+    pair aggregate twice."""
+    from movie_data_etl_pipeline_spark.plans.graph_edges import copurchase_pairs
+
+    cs = copurchase_pairs(spark, sf).select("c", F.col("p").alias("s"))
+    deg = cs.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    hubs = (
+        cs.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("fan"))
+        .filter(F.col("fan") > 200)
+        .select("s")
+    )
+    groups = (
+        cs.join(F.broadcast(hubs), "s", "left_anti")
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_list("c")).alias("cu"))
+        .filter(F.size("cu") >= 2)
+    )
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("cu"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("cu"), i + 2,
+                            F.greatest(F.size("cu") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("c_a"), y.alias("c_b")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select("pr.c_a", "pr.c_b")
+    shared = (
+        pairs.groupBy("c_a", "c_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return (
+        shared.join(deg.select(F.col("c").alias("c_a"), F.col("deg").alias("deg_a")), "c_a")
+        .join(deg.select(F.col("c").alias("c_b"), F.col("deg").alias("deg_b")), "c_b")
+        .select(
+            "c_a",
+            "c_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "c_a", "c_b")
+        .limit(100)
+    )
+
+
 OLD = {
     "ev_rfm": ev_rfm_old,
     "emb_pca_power": emb_pca_power_old,
@@ -401,6 +529,8 @@ OLD = {
     "emb_cov_audit": emb_cov_audit_old,
     "ag_corr_matrix": ag_corr_matrix_old,
     "tx_perplexity": tx_perplexity_old,
+    "sim_tfidf_cosine": sim_tfidf_cosine_old,
+    "gr_link_prediction": gr_link_prediction_old,
 }
 
 
